@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the batch query inventory (SURVEY.md §2.3).
+  *
+  * Oracle-parity conventions (every query obeys these so the driver's
+  * DuckDB hash-compare is exact, not approximate):
+  *
+  *  - Output column types are normalized to string / bigint / double /
+  *    boolean only. No timestamps (emitted as epoch-millis bigint), no
+  *    decimals, no floats, no int32 (DuckDB widens most integer results
+  *    to int64).
+  *  - Double aggregation goes through `DecimalType(18,6)` casts so sums
+  *    are exact and order-independent in BOTH engines, then the final
+  *    value is cast back to double (a deterministic conversion).
+  *    Naive double sums would differ in low bits between Spark's
+  *    partial-aggregation order and DuckDB's sequential order.
+  *  - Ratios/averages are computed as a single IEEE double division of
+  *    two exactly-agreed values (decimal-sum cast to double / count).
+  *  - Every query ends with a total ORDER BY on non-null key columns
+  *    (mirrored in the oracle SQL) so row order agrees even if the
+  *    driver's compare is order-sensitive. Sort keys are never nullable
+  *    (Spark sorts NULLS FIRST, DuckDB NULLS LAST by default).
+  *  - Cross-engine hashing uses a portable 32-bit hash: the first 8 hex
+  *    chars of md5, parsed as an integer. Spark: conv(substr(md5(x),1,8),
+  *    16,10); DuckDB: ('0x'||substr(md5(x),1,8))::BIGINT.
+  */
+object T {
+  /** Loads a driver test table. `events.ts` is TIMESTAMP(NANOS) in
+    * parquet, which Spark 4 rejects by default; we read it as a nanos
+    * long (`spark.sql.legacy.parquet.nanosAsLong`) and floor-convert to
+    * a microsecond TimestampType — the same truncation DuckDB applies
+    * when it reads the file, so both engines see identical values. */
+  def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (df.schema.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Portable 32-bit hash of a string column (agrees with DuckDB). */
+  def phash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** DuckDB SQL fragment for [[phash]]. */
+  def phashSql(expr: String): String =
+    s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)"
+
+  /** Exact, order-independent aggregation-ready value for a double col. */
+  def dec(c: Column): Column = c.cast("decimal(18,6)")
+
+  /** DuckDB SQL fragment for [[dec]]. */
+  def decSql(expr: String): String = s"CAST($expr AS DECIMAL(18,6))"
+
+  /** Timestamp column -> epoch milliseconds (bigint; floors like DuckDB
+    * epoch_ms). */
+  def ms(c: Column): Column = unix_millis(c)
+}

@@ -1,0 +1,338 @@
+package graft.queries
+
+import graft.T._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch relational operator inventory q01-q16 (SURVEY.md §2.3).
+  *
+  * Each query re-expresses a dataflow capability of the reference
+  * (anselumana/binance-etl; citations per query) over the driver's
+  * test tables, with an ANSI-SQL DuckDB oracle. All are plain
+  * `org.apache.spark.sql` — Catalyst handles pushdown/pruning/join
+  * selection; the only hints used are `broadcast` where a dimension is
+  * known-small (q11).
+  */
+object Relational {
+
+  /** q01: projection + rename — reference's field mapping
+    * (spot_trades_etl.py:48-55). */
+  private def q01(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "lineitem")
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").cast("long").as("line_no"),
+        col("l_partkey").as("part_id"),
+        col("l_quantity").as("qty"),
+        col("l_extendedprice").as("price"))
+      .orderBy("order_id", "line_no")
+
+  private val q01Sql =
+    """SELECT l_orderkey AS order_id, CAST(l_linenumber AS BIGINT) AS line_no,
+      |       l_partkey AS part_id, l_quantity AS qty, l_extendedprice AS price
+      |FROM lineitem ORDER BY order_id, line_no""".stripMargin
+
+  /** q02: event-type filter — reference's `e == 'trade'` gate
+    * (spot_trades_etl.py:47). Filter is pushed to the parquet scan. */
+  private def q02(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), ms(col("ts")).as("ts_ms"),
+        col("value"))
+      .orderBy("event_id")
+
+  private val q02Sql =
+    """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value
+      |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
+  /** q03: conditional scalar map — reference's `'sell' if m else 'buy'`
+    * (spot_trades_etl.py:54). */
+  private def q03(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "events")
+      .select(col("event_id"),
+        when(col("value") >= 100.0, "sell").otherwise("buy").as("side"),
+        col("value"))
+      .orderBy("event_id")
+
+  private val q03Sql =
+    """SELECT event_id, CASE WHEN value >= 100.0 THEN 'sell' ELSE 'buy' END AS side, value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** q04: explode array to rows — reference's bids/asks level explosion
+    * (spot_depth_etl.py:92-110). 1-based pos to match DuckDB
+    * generate_subscripts. */
+  private def q04(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("v").cast("double").as("v"))
+      .orderBy("vec_id", "pos")
+
+  private val q04Sql =
+    """SELECT vec_id, CAST(pos AS BIGINT) AS pos, CAST(v AS DOUBLE) AS v
+      |FROM (SELECT vec_id, unnest(embedding) AS v,
+      |             generate_subscripts(embedding, 1) AS pos FROM embeddings)
+      |ORDER BY vec_id, pos""".stripMargin
+
+  /** q05: union of two labeled projections — reference's bids ∪ asks
+    * with literal side columns (spot_depth_etl.py:111). */
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    val e = tbl(s, d, "events")
+    val a = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), lit("buy_side").as("side"), col("value"))
+    val b = e.filter(col("event_type") === "view")
+      .select(col("event_id"), lit("view_side").as("side"), col("value"))
+    a.unionByName(b).orderBy("event_id")
+  }
+
+  private val q05Sql =
+    """SELECT event_id, 'buy_side' AS side, value FROM events WHERE event_type='purchase'
+      |UNION ALL
+      |SELECT event_id, 'view_side' AS side, value FROM events WHERE event_type='view'
+      |ORDER BY event_id""".stripMargin
+
+  /** q06: global sort — reference's sort_values(['timestamp','side'])
+    * (spot_depth_etl.py:111), tie-broken to a total order. */
+  private def q06(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "events")
+      .select(ms(col("ts")).as("ts_ms"), col("event_type"), col("event_id"))
+      .orderBy("ts_ms", "event_type", "event_id")
+
+  private val q06Sql =
+    """SELECT epoch_ms(ts) AS ts_ms, event_type, event_id
+      |FROM events ORDER BY ts_ms, event_type, event_id""".stripMargin
+
+  /** q07: gap detection — batch analog of the reference's
+    * `U != prev_u + 1` contiguity check (spot_depth_etl.py:78-90). */
+  private def q07(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    tbl(s, d, "events")
+      .select(col("user_id"), col("event_id"))
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .filter(col("prev_id").isNotNull && col("event_id") =!= col("prev_id") + 1)
+      .orderBy("user_id", "event_id")
+  }
+
+  private val q07Sql =
+    """SELECT user_id, event_id, prev_id FROM (
+      |  SELECT user_id, event_id,
+      |         lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_id
+      |  FROM events)
+      |WHERE prev_id IS NOT NULL AND event_id <> prev_id + 1
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** q08: anti-join stale filter — the reference's "drop deltas already
+    * covered by the snapshot" shape (book_utils.py:35). */
+  private def q08(s: SparkSession, d: String): DataFrame = {
+    val e = tbl(s, d, "events")
+    val c = tbl(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    e.join(c, e("user_id") === c("c_custkey"), "left_anti")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("event_id")
+  }
+
+  private val q08Sql =
+    """SELECT event_id, user_id, event_type FROM events e
+      |WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                  WHERE c.c_custkey = e.user_id AND c.c_mktsegment = 'BUILDING')
+      |ORDER BY event_id""".stripMargin
+
+  /** q09: grouped counters + batch math — reference's per-stream message
+    * and batch counters with batch_size=1000 (storage.py:24-36). */
+  private def q09(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        ceil(col("n") / lit(1000.0)).cast("long").as("batches"))
+      .orderBy("event_type")
+
+  private val q09Sql =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(ceil(count(*) / 1000.0) AS BIGINT) AS batches
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q10: equi-join enrichment (orders ⋈ customer). At scale this is a
+    * shuffle join on the key; AQE may elect broadcast when the dim fits. */
+  private def q10(s: SparkSession, d: String): DataFrame = {
+    val o = tbl(s, d, "orders")
+    val c = tbl(s, d, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  private val q10Sql =
+    """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q11: broadcast dimension join — part is small relative to lineitem,
+    * so broadcast it explicitly (no shuffle of the fact side). */
+  private def q11(s: SparkSession, d: String): DataFrame = {
+    val l = tbl(s, d, "lineitem")
+    val p = tbl(s, d, "part")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"), "inner")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  private val q11Sql =
+    """SELECT p_brand, count(*) AS n,
+      |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** q12: semi-join — customers having orders (EXISTS shape of
+    * book_utils.py:35). */
+  private def q12(s: SparkSession, d: String): DataFrame = {
+    val c = tbl(s, d, "customer")
+    val o = tbl(s, d, "orders").select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  private val q12Sql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q13: as-of join — the reference's snapshot/delta alignment shape
+    * `U <= lastUpdateId+1 <= u` (book_utils.py:41-44): for each order,
+    * the most recent event at or before the order date in its key
+    * bucket. Implemented scalably as union + running `last(ignoreNulls)`
+    * window — one shuffle, no row explosion, no correlated subquery. */
+  private def q13(s: SparkSession, d: String): DataFrame = {
+    val ev = tbl(s, d, "events").select(
+      (col("user_id") % 100).cast("long").as("bucket"),
+      col("ts"),
+      lit(0).as("tag"),
+      lit(null).cast("long").as("o_orderkey"),
+      ms(col("ts")).as("ev_ms"))
+    val od = tbl(s, d, "orders").select(
+      (col("o_custkey") % 100).cast("long").as("bucket"),
+      col("o_orderdate").as("ts"),
+      lit(1).as("tag"),
+      col("o_orderkey"),
+      lit(null).cast("long").as("ev_ms"))
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("ts"), col("tag"), col("ev_ms"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(od)
+      .withColumn("last_ev_ms", last(col("ev_ms"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("o_orderkey"), col("bucket"), col("last_ev_ms"))
+      .orderBy("o_orderkey")
+  }
+
+  private val q13Sql =
+    """SELECT o.o_orderkey, CAST(o.o_custkey % 100 AS BIGINT) AS bucket,
+      |       (SELECT epoch_ms(max(e.ts)) FROM events e
+      |        WHERE e.user_id % 100 = o.o_custkey % 100 AND e.ts <= o.o_orderdate) AS last_ev_ms
+      |FROM orders o ORDER BY o_orderkey""".stripMargin
+
+  /** q14: set operations — intersect/except over the dedup/replay
+    * surface (SURVEY §2.2). */
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    val e = tbl(s, d, "events")
+    def ids(t: String) =
+      e.filter(col("event_type") === t).select(col("user_id"))
+    val both = ids("purchase").intersect(ids("error"))
+      .select(lit("purchase_and_error").as("tag"), col("user_id"))
+    val only = ids("view").except(ids("signup"))
+      .select(lit("view_not_signup").as("tag"), col("user_id"))
+    both.unionByName(only).orderBy("tag", "user_id")
+  }
+
+  private val q14Sql =
+    """SELECT * FROM (
+      |  SELECT 'purchase_and_error' AS tag, user_id FROM
+      |    (SELECT user_id FROM events WHERE event_type='purchase'
+      |     INTERSECT
+      |     SELECT user_id FROM events WHERE event_type='error')
+      |  UNION ALL
+      |  SELECT 'view_not_signup' AS tag, user_id FROM
+      |    (SELECT user_id FROM events WHERE event_type='view'
+      |     EXCEPT
+      |     SELECT user_id FROM events WHERE event_type='signup'))
+      |ORDER BY tag, user_id""".stripMargin
+
+  /** q15: top-k per group — window + row_number, fully tie-broken. */
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("value").desc, col("event_id").asc)
+    tbl(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy("user_id", "rn")
+  }
+
+  private val q15Sql =
+    """SELECT user_id, event_id, value, rn FROM (
+      |  SELECT user_id, event_id, value,
+      |         CAST(row_number() OVER (PARTITION BY user_id
+      |                                 ORDER BY value DESC, event_id ASC) AS BIGINT) AS rn
+      |  FROM events)
+      |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
+
+  /** q16: rollup — multi-level counters per (event_type, user bucket)
+    * (reference's per-(market,symbol) counters, storage.py:17-18). */
+  private def q16(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "events")
+      .withColumn("bucket", (col("user_id") % 10).cast("long"))
+      .rollup(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total"))
+      .orderBy(coalesce(col("event_type"), lit("~")),
+        coalesce(col("bucket"), lit(-1L)))
+
+  private val q16Sql =
+    """SELECT event_type, bucket, count(*) AS n,
+      |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total
+      |FROM (SELECT event_type, CAST(user_id % 10 AS BIGINT) AS bucket, value FROM events)
+      |GROUP BY ROLLUP(event_type, bucket)
+      |ORDER BY coalesce(event_type, '~'), coalesce(bucket, -1)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_project_rename" -> q01 _,
+    "q02_filter_eventtype" -> q02 _,
+    "q03_conditional_side" -> q03 _,
+    "q04_explode_levels" -> q04 _,
+    "q05_union_sides" -> q05 _,
+    "q06_orderby" -> q06 _,
+    "q07_gap_detect" -> q07 _,
+    "q08_stale_filter_antijoin" -> q08 _,
+    "q09_batch_count" -> q09 _,
+    "q10_equijoin_enrich" -> q10 _,
+    "q11_broadcast_dim" -> q11 _,
+    "q12_semijoin" -> q12 _,
+    "q13_range_asof" -> q13 _,
+    "q14_set_ops" -> q14 _,
+    "q15_topk_window" -> q15 _,
+    "q16_rollup_stats" -> q16 _)
+
+  val oracles: Map[String, String] = Map(
+    "q01_project_rename" -> q01Sql,
+    "q02_filter_eventtype" -> q02Sql,
+    "q03_conditional_side" -> q03Sql,
+    "q04_explode_levels" -> q04Sql,
+    "q05_union_sides" -> q05Sql,
+    "q06_orderby" -> q06Sql,
+    "q07_gap_detect" -> q07Sql,
+    "q08_stale_filter_antijoin" -> q08Sql,
+    "q09_batch_count" -> q09Sql,
+    "q10_equijoin_enrich" -> q10Sql,
+    "q11_broadcast_dim" -> q11Sql,
+    "q12_semijoin" -> q12Sql,
+    "q13_range_asof" -> q13Sql,
+    "q14_set_ops" -> q14Sql,
+    "q15_topk_window" -> q15Sql,
+    "q16_rollup_stats" -> q16Sql)
+}

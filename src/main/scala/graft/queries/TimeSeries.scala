@@ -1,0 +1,225 @@
+package graft.queries
+
+import graft.T._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / windowed query inventory q17-q24 (SURVEY.md §2.3):
+  * OHLCV, VWAP, sliding averages, cumulative depth, JSON/string/
+  * timestamp scalar functions, exact dedup. These are the analytical
+  * queries the reference's recorded trade/depth data implies
+  * (README.md:47-77 of the reference).
+  */
+object TimeSeries {
+
+  /** q17: tumbling-window OHLCV (1 day) — open/close picked by fully
+    * tie-broken row_number windows (deterministic vs DuckDB, unlike
+    * bare min_by/max_by on tied timestamps). */
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    val e = tbl(s, d, "events")
+      .withColumn("day", date_trunc("day", col("ts")))
+    val wAsc = Window.partitionBy("day")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy("day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("rn_f", row_number().over(wAsc))
+      .withColumn("rn_l", row_number().over(wDesc))
+      .groupBy(col("day"))
+      .agg(
+        max(when(col("rn_f") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_l") === 1, col("value"))).as("close"),
+        sum(dec(col("value"))).cast("double").as("volume"),
+        count(lit(1)).as("n"))
+      .select(ms(col("day")).as("day_ms"), col("open"), col("high"),
+        col("low"), col("close"), col("volume"), col("n"))
+      .orderBy("day_ms")
+  }
+
+  private val q17Sql =
+    """WITH b AS (
+      |  SELECT date_trunc('day', ts) AS day, value,
+      |         row_number() OVER (PARTITION BY date_trunc('day', ts)
+      |                            ORDER BY ts ASC, event_id ASC) AS rn_f,
+      |         row_number() OVER (PARTITION BY date_trunc('day', ts)
+      |                            ORDER BY ts DESC, event_id DESC) AS rn_l
+      |  FROM events)
+      |SELECT epoch_ms(CAST(day AS TIMESTAMP)) AS day_ms,
+      |       max(CASE WHEN rn_f = 1 THEN value END) AS open,
+      |       max(value) AS high, min(value) AS low,
+      |       max(CASE WHEN rn_l = 1 THEN value END) AS close,
+      |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS volume,
+      |       count(*) AS n
+      |FROM b GROUP BY day ORDER BY day_ms""".stripMargin
+
+  /** q18: VWAP — Σ(price·qty)/Σ(qty), the trades-table price×quantity
+    * semantics (spot_trades_etl.py:52-53). Decimal products keep both
+    * sums exact; the single double division is IEEE-deterministic. */
+  private def q18(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,4)") *
+          col("l_quantity").cast("decimal(12,4)")).as("pq"),
+        sum(dec(col("l_quantity"))).as("q"))
+      .select(col("l_returnflag"),
+        (col("pq").cast("double") / col("q").cast("double")).as("vwap"),
+        col("pq").cast("double").as("notional"),
+        col("q").cast("double").as("volume"))
+      .orderBy("l_returnflag")
+
+  private val q18Sql =
+    """SELECT l_returnflag,
+      |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+      |         / CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS vwap,
+      |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS notional,
+      |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS volume
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q19: sliding 7-day average of event value — daily pre-aggregation
+    * (exact decimal) + integer RANGE frame over day numbers, so missing
+    * days are handled identically in both engines. */
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    val daily = tbl(s, d, "events")
+      .withColumn("day_num", expr("unix_millis(date_trunc('day', ts)) div 86400000"))
+      .groupBy(col("day_num"))
+      .agg(sum(dec(col("value"))).as("day_sum"), count(lit(1)).as("day_n"))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    daily
+      .withColumn("s7", sum(col("day_sum")).over(w))
+      .withColumn("n7", sum(col("day_n")).over(w))
+      .select(col("day_num"),
+        (col("s7").cast("double") / col("n7").cast("double")).as("avg7"),
+        col("n7"))
+      .orderBy("day_num")
+  }
+
+  private val q19Sql =
+    """WITH daily AS (
+      |  SELECT epoch_ms(CAST(date_trunc('day', ts) AS TIMESTAMP)) // 86400000 AS day_num,
+      |         sum(CAST(value AS DECIMAL(18,6))) AS day_sum, count(*) AS day_n
+      |  FROM events GROUP BY 1)
+      |SELECT day_num,
+      |       CAST(CAST(sum(day_sum) OVER w AS VARCHAR) AS DOUBLE) / CAST(sum(day_n) OVER w AS DOUBLE) AS avg7,
+      |       sum(day_n) OVER w AS n7
+      |FROM daily
+      |WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY day_num""".stripMargin
+
+  /** q20: cumulative book depth — running sum of quantity in price
+    * order per side, the depth-chart query implied by the reference's
+    * depth schema (README.md:50-61). Exact decimal running sums. */
+  private def q20(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl(s, d, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("cum_qty", sum(dec(col("value"))).over(w).cast("double"))
+      .orderBy("event_type", "value", "event_id")
+  }
+
+  private val q20Sql =
+    """SELECT event_type, event_id, value,
+      |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6)))
+      |            OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS cum_qty
+      |FROM events ORDER BY event_type, value, event_id""".stripMargin
+
+  /** q21: JSON field extraction — the reference's per-message JSON
+    * parsing surface (spot_trades_etl.py:45). */
+  private def q21(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  private val q21Sql =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** q22: string functions — split/concat/lower/substr, the reference's
+    * id formatting surface (factory.py:14, storage.py:57). */
+  private def q22(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "part")
+      .select(col("p_partkey"),
+        lower(col("p_type")).as("type_lc"),
+        element_at(split(col("p_type"), " "), 1).as("type_head"),
+        concat_ws(".", col("p_brand"), col("p_type")).as("brand_type"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        length(col("p_name")).cast("long").as("name_len"))
+      .orderBy("p_partkey")
+
+  private val q22Sql =
+    """SELECT p_partkey, lower(p_type) AS type_lc,
+      |       string_split(p_type, ' ')[1] AS type_head,
+      |       concat_ws('.', p_brand, p_type) AS brand_type,
+      |       substr(p_name, 1, 5) AS name5,
+      |       CAST(length(p_name) AS BIGINT) AS name_len
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** q23: timestamp functions — epoch-ms round trip and calendar parts
+    * (the reference keeps integer-ms timestamps, base.py:52). */
+  private def q23(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "events")
+      .select(col("event_id"),
+        ms(col("ts")).as("ts_ms"),
+        ms(date_trunc("hour", col("ts"))).as("hour_ms"),
+        year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("m"),
+        dayofmonth(col("ts")).cast("long").as("dom"),
+        hour(col("ts")).cast("long").as("h"),
+        ms(timestamp_millis(ms(col("ts")))).as("roundtrip_ms"))
+      .orderBy("event_id")
+
+  private val q23Sql =
+    """SELECT event_id, epoch_ms(ts) AS ts_ms,
+      |       epoch_ms(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS hour_ms,
+      |       CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+      |       CAST(day(ts) AS BIGINT) AS dom, CAST(hour(ts) AS BIGINT) AS h,
+      |       epoch_ms(make_timestamp(epoch_ms(ts) * 1000)) AS roundtrip_ms
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** q24: exact dedup — latest event per (user_id, event_type), the
+    * `dropDuplicates` surface (SURVEY §2.2 late/duplicate row). */
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    tbl(s, d, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        ms(col("ts")).as("ts_ms"))
+      .orderBy("user_id", "event_type")
+  }
+
+  private val q24Sql =
+    """SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms FROM (
+      |  SELECT user_id, event_type, event_id, ts,
+      |         row_number() OVER (PARTITION BY user_id, event_type
+      |                            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_tumbling_ohlcv" -> q17 _,
+    "q18_vwap" -> q18 _,
+    "q19_sliding_avg" -> q19 _,
+    "q20_cum_book_depth" -> q20 _,
+    "q21_json_extract" -> q21 _,
+    "q22_string_fns" -> q22 _,
+    "q23_ts_fns" -> q23 _,
+    "q24_dedup_exact" -> q24 _)
+
+  val oracles: Map[String, String] = Map(
+    "q17_tumbling_ohlcv" -> q17Sql,
+    "q18_vwap" -> q18Sql,
+    "q19_sliding_avg" -> q19Sql,
+    "q20_cum_book_depth" -> q20Sql,
+    "q21_json_extract" -> q21Sql,
+    "q22_string_fns" -> q22Sql,
+    "q23_ts_fns" -> q23Sql,
+    "q24_dedup_exact" -> q24Sql)
+}

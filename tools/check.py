@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle compare.
+
+Usage: tools/check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify),
+runs the matching SQL from oracle_sql.json in DuckDB against views over
+<sfDir>/*.parquet, and compares: column names (sorted), row counts, and
+exact values after sorting columns by name and rows by all columns.
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort",
+                        na_position="first").reset_index(drop=True)
+    return df
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            want = con.execute(sql).df()
+            g, w = norm(got), norm(want)
+            if list(g.columns) != list(w.columns):
+                print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+                n_fail += 1
+                continue
+            if len(g) != len(w):
+                print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+                n_fail += 1
+                continue
+            bad = None
+            for c in g.columns:
+                a, b = g[c], w[c]
+                if not a.equals(b.astype(a.dtype) if a.dtype != b.dtype else b):
+                    neq = (a != b) & ~(a.isna() & b.isna())
+                    if neq.any():
+                        i = neq.idxmax()
+                        bad = (c, a[i], b[i], int(neq.sum()))
+                        break
+            if bad:
+                c, av, bv, n = bad
+                print(f"FAIL {name}: col {c}: {n} diffs, e.g. spark={av!r} duck={bv!r}")
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(g)} rows)")
+                n_pass += 1
+        except Exception as e:
+            print(f"ERROR {name}: {e}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
