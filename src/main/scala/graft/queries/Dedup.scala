@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.T._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication inventory (north-star extension; SURVEY.md
+  * §2.3 q25 + q28-q29): the operators a training-data pipeline runs
+  * over a document corpus. All hashing is the portable md5-prefix hash
+  * (T.phash) so DuckDB oracles are hash-exact.
+  *
+  * Scale design (100 TB posture): the exact-Jaccard join only touches
+  * co-occurring shingles (no all-pairs blowup as long as shingle
+  * frequencies are bounded — a frequency cap on hot shingles is the
+  * standard mitigation); MinHash/LSH reduces candidate generation to
+  * equality joins on band signatures, which shuffle-partition cleanly
+  * by (band, signature); SimHash pair pruning would use band-prefix
+  * blocking at scale (kept exact all-pairs here because the documents
+  * table is small at every test sf).
+  */
+object Dedup {
+
+  /** Tokens with 0-based position per document. */
+  private def toks(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("ord", "tok")))
+
+  /** q25: near-duplicate documents by exact 3-gram shingle Jaccard
+    * (the verifiable form of MinHash dedup at test scale — the MinHash
+    * approximation itself is q28). */
+  private def q25(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("ord")
+    val sh = toks(s, d)
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shA = sh.select(col("doc_id").as("da"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("db"), col("shingle").as("shingle_b"))
+    val inter = shA
+      .join(shB, col("shingle") === col("shingle_b") && col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .select(col("da"), col("db"),
+        (col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("da", "db")
+  }
+
+  private val q25Sql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS ord FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS shingle
+      |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da, db,
+      |       CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+      |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2
+      |ORDER BY da, db""".stripMargin
+
+  /** q28: MinHash + LSH candidate pairs — the scalable approximation
+    * of q25: 16 hash functions
+    * mh_i = min((h·(2i+1) + 7919·i + 13) mod 4294967311) over the
+    * document's 3-gram shingle set (unigram sets are useless here —
+    * the tiny shared vocab makes every pair collide), banded 4×4; a
+    * candidate pair shares at least one full band signature. Pure
+    * integer arithmetic on the portable hash ⇒ bit-identical in
+    * DuckDB. */
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("ord")
+    val hashed = toks(s, d)
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+      .distinct()
+      .select(col("doc_id"), phash(col("shingle")).as("h"))
+    val mh = hashed
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(15))).as("i"))
+      .withColumn("mh",
+        (col("h") * (lit(2L) * col("i") + 1L) + lit(7919L) * col("i") + 13L)
+          % 4294967311L)
+      .groupBy(col("doc_id"), col("i")).agg(min(col("mh")).as("mh"))
+    val sigs = mh
+      .withColumn("band", expr("i div 4"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat_ws("-",
+        transform(
+          array_sort(collect_list(struct(col("i"), col("mh")))),
+          e => e.getField("mh").cast("string"))).as("sig"))
+    val a = sigs.select(col("doc_id").as("da"), col("band"), col("sig"))
+    val b = sigs.select(col("doc_id").as("db"), col("band").as("band_b"),
+      col("sig").as("sig_b"))
+    a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") &&
+        col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+      .orderBy("da", "db")
+  }
+
+  private val q28Sql =
+    s"""WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS ord FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS shingle
+      |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+      |h AS (SELECT doc_id, ${phashSql("shingle")} AS h FROM sh),
+      |mh AS (
+      |  SELECT doc_id, i, min((h*(2*i+1) + 7919*i + 13) % 4294967311) AS mh
+      |  FROM h CROSS JOIN generate_series(0,15) AS g(i) GROUP BY doc_id, i),
+      |sigs AS (
+      |  SELECT doc_id, i//4 AS band, string_agg(mh::VARCHAR, '-' ORDER BY i) AS sig
+      |  FROM mh GROUP BY doc_id, i//4)
+      |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |FROM sigs a JOIN sigs b
+      |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      |ORDER BY da, db""".stripMargin
+
+  /** q29: SimHash near-dup — 32-bit term-frequency-weighted SimHash,
+    * pairs at Hamming distance ≤ 3. */
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    val tf = toks(s, d)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", phash(col("tok")))
+    val sim = tf
+      .select(col("doc_id"), col("cnt"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("contrib",
+        col("cnt") * (lit(2L) * expr("shiftright(h, b) & 1") - 1L))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("cast(pow(2, b) as bigint)"))
+        .otherwise(0L)).as("sim"))
+    val a = sim.select(col("doc_id").as("da"), col("sim").as("sa"))
+    val b = sim.select(col("doc_id").as("db"), col("sim").as("sb"))
+    a.join(b, col("da") < col("db"))
+      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("da"), col("db"), col("hamming"))
+      .orderBy("da", "db")
+  }
+
+  private val q29Sql =
+    s"""WITH tf AS (
+      |  SELECT doc_id, tok, count(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)
+      |  GROUP BY 1, 2),
+      |h AS (SELECT doc_id, cnt, ${phashSql("tok")} AS h FROM tf),
+      |bits AS (
+      |  SELECT doc_id, b, sum(cnt * (2*((h >> b) & 1) - 1)) AS s
+      |  FROM h CROSS JOIN generate_series(0,31) AS g(b) GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT doc_id,
+      |         sum(CASE WHEN s > 0 THEN CAST(pow(2,b) AS BIGINT) ELSE 0 END) AS sim
+      |  FROM bits GROUP BY 1)
+      |SELECT a.doc_id AS da, b.doc_id AS db,
+      |       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+      |ORDER BY da, db""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_minhash_textdedup" -> q25 _,
+    "q28_minhash_lsh" -> q28 _,
+    "q29_simhash_neardup" -> q29 _)
+
+  val oracles: Map[String, String] = Map(
+    "q25_minhash_textdedup" -> q25Sql,
+    "q28_minhash_lsh" -> q28Sql,
+    "q29_simhash_neardup" -> q29Sql)
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.T._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search inventory (north-star extension;
+  * SURVEY.md §2.3 q26 + q30-q31) over the `embeddings` table
+  * (`Array[Float]`, dim 64).
+  *
+  * Cosine is computed with codegen'd higher-order functions
+  * (`zip_with` + `aggregate` — a sequential fold, deterministic), and
+  * every emitted cosine is `round(·, 6)` so the ~1e-13 summation-order
+  * difference vs DuckDB's `list_dot_product` disappears; thresholds
+  * and ordering always use the rounded value in both engines.
+  *
+  * Scale design (100 TB posture): brute-force top-k (q26/q30) is the
+  * correctness baseline — O(n²) pairs but no shuffle beyond one
+  * broadcast nested-loop join, fine for dims/probe sets; the IVF path
+  * (q31) is the scale path: a tiny broadcast centroid table assigns
+  * each vector to a partition-local cluster, and search shuffles once
+  * on cluster id, reducing candidate generation from n² to
+  * Σ cluster². Replace `vec_id < 8` seeding with k-means iterations
+  * at real scale; the plan shape is identical.
+  */
+object Similarity {
+
+  /** (vec_id, v: array<double>, nrm) with precomputed L2 norm. */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0),
+          (acc, x) => acc + x)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosR(va: Column, vb: Column, na: Column, nb: Column): Column =
+    round(dot(va, vb) / (na * nb), 6)
+
+  /** Shared all-pairs (va < vb) rounded-cosine frame. */
+  private def pairCos(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    val a = v.select(col("vec_id").as("va"), col("v").as("av"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("vb"), col("v").as("bv"), col("nrm").as("nb"))
+    a.join(b, col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        cosR(col("av"), col("bv"), col("na"), col("nb")).as("cos"))
+  }
+
+  private val pairCosSql =
+    """v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+      |pc AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb,
+      |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)""".stripMargin
+
+  /** q26: brute-force cosine top-k — the 20 most similar embedding
+    * pairs, fully tie-broken on the rounded cosine. */
+  private def q26(s: SparkSession, d: String): DataFrame =
+    pairCos(s, d)
+      .orderBy(col("cos").desc, col("va"), col("vb"))
+      .limit(20)
+
+  private val q26Sql =
+    s"""WITH $pairCosSql
+      |SELECT va, vb, cos FROM pc ORDER BY cos DESC, va, vb LIMIT 20""".stripMargin
+
+  /** q30: embedding-cosine near-duplicate pairs (cos ≥ 0.4). */
+  private def q30(s: SparkSession, d: String): DataFrame =
+    pairCos(s, d)
+      .filter(col("cos") >= 0.4)
+      .orderBy("va", "vb")
+
+  private val q30Sql =
+    s"""WITH $pairCosSql
+      |SELECT va, vb, cos FROM pc WHERE cos >= 0.4 ORDER BY va, vb""".stripMargin
+
+  /** q31: IVF-style ANN — vectors are assigned to the nearest of 8
+    * seed centroids (vec_id < 8, broadcast); each probe vector
+    * (vec_id % 50 = 0) retrieves its top-5 cosine neighbors from its
+    * own cluster only. */
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    val c = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val assign = v.join(broadcast(c), lit(true))
+      .withColumn("ccos", cosR(col("v"), col("cv"), col("nrm"), col("cn")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cluster"), col("v"), col("nrm"))
+    val q = assign.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("cluster"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val m = assign.select(col("vec_id").as("mid"),
+      col("cluster").as("mcluster"), col("v").as("mv"), col("nrm").as("mn"))
+    val wTop = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("mid").asc)
+    q.join(m, col("cluster") === col("mcluster") && col("qid") =!= col("mid"))
+      .withColumn("cos", cosR(col("qv"), col("mv"), col("qn"), col("mn")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("mid"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  private val q31Sql =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+      |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+      |assign AS (
+      |  SELECT vec_id, cid AS cluster, v, nrm FROM (
+      |    SELECT n.vec_id, c.cid, n.v, n.nrm,
+      |           row_number() OVER (
+      |             PARTITION BY n.vec_id
+      |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
+      |                      c.cid ASC) AS rn
+      |    FROM n CROSS JOIN c)
+      |  WHERE rn = 1),
+      |q AS (SELECT vec_id AS qid, cluster, v AS qv, nrm AS qn
+      |      FROM assign WHERE vec_id % 50 = 0)
+      |SELECT qid, rank, mid, cos FROM (
+      |  SELECT q.qid,
+      |         CAST(row_number() OVER (
+      |           PARTITION BY q.qid
+      |           ORDER BY round(list_dot_product(q.qv, m.v) / (q.qn * m.nrm), 6) DESC,
+      |                    m.vec_id ASC) AS BIGINT) AS rank,
+      |         m.vec_id AS mid,
+      |         round(list_dot_product(q.qv, m.v) / (q.qn * m.nrm), 6) AS cos
+      |  FROM q JOIN assign m ON q.cluster = m.cluster AND q.qid <> m.vec_id)
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_cosine_topk" -> q26 _,
+    "q30_embed_neardup" -> q30 _,
+    "q31_ann_ivf" -> q31 _)
+
+  val oracles: Map[String, String] = Map(
+    "q26_cosine_topk" -> q26Sql,
+    "q30_embed_neardup" -> q30Sql,
+    "q31_ann_ivf" -> q31Sql)
+}

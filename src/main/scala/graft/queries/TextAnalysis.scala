@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.T._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis inventory (north-star extension; SURVEY.md §2.3
+  * q27 + q32-q35): the per-document scoring operators a training-data
+  * pipeline runs — language ID, quality scoring, token counting,
+  * fingerprinting — plus per-language corpus stats. Everything is
+  * narrow per-document work (codegen'd string functions + one explode)
+  * followed by small aggregations: embarrassingly parallel at 100 TB.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in")
+
+  /** q27: per-language corpus stats — doc counts, exact decimal-summed
+    * char/token averages. */
+  private def q27(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(col("lang"), col("n_docs"), col("total_chars"), col("total_tokens"),
+        (col("total_chars").cast("double") / col("n_docs").cast("double"))
+          .as("avg_chars"),
+        (col("total_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("avg_tokens"))
+      .orderBy("lang")
+
+  private val q27Sql =
+    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      |       sum(len(string_split(text, ' '))) AS total_tokens,
+      |       CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars,
+      |       CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS avg_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q32: language identification — a deterministic n-gram-affinity
+    * heuristic: score(lang) = Σ_tokens phash(lang:token) mod 1000,
+    * prediction = argmax (the real-model shape: per-token class
+    * affinities summed per document, argmax over classes). */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val scored = tbl(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("cand", explode(array(langs.map(lit): _*)))
+      .withColumn("aff", phash(concat_ws(":", col("cand"), col("tok"))) % 1000)
+      .groupBy(col("doc_id"), col("lang"), col("cand"))
+      .agg(sum(col("aff")).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cand").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand").as("pred_lang"), col("lang"),
+        (col("cand") === col("lang")).as("correct"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  private val q32Sql =
+    s"""WITH t AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents),
+      |sc AS (
+      |  SELECT doc_id, lang, cand, sum(${phashSql("cand || ':' || tok")} % 1000) AS score
+      |  FROM t CROSS JOIN (SELECT unnest(['de','en','es','fr','zh']) AS cand)
+      |  GROUP BY doc_id, lang, cand)
+      |SELECT doc_id, cand AS pred_lang, lang, cand = lang AS correct, score
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                                   ORDER BY score DESC, cand ASC) AS rn FROM sc)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** q33: document quality scoring — type/token ratio, length prior,
+    * stopword ratio, composed into one rounded score. The double
+    * expression tree is written identically in the oracle so every op
+    * is the same IEEE op. */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val perTok = tbl(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val st = perTok.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("tok")).as("n_distinct"),
+      sum(length(col("tok"))).as("tok_chars"),
+      sum(when(col("tok").isin(stopwords: _*), 1L).otherwise(0L)).as("n_stop"))
+    st.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_tokens").cast("double")).as("ttr"),
+        (col("tok_chars").cast("double") / col("n_tokens").cast("double")).as("avg_tok_len"),
+        (col("n_stop").cast("double") / col("n_tokens").cast("double")).as("stop_ratio"))
+      .withColumn("quality",
+        round(lit(0.4) * col("ttr") +
+          lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
+          lit(0.3) * (lit(1.0) - col("stop_ratio")), 6))
+      .orderBy("doc_id")
+  }
+
+  private val q33Sql =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      |st AS (
+      |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+      |         sum(length(tok)) AS tok_chars,
+      |         sum(CASE WHEN tok IN ('the','a','and','of','to','in') THEN 1 ELSE 0 END) AS n_stop
+      |  FROM t GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |       CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+      |       CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_tok_len,
+      |       CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+      |       round(0.4 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+      |           + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+      |           + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) AS quality
+      |FROM st ORDER BY doc_id""".stripMargin
+
+  /** q34: token counting — whitespace tokens, regex word/digit tokens,
+    * and a BPE-ish chars/4 proxy. */
+  private def q34(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).cast("long").as("word_tokens"),
+        regexp_count(col("text"), lit("[0-9]+")).cast("long").as("digit_tokens"),
+        ceil(col("n_chars") / lit(4.0)).cast("long").as("bpe_proxy"))
+      .orderBy("doc_id")
+
+  private val q34Sql =
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS word_tokens,
+      |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS digit_tokens,
+      |       CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_proxy
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q35: document fingerprinting — order-sensitive position-weighted
+    * rolling hash fp = Σ phash(tok)·(ord+1) mod 1e9+7, with a count of
+    * fingerprint collisions (exact-duplicate detection surface). */
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    val fp = tbl(s, d, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("ord", "tok")))
+      .groupBy("doc_id")
+      .agg((sum(phash(col("tok")) * (col("ord") + 1L)) % 1000000007L).as("fp"))
+    fp.withColumn("n_same_fp",
+        count(lit(1)).over(Window.partitionBy("fp")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  private val q35Sql =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |                  generate_subscripts(string_split(text,' '),1) AS ord FROM documents),
+      |fp AS (SELECT doc_id, sum(${phashSql("tok")} * ord) % 1000000007 AS fp
+      |       FROM t GROUP BY doc_id)
+      |SELECT doc_id, fp,
+      |       CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_same_fp
+      |FROM fp ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_text_stats" -> q27 _,
+    "q32_langid" -> q32 _,
+    "q33_quality_score" -> q33 _,
+    "q34_token_count" -> q34 _,
+    "q35_fingerprint" -> q35 _)
+
+  val oracles: Map[String, String] = Map(
+    "q27_text_stats" -> q27Sql,
+    "q32_langid" -> q32Sql,
+    "q33_quality_score" -> q33Sql,
+    "q34_token_count" -> q34Sql,
+    "q35_fingerprint" -> q35Sql)
+}
