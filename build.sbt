@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// quieter test logs: Spark INFO spam drowns assertion output
+Test / javaOptions += "-Dlog4j2.configurationFile=file:project/log4j2-test.properties"

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The reference's order-book synchronization state machine
+  * (book_utils.py:17-51 + spot_depth_etl.py:35-54) as a pure function
+  * ([[SyncLogic.step]], property-tested without Spark) wrapped in
+  * `flatMapGroupsWithState` keyed by (symbol, market).
+  *
+  * Ported semantics, in order per message:
+  *  1. Contiguity check (spot_depth_etl.py:78-90): `U != prev_u + 1`
+  *     ⇒ raise, killing the query — the reference's crash-stop
+  *     (:41-42). The check runs on EVERY message, synced or not, and
+  *     `prev_u` advances regardless (:89).
+  *  2. Pre-sync (book_utils.py:24-51): buffer the update; drop
+  *     buffered deltas with `u <= snapshot.lastUpdateId` (:35) from
+  *     candidacy; bridge = first candidate with
+  *     `U <= lastUpdateId+1 <= u` (:41-44); none ⇒ keep buffering.
+  *  3. On bridge found (spot_depth_etl.py:43-54): emit snapshot rows
+  *     (both timestamps = current arrival − 1, is_snapshot=true,
+  *     :114-123), then the buffer pruned to `U >= bridge.U`
+  *     (book_utils.py:49), THEN the current message once more — the
+  *     reference's `_handle_message` falls through to
+  *     `_save_update(message)` after the buffer replay, so the
+  *     sync-completing update is emitted twice; reproduced verbatim
+  *     for output parity.
+  *  4. Post-sync: pass updates through.
+  *
+  * One deliberate deviation: within a micro-batch, events are
+  * processed in `first_update_id` order (Spark's shuffled group
+  * iterator has no arrival order to preserve). True gaps still crash
+  * exactly like the reference; transient intra-batch reordering —
+  * which would crash the single-threaded reference — is repaired
+  * instead of crashed on.
+  *
+  * Scale posture: state is keyed by (symbol, market) so it partitions
+  * with the stream; the buffer is bounded by `maxBuffer` (a guard the
+  * reference lacks — its buffer can grow unboundedly if sync never
+  * succeeds).
+  */
+object SyncLogic {
+
+  final case class SyncState(
+      synced: Boolean,
+      lastU: Option[Long],
+      buffer: List[DepthRecord])
+
+  val empty: SyncState = SyncState(synced = false, None, Nil)
+
+  /** Max pre-sync buffer size (guard absent in the reference). */
+  val maxBuffer = 100000
+
+  def step(
+      st: SyncState,
+      ev: DepthRecord,
+      snapshot: BookSnapshot): (SyncState, List[DepthRecord]) = {
+    // 1. contiguity, crash-stop (spot_depth_etl.py:41-42, 78-90)
+    st.lastU.foreach { prev =>
+      if (ev.first_update_id != prev + 1)
+        throw new IllegalStateException(
+          s"inconsistent update: first_update_id=${ev.first_update_id} " +
+            s"does not follow previous last_update_id=$prev")
+    }
+    val tracked = st.copy(lastU = Some(ev.last_update_id))
+    if (tracked.synced) {
+      (tracked, List(ev)) // 4. pass-through
+    } else {
+      // 2. buffer + bridge search
+      val buffer = tracked.buffer :+ ev
+      if (buffer.length > maxBuffer)
+        throw new IllegalStateException(
+          s"book sync buffer exceeded $maxBuffer updates without syncing")
+      val lastId = snapshot.lastUpdateId
+      val bridge = buffer
+        .filter(_.last_update_id > lastId) // stale filter (book_utils.py:35)
+        .find(x => x.first_update_id <= lastId + 1 &&
+          x.last_update_id >= lastId + 1) // bridge rule (book_utils.py:41-44)
+      bridge match {
+        case None =>
+          (tracked.copy(buffer = buffer), Nil)
+        case Some(b) =>
+          // 3. snapshot replay then pruned buffer then current again
+          val pruned = buffer.filter(_.first_update_id >= b.first_update_id)
+          val snapTs = ev.local_timestamp - 1 // spot_depth_etl.py:116
+          val snapRec = DepthRecord(snapTs, snapTs, lastId, lastId,
+            snapshot.bids, snapshot.asks, is_snapshot = true)
+          (tracked.copy(synced = true, buffer = Nil),
+            snapRec :: (pruned :+ ev))
+      }
+    }
+  }
+
+  /** Folds a sorted run of events through [[step]]. */
+  def run(
+      st: SyncState,
+      events: Seq[DepthRecord],
+      snapshot: BookSnapshot): (SyncState, List[DepthRecord]) =
+    events.foldLeft((st, List.empty[DepthRecord])) {
+      case ((s, acc), ev) =>
+        val (s2, out) = step(s, ev, snapshot)
+        (s2, acc ::: out)
+    }
+}
+
+object BookSynchronizer {
+
+  /** Wraps [[SyncLogic]] as a streaming stateful operator over the
+    * output of [[Pipelines.depthRecords]]. Works identically on batch
+    * frames (state is then per-invocation), which the tests use. */
+  def apply(
+      records: DataFrame,
+      market: String,
+      symbol: String,
+      snapshot: BookSnapshot): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.as[DepthRecord]
+      .groupByKey(_ => s"$symbol.$market")
+      .flatMapGroupsWithState[SyncLogic.SyncState, DepthRecord](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, events: Iterator[DepthRecord],
+         state: GroupState[SyncLogic.SyncState]) =>
+          val st = state.getOption.getOrElse(SyncLogic.empty)
+          val sorted = events.toVector.sortBy(_.first_update_id)
+          val (st2, out) = SyncLogic.run(st, sorted, snapshot)
+          state.update(st2)
+          out.iterator
+      }
+      .toDF()
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.io.{BufferedWriter, FileWriter}
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** The reference's CSV storage contract (storage.py:47-82; SURVEY.md
+  * §2.1 #16): one file per (symbol, market, kind) named
+  * `{symbol}.{market}.{kind}.csv`, created/truncated at startup,
+  * header written exactly once (with the first non-empty batch),
+  * appended thereafter; a running saved-batch counter (storage.py:17-18).
+  *
+  * This single-file append layout is inherently driver-side I/O — it
+  * exists for byte-layout parity with the reference. Rows stream to
+  * the driver via `toLocalIterator` (one partition in memory at a
+  * time, never a full collect). The scale path is the same pipeline
+  * with Spark's native partitioned csv/parquet sink instead — nothing
+  * upstream changes.
+  *
+  * Restart note: like the reference (storage.py:77-82) the file is
+  * truncated at startup, so restarting against an existing checkpoint
+  * re-records only data the checkpoint hasn't seen — on a live stream
+  * that's everything new; on a finite replay that's nothing. Use a
+  * fresh checkpoint dir to re-record a replay.
+  */
+final class CsvAppendSink(
+    basePath: String,
+    symbol: String,
+    market: String,
+    kind: String, // "trades" | "depth"
+    columns: Seq[String]) extends Serializable {
+
+  val path: Path = Paths.get(basePath, s"$symbol.$market.$kind.csv")
+  @volatile var batchesSaved: Long = 0L
+
+  // storage.py:77-82: pre-create/truncate at construction
+  Files.createDirectories(path.getParent)
+  Files.write(path, Array.emptyByteArray)
+
+  private def render(v: Any): String = v match {
+    case null => ""
+    case b: Boolean => if (b) "true" else "false"
+    case other => other.toString
+  }
+
+  /** foreachBatch body. Header iff nothing written yet (storage.py:
+    * 67-68, 74-75). */
+  def writeBatch(df: DataFrame, batchId: Long): Unit = {
+    val projected = df.select(columns.map(col): _*)
+    val it = projected.toLocalIterator()
+    if (!it.hasNext) return
+    val w = new BufferedWriter(new FileWriter(path.toFile, true))
+    try {
+      if (Files.size(path) == 0L) {
+        w.write(columns.mkString(","))
+        w.newLine()
+      }
+      while (it.hasNext) {
+        val row = it.next()
+        val sb = new StringBuilder
+        var i = 0
+        while (i < row.length) {
+          if (i > 0) sb.append(',')
+          sb.append(render(row.get(i)))
+          i += 1
+        }
+        w.write(sb.toString)
+        w.newLine()
+      }
+    } finally w.close()
+    batchesSaved += 1
+  }
+}
+
+object CsvAppendSink {
+  /** Column orders are the reference's dict insertion orders
+    * (FIXTURES.md §2.5). */
+  val tradeColumns: Seq[String] =
+    Seq("timestamp", "local_timestamp", "id", "price", "quantity", "side")
+  val depthColumns: Seq[String] =
+    Seq("timestamp", "local_timestamp", "side", "price", "quantity", "is_snapshot")
+
+  def forTrades(basePath: String, symbol: String, market: String): CsvAppendSink =
+    new CsvAppendSink(basePath, symbol, market, "trades", tradeColumns)
+  def forDepth(basePath: String, symbol: String, market: String): CsvAppendSink =
+    new CsvAppendSink(basePath, symbol, market, "depth", depthColumns)
+}

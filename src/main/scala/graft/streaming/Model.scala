@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.types._
+
+/** Typed model of the reference's two event streams and output tables
+  * (SURVEY.md §1.2; wire shapes in FIXTURES.md §2).
+  *
+  * Numeric fidelity (SURVEY §1.4): Binance sends prices/quantities as
+  * decimal STRINGS and the reference persists them verbatim
+  * (spot_trades_etl.py:52-53, spot_depth_etl.py:98-99). We do the
+  * same: `price`/`quantity` stay `StringType` end-to-end on the
+  * streaming path; computation casts to DecimalType(38,18) on demand.
+  */
+
+/** Parsed `trade` message (spot_trades_etl.py:44-55 field mapping). */
+final case class TradeEvent(
+    e: String, // event type, "trade"
+    E: Long, // exchange event time, ms
+    s: String, // symbol
+    t: Long, // trade id
+    p: String, // price (decimal string)
+    q: String, // quantity (decimal string)
+    m: Boolean, // is buyer the market maker
+    local_timestamp: Long)
+
+/** Parsed diff-depth message (spot_depth_etl.py:62-73 field mapping). */
+final case class DepthEvent(
+    e: String, // "depthUpdate"
+    E: Long,
+    s: String,
+    U: Long, // first update id
+    u: Long, // last update id
+    b: Seq[Seq[String]], // bids [[price, qty], ...]
+    a: Seq[Seq[String]], // asks
+    local_timestamp: Long)
+
+/** Output row of the trades table (README.md:68-77 of the reference;
+  * column order storage contract FIXTURES.md §2.5). */
+final case class TradeRow(
+    timestamp: Long,
+    local_timestamp: Long,
+    id: Long,
+    price: String,
+    quantity: String,
+    side: String) // 'buy' | 'sell' — the liquidity taker
+
+/** Pre-explosion depth record (spot_depth_etl.py:66-73). The
+  * reference drops U/u after sequencing; we keep them — they make the
+  * consistency check expressible as a query (SURVEY §1.2). */
+final case class DepthRecord(
+    timestamp: Long,
+    local_timestamp: Long,
+    first_update_id: Long,
+    last_update_id: Long,
+    bids: Seq[Seq[String]],
+    asks: Seq[Seq[String]],
+    is_snapshot: Boolean)
+
+/** Output row of the depth_updates table (README.md:50-61). */
+final case class DepthRow(
+    timestamp: Long,
+    local_timestamp: Long,
+    side: String, // 'bid' | 'ask'
+    price: String,
+    quantity: String, // "0" means remove-level; kept, not filtered
+    is_snapshot: Boolean)
+
+/** REST order-book snapshot (book_utils.py:29; FIXTURES §2.3). In the
+  * zero-egress build it arrives as a constructor value fetched
+  * driver-side before stream start — never a blocking call in an
+  * executor (SURVEY §3.3). */
+final case class BookSnapshot(
+    lastUpdateId: Long,
+    bids: Seq[Seq[String]],
+    asks: Seq[Seq[String]])
+
+object Schemas {
+  /** Wire schema of a trade message. PERMISSIVE parse + null filter
+    * reproduces the reference's log-and-drop (spot_trades_etl.py:56-58). */
+  val trade: StructType = StructType(Seq(
+    StructField("e", StringType),
+    StructField("E", LongType),
+    StructField("s", StringType),
+    StructField("t", LongType),
+    StructField("p", StringType),
+    StructField("q", StringType),
+    StructField("T", LongType),
+    StructField("m", BooleanType),
+    StructField("M", BooleanType)))
+
+  /** Wire schema of a diff-depth message. */
+  val depth: StructType = StructType(Seq(
+    StructField("e", StringType),
+    StructField("E", LongType),
+    StructField("s", StringType),
+    StructField("U", LongType),
+    StructField("u", LongType),
+    StructField("b", ArrayType(ArrayType(StringType))),
+    StructField("a", ArrayType(ArrayType(StringType)))))
+}

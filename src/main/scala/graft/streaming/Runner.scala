@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Stream identity: the reference's dotted quad
+  * `exchange.market.symbol.event_type` (factory.py:14). */
+final case class EventId(
+    exchange: String, market: String, symbol: String, eventType: String) {
+  def symbolId: String = s"$symbol.$market" // storage.py:57
+  def queryName: String = s"$exchange.$market.$symbol.$eventType"
+}
+
+object EventId {
+  /** factory.py:14: `exchange, market, symbol, event_type = event.split('.')` */
+  def parse(id: String): EventId = id.split('.') match {
+    case Array(ex, mk, sym, et) => EventId(ex, mk, sym, et)
+    case _ => throw new IllegalArgumentException(
+      s"event id must be exchange.market.symbol.event_type, got: $id")
+  }
+}
+
+/** Runtime config (config.json of the reference, SURVEY §1.5). */
+final case class StreamConfig(
+    events: Seq[String],
+    basePath: String = "./data",
+    batchSize: Int = 1000)
+
+/** Message source abstraction — the reference's websocket client slot
+  * (base.py:26). The zero-egress build ships a file-replay
+  * implementation; a websocket DSv2 source drops into the same trait.
+  * Contract: a streaming frame with `value: string` (raw JSON) and
+  * `local_timestamp: long` (arrival ms — §2.1 #4 arrival enrichment).
+  */
+trait EventSource {
+  def stream(spark: SparkSession, id: EventId): DataFrame
+}
+
+/** Replays JSONL fixture files as a stream: one file/directory per
+  * event id at `{fixtureRoot}/{symbol}.{market}.{eventType}/`. A fixed
+  * arrival timestamp makes tests deterministic; None stamps wall
+  * clock like the reference (base.py:52). */
+final class FileReplaySource(
+    fixtureRoot: String,
+    fixedArrivalMs: Option[Long] = None) extends EventSource {
+  override def stream(spark: SparkSession, id: EventId): DataFrame = {
+    val dir = s"$fixtureRoot/${id.symbol}.${id.market}.${id.eventType}"
+    val raw = spark.readStream.text(dir).withColumnRenamed("value", "value")
+    val ts = fixedArrivalMs
+      .map(lit(_))
+      .getOrElse(unix_millis(current_timestamp()))
+    raw.withColumn("local_timestamp", ts)
+  }
+}
+
+/** Multi-stream fan-out + lifecycle (main.py:12-33, factory.py:9-30;
+  * SURVEY §2.1 #18): one StreamingQuery per configured event id, all
+  * in one SparkSession, graceful stop on JVM shutdown.
+  */
+object Runner {
+
+  /** Builds (but does not await) one streaming query per event id.
+    * Returns the queries with their sinks for observability
+    * (§2.1 #19 counters come from StreamingQueryProgress + sink
+    * batchesSaved). */
+  def start(
+      spark: SparkSession,
+      config: StreamConfig,
+      source: EventSource,
+      snapshots: Map[String, BookSnapshot] = Map.empty,
+      checkpointRoot: String = "/tmp/graft-checkpoints"): Seq[(StreamingQuery, CsvAppendSink)] =
+    config.events.map { idStr =>
+      val id = EventId.parse(idStr)
+      val raw = source.stream(spark, id)
+      id.eventType match {
+        case "trade" =>
+          val sink = CsvAppendSink.forTrades(config.basePath, id.symbol, id.market)
+          val q = Pipelines.trades(raw).writeStream
+            .queryName(id.queryName)
+            .option("checkpointLocation", s"$checkpointRoot/${id.queryName}")
+            .trigger(Trigger.ProcessingTime("1 second"))
+            .foreachBatch { (df: DataFrame, bid: Long) => sink.writeBatch(df, bid) }
+            .start()
+          (q, sink)
+        case "depth" =>
+          val sink = CsvAppendSink.forDepth(config.basePath, id.symbol, id.market)
+          val snapshot = snapshots.getOrElse(id.symbolId,
+            throw new IllegalStateException(
+              s"no order-book snapshot provided for ${id.symbolId}"))
+          val synced = BookSynchronizer.apply(
+            Pipelines.depthRecords(raw), id.market, id.symbol, snapshot)
+          val q = Pipelines.depthRows(synced).writeStream
+            .queryName(id.queryName)
+            .option("checkpointLocation", s"$checkpointRoot/${id.queryName}")
+            .trigger(Trigger.ProcessingTime("1 second"))
+            .foreachBatch { (df: DataFrame, bid: Long) => sink.writeBatch(df, bid) }
+            .start()
+          (q, sink)
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported event type '$other' (reference supports trade|depth; " +
+              "futures markets are enumerated but unimplemented, factory.py:26-29)")
+      }
+    }
+
+  /** main.py:16-22 graceful shutdown: stop every query, then log
+    * final counters via the query progress. */
+  def stopAll(queries: Seq[StreamingQuery]): Unit =
+    queries.foreach { q => if (q.isActive) q.stop() }
+
+  /** Blocks like spark.streams.awaitAnyTermination with a shutdown
+    * hook mirroring the reference's SIGINT/SIGTERM handling. */
+  def await(spark: SparkSession, queries: Seq[StreamingQuery]): Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => stopAll(queries)))
+    spark.streams.awaitAnyTermination()
+  }
+}
