@@ -26,18 +26,28 @@ object Dedup {
     tbl(s, d, "documents")
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("ord", "tok")))
 
+  /** Distinct 3-gram token shingles per document, built with per-row
+    * array ops (split once → transform(sequence) → array_distinct →
+    * explode): fully narrow — no per-token window shuffle, no global
+    * distinct shuffle — which is what makes shingling embarrassingly
+    * parallel at 100 TB. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("t")) - 2),
+          i => concat_ws(" ",
+            element_at(col("t"), i),
+            element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2))))).as("shingle"))
+
   /** q25: near-duplicate documents by exact 3-gram shingle Jaccard
     * (the verifiable form of MinHash dedup at test scale — the MinHash
     * approximation itself is q28). */
   private def q25(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("ord")
-    val sh = toks(s, d)
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
-      .distinct()
+    val sh = shingles(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shA = sh.select(col("doc_id").as("da"), col("shingle"))
     val shB = sh.select(col("doc_id").as("db"), col("shingle").as("shingle_b"))
@@ -83,14 +93,7 @@ object Dedup {
     * integer arithmetic on the portable hash ⇒ bit-identical in
     * DuckDB. */
   private def q28(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("ord")
-    val hashed = toks(s, d)
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
-      .distinct()
+    val hashed = shingles(s, d)
       .select(col("doc_id"), phash(col("shingle")).as("h"))
     val mh = hashed
       .select(col("doc_id"), col("h"),

@@ -98,4 +98,17 @@ object Pipelines {
     * (SURVEY §1.4): exchange-exact strings in storage, decimal math
     * on demand. */
   def asDecimal(c: Column): Column = c.cast("decimal(38,18)")
+
+  /** s08 (SURVEY §2.4): late/duplicate-data hardening the reference
+    * lacks — it trusts exchange ordering and crashes on anomalies.
+    * Event-time watermark + per-trade-id dedup with state that expires
+    * at the watermark horizon (`dropDuplicatesWithinWatermark`, so
+    * dedup state is bounded — a plain dropDuplicates would grow
+    * forever on an unbounded stream). */
+  def dedupedTrades(tradeRows: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    tradeRows
+      .withColumn("event_time", timestamp_millis(col("timestamp")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("id")
+      .drop("event_time")
 }

@@ -121,6 +121,25 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(qs.forall(!_._1.isActive))
   }
 
+  test("s08: watermark dedup drops duplicate trade ids, keeps state bounded") {
+    val fixtures = tmp("fixtures")
+    val dup =
+      """{"e":"trade","E":1727784000123,"s":"BNBUSDT","t":88123001,"p":"571.10000000","q":"0.25600000","T":1727784000120,"m":false,"M":true}"""
+    writeFixture(fixtures, "bnbusdt.spot.trade", Seq(
+      dup, dup, // exact duplicate delivery
+      """{"e":"trade","E":1727784000456,"s":"BNBUSDT","t":88123002,"p":"571.20000000","q":"1.00000000","T":1727784000450,"m":true,"M":true}"""))
+    val source = new FileReplaySource(fixtures.toString, fixedArrivalMs = Some(1727784001000L))
+    val raw = source.stream(spark, EventId.parse("binance.spot.bnbusdt.trade"))
+    val q = Pipelines.dedupedTrades(Pipelines.trades(raw))
+      .writeStream.format("memory").queryName("dedup_out")
+      .option("checkpointLocation", tmp("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(88123001L, 88123002L))
+  }
+
   test("s06: header written once across restarts of the sink file") {
     val out = tmp("csv")
     val sink = CsvAppendSink.forTrades(out.toString, "bnbusdt", "spot")
