@@ -36,7 +36,8 @@ object SparkEntry {
       graft.queries.Dedup.queries ++
       graft.queries.Similarity.queries ++
       graft.queries.TextAnalysis.queries ++
-      graft.queries.Multimodal.queries
+      graft.queries.Multimodal.queries ++
+      graft.queries.Extras.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +47,6 @@ object SparkEntry {
       graft.queries.Dedup.oracles ++
       graft.queries.Similarity.oracles ++
       graft.queries.TextAnalysis.oracles ++
-      graft.queries.Multimodal.oracles
+      graft.queries.Multimodal.oracles ++
+      graft.queries.Extras.oracles
 }

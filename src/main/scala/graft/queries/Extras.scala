@@ -1,0 +1,247 @@
+package graft.queries
+
+import graft.T._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General-analytics operator coverage q37-q45: the remaining surface
+  * a user switching to this engine expects from a batch query engine —
+  * outer joins, statistical moments, exact quantiles, pivot, cube,
+  * subquery shapes, rank-function family, ordered array aggregation,
+  * post-aggregation filtering. Determinism rules as in T.scala.
+  */
+object Extras {
+
+  /** q37: outer-join family — per-user purchase counts FULL OUTER
+    * JOIN per-user error counts (nullable sides preserved). */
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    val e = tbl(s, d, "events")
+    def byType(t: String, n: String) =
+      e.filter(col("event_type") === t).groupBy(col("user_id"))
+        .agg(count(lit(1)).as(n))
+    val p = byType("purchase", "purchase_n")
+      .select(col("user_id").as("pu"), col("purchase_n"))
+    val r = byType("error", "error_n")
+      .select(col("user_id").as("eu"), col("error_n"))
+    p.join(r, col("pu") === col("eu"), "full_outer")
+      .select(coalesce(col("pu"), col("eu")).as("user_id"),
+        col("purchase_n"), col("error_n"))
+      .orderBy("user_id")
+  }
+
+  private val q37Sql =
+    """WITH p AS (SELECT user_id, count(*) AS purchase_n FROM events
+      |           WHERE event_type='purchase' GROUP BY 1),
+      |e AS (SELECT user_id, count(*) AS error_n FROM events
+      |      WHERE event_type='error' GROUP BY 1)
+      |SELECT coalesce(p.user_id, e.user_id) AS user_id, purchase_n, error_n
+      |FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** q38: statistical moments from exact decimal sums — mean/variance/
+    * stddev derived with an identical double expression tree in both
+    * engines (never the engines' own var_samp, whose summation order
+    * differs). */
+  private def q38(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,4)")).as("sv"),
+        sum(col("value").cast("decimal(12,4)") *
+          col("value").cast("decimal(12,4)")).as("svv"))
+      .select(col("event_type"), col("n"),
+        (col("sv").cast("double") / col("n").cast("double")).as("mean"),
+        ((col("svv").cast("double") - col("sv").cast("double") *
+          col("sv").cast("double") / col("n").cast("double")) /
+          (col("n").cast("double") - 1.0)).as("variance"))
+      .withColumn("stddev", sqrt(col("variance")))
+      .orderBy("event_type")
+
+  private val q38Sql =
+    """WITH a AS (
+      |  SELECT event_type, count(*) AS n,
+      |         sum(CAST(value AS DECIMAL(12,4))) AS sv,
+      |         sum(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4))) AS svv
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, n,
+      |       CAST(CAST(sv AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |       (CAST(CAST(svv AS VARCHAR) AS DOUBLE) - CAST(CAST(sv AS VARCHAR) AS DOUBLE)
+      |          * CAST(CAST(sv AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+      |         / (CAST(n AS DOUBLE) - 1.0) AS variance,
+      |       sqrt((CAST(CAST(svv AS VARCHAR) AS DOUBLE) - CAST(CAST(sv AS VARCHAR) AS DOUBLE)
+      |          * CAST(CAST(sv AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+      |         / (CAST(n AS DOUBLE) - 1.0)) AS stddev
+      |FROM a ORDER BY event_type""".stripMargin
+
+  /** q39: exact median per group by explicit middle-row selection
+    * (engine-native percentile_cont interpolation orders differ;
+    * picking the middle one/two rows and averaging is deterministic). */
+  private def q39(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").asc, col("event_id").asc)
+    tbl(s, d, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"))
+      .groupBy(col("event_type"))
+      .agg((sum(col("value")) / count(lit(1)).cast("double")).as("median"),
+        max(col("n")).as("n"))
+      .orderBy("event_type")
+  }
+
+  private val q39Sql =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY value ASC, event_id ASC) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type, sum(value) / CAST(count(*) AS DOUBLE) AS median, max(n) AS n
+      |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q40: pivot — per user-bucket counts pivoted by event_type
+    * (explicit value list for a stable schema). */
+  private def q40(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "events")
+      .withColumn("bucket", (col("user_id") % 10).cast("long"))
+      .groupBy(col("bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("bucket")
+
+  private val q40Sql =
+    """SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+      |       count(*) FILTER (event_type = 'click') AS click,
+      |       count(*) FILTER (event_type = 'error') AS error,
+      |       count(*) FILTER (event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (event_type = 'signup') AS signup,
+      |       count(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** q41: cube — all grouping-set combinations of (event_type, bucket). */
+  private def q41(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "events")
+      .withColumn("bucket", (col("user_id") % 5).cast("long"))
+      .cube(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(coalesce(col("event_type"), lit("~")),
+        coalesce(col("bucket"), lit(-1L)))
+
+  private val q41Sql =
+    """SELECT event_type, bucket, count(*) AS n
+      |FROM (SELECT event_type, CAST(user_id % 5 AS BIGINT) AS bucket FROM events)
+      |GROUP BY CUBE (event_type, bucket)
+      |ORDER BY coalesce(event_type, '~'), coalesce(bucket, -1)""".stripMargin
+
+  /** q42: subquery shapes — scalar subquery (global mean as exact
+    * decimal-sum/count) + IN subquery. */
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    val e = tbl(s, d, "events")
+    val stats = e.agg(
+      (sum(dec(col("value"))).cast("double") /
+        count(lit(1)).cast("double")).as("mean"))
+    val building = tbl(s, d, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    e.join(building, e("user_id") === building("c_custkey"), "left_semi")
+      .crossJoin(stats)
+      .filter(col("value") > col("mean"))
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy("event_id")
+  }
+
+  private val q42Sql =
+    """SELECT event_id, user_id, value FROM events e
+      |WHERE e.user_id IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |  AND e.value > (SELECT CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+      |                        / CAST(count(*) AS DOUBLE) FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  /** q43: ordered set aggregation — distinct event types per user as a
+    * sorted comma-joined string (collect_set is unordered; array_sort
+    * makes it deterministic and DuckDB-identical). */
+  private def q43(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(concat_ws(",", array_sort(collect_set(col("event_type"))))
+        .as("types"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy("user_id")
+
+  private val q43Sql =
+    """SELECT user_id,
+      |       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+      |       count(DISTINCT event_type) AS n_types
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q44: rank-function family with a total order — rank, dense_rank,
+    * ntile, percent_rank, cume_dist (ratios are int-derived double
+    * divisions, deterministic). */
+  private def q44(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").asc, col("event_id").asc)
+    tbl(s, d, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("prank", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .orderBy("event_type", "rnk")
+  }
+
+  private val q44Sql =
+    """SELECT event_type, event_id, value,
+      |       CAST(rank() OVER w AS BIGINT) AS rnk,
+      |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |       percent_rank() OVER w AS prank,
+      |       cume_dist() OVER w AS cdist
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+      |ORDER BY event_type, rnk""".stripMargin
+
+  /** q45: post-aggregation filter (HAVING) — users with ≥ 4 distinct
+    * event types and above-threshold exact spend. */
+  private def q45(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("n_types"),
+        sum(dec(col("value"))).cast("double").as("total"))
+      .filter(col("n_types") >= 4 && col("total") > 100.0)
+      .orderBy("user_id")
+
+  private val q45Sql =
+    """SELECT user_id, count(DISTINCT event_type) AS n_types,
+      |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total
+      |FROM events GROUP BY user_id
+      |HAVING count(DISTINCT event_type) >= 4
+      |   AND CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) > 100.0
+      |ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_outer_join_family" -> q37 _,
+    "q38_stats_moments" -> q38 _,
+    "q39_median_exact" -> q39 _,
+    "q40_pivot" -> q40 _,
+    "q41_cube" -> q41 _,
+    "q42_subqueries" -> q42 _,
+    "q43_array_agg" -> q43 _,
+    "q44_rank_fns" -> q44 _,
+    "q45_having" -> q45 _)
+
+  val oracles: Map[String, String] = Map(
+    "q37_outer_join_family" -> q37Sql,
+    "q38_stats_moments" -> q38Sql,
+    "q39_median_exact" -> q39Sql,
+    "q40_pivot" -> q40Sql,
+    "q41_cube" -> q41Sql,
+    "q42_subqueries" -> q42Sql,
+    "q43_array_agg" -> q43Sql,
+    "q44_rank_fns" -> q44Sql,
+    "q45_having" -> q45Sql)
+}

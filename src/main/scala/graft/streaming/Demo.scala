@@ -42,13 +42,17 @@ object Demo {
     val snapshot = BookSnapshot(158,
       bids = Seq(Seq("570.90000000", "3.10000000"), Seq("570.80000000", "5.00000000")),
       asks = Seq(Seq("571.00000000", "1.20000000")))
-    val source = new FileReplaySource(fixtures.toString,
-      fixedArrivalMs = Some(1727784001000L))
+    // DSv2 micro-batch source with count-based admission (batchSize=2
+    // forces multiple micro-batches, exercising the checkpointed
+    // line-offset path); swap in FileReplaySource for the file-source
+    // variant.
+    val src = new graft.streaming.source.Dsv2ReplaySource(fixtures.toString,
+      batchSize = 2, fixedArrivalMs = Some(1727784001000L))
     val queries = Runner.start(spark,
       StreamConfig(
         Seq("binance.spot.bnbusdt.trade", "binance.spot.bnbusdt.depth"),
         out.toString),
-      source,
+      src,
       snapshots = Map("bnbusdt.spot" -> snapshot),
       checkpointRoot = work.resolve("ckpt").toString)
     queries.foreach(_._1.processAllAvailable())
@@ -61,6 +65,21 @@ object Demo {
     queries.foreach { case (q, sink) =>
       println(s"${q.name}: batches_saved=${sink.batchesSaved}")
     }
+
+    // consumer query: reconstruct the book from the recorded CSV
+    val depthCsv = spark.read.option("header", "true")
+      .csv(out.resolve("bnbusdt.spot.depth.csv").toString)
+      .selectExpr("cast(timestamp as long) timestamp",
+        "cast(local_timestamp as long) local_timestamp",
+        "side", "price", "quantity", "cast(is_snapshot as boolean) is_snapshot")
+    println("=== book state at t=1727784002000 ===")
+    graft.book.OrderBook.stateAt(depthCsv, 1727784002000L)
+      .orderBy(org.apache.spark.sql.functions.col("side"),
+        org.apache.spark.sql.functions.col("price_d").desc)
+      .show(20, truncate = false)
+    println("=== top of book ===")
+    graft.book.OrderBook.topOfBook(
+      graft.book.OrderBook.stateAt(depthCsv, 1727784002000L)).show()
     spark.stop()
   }
 }

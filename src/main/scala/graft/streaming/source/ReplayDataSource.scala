@@ -1,0 +1,170 @@
+package graft.streaming.source
+
+import java.nio.file.{Files, Path, Paths}
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** DataSourceV2 micro-batch replay source — the reference's websocket
+  * client slot (base.py:26) implemented as a first-class Spark source
+  * instead of a file-source wrapper.
+  *
+  * Replays JSONL message files under `path` (lexical file order, line
+  * order within a file) and — unlike the plain file source — enforces
+  * the reference's COUNT-BASED batching (§2.1 #15, `batch_size=1000`,
+  * config.json:10): each micro-batch admits at most `batchSize`
+  * messages, so sink flush cadence matches the reference's buffer
+  * semantics. Offsets are global line numbers; a restart resumes from
+  * the checkpointed line.
+  *
+  * Emits the engine-wide raw contract: `value: string` (raw JSON),
+  * `local_timestamp: long` (arrival ms — `arrivalMs` option pins it
+  * for deterministic replay, otherwise wall clock per batch planning).
+  *
+  * A live websocket version of this source implements the same
+  * MicroBatchStream surface with a driver-side receive buffer in
+  * place of the file cursor; nothing downstream changes.
+  */
+class ReplayDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ReplayDataSource.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ReplayTable(properties.asScala.toMap)
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object ReplayDataSource {
+  val schema: StructType = new StructType()
+    .add("value", StringType)
+    .add("local_timestamp", LongType)
+
+  /** Sorted message files under a path (file or directory). */
+  def listFiles(path: String): Seq[String] = {
+    val p = Paths.get(path)
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq
+        .filter(Files.isRegularFile(_)).map(_.toString).sorted
+    else Seq(path)
+  }
+}
+
+private[source] class ReplayTable(props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"replay(${props.getOrElse("path", "?")})"
+  override def schema(): StructType = ReplayDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new ReplayScan(
+      options.get("path"),
+      Option(options.get("batchSize")).map(_.toInt).getOrElse(1000),
+      Option(options.get("arrivalMs")).map(_.toLong))
+}
+
+private[source] class ReplayScan(
+    path: String, batchSize: Int, arrivalMs: Option[Long]) extends Scan {
+  override def readSchema(): StructType = ReplayDataSource.schema
+  override def description(): String = s"ReplayScan($path, batchSize=$batchSize)"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ReplayMicroBatchStream(path, batchSize, arrivalMs)
+}
+
+/** Offset = number of lines already admitted (global across the
+  * sorted file list). */
+case class LineOffset(line: Long) extends Offset {
+  override def json(): String = line.toString
+}
+
+private[source] class ReplayMicroBatchStream(
+    path: String, batchSize: Int, arrivalMs: Option[Long])
+    extends MicroBatchStream {
+
+  private lazy val files: Seq[String] = ReplayDataSource.listFiles(path)
+  private lazy val counts: Seq[Long] =
+    files.map(f => Files.lines(Paths.get(f)).count())
+  private lazy val total: Long = counts.sum
+
+  // advances once per trigger: count-based admission (§2.1 #15)
+  private var admitted: Long = -1L
+
+  override def initialOffset(): Offset = LineOffset(0L)
+
+  override def latestOffset(): Offset = {
+    val base = if (admitted < 0) 0L else admitted
+    admitted = math.min(base + batchSize, total)
+    LineOffset(admitted)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    LineOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LineOffset].line
+    val e = end.asInstanceOf[LineOffset].line
+    if (admitted < e) admitted = e // restart path: resume admission cursor
+    if (s >= e) Array.empty
+    else Array(ReplayPartition(files, s, e,
+      arrivalMs.getOrElse(System.currentTimeMillis())))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ReplayReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** One ordered partition per micro-batch: replay is an ordered tape,
+  * and order is what the book-sync contiguity contract consumes.
+  * (A live multi-symbol source would partition by stream instead.) */
+case class ReplayPartition(
+    files: Seq[String], start: Long, end: Long, localTs: Long)
+    extends InputPartition
+
+private[source] class ReplayReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ReplayPartition]
+    new PartitionReader[InternalRow] {
+      private val it: Iterator[String] = p.files.iterator
+        .flatMap(f => Files.readAllLines(Paths.get(f)).asScala)
+        .slice(p.start.toInt, p.end.toInt)
+      private var current: String = _
+      override def next(): Boolean = {
+        if (it.hasNext) { current = it.next(); true } else false
+      }
+      override def get(): InternalRow =
+        InternalRow(UTF8String.fromString(current), p.localTs)
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** EventSource adapter for [[ReplayDataSource]] (drop-in for
+  * FileReplaySource, but with real count-based micro-batching). */
+final class Dsv2ReplaySource(
+    fixtureRoot: String,
+    batchSize: Int = 1000,
+    fixedArrivalMs: Option[Long] = None) extends graft.streaming.EventSource {
+  override def stream(
+      spark: org.apache.spark.sql.SparkSession,
+      id: graft.streaming.EventId): org.apache.spark.sql.DataFrame = {
+    val reader = spark.readStream
+      .format(classOf[ReplayDataSource].getName)
+      .option("path", s"$fixtureRoot/${id.symbol}.${id.market}.${id.eventType}")
+      .option("batchSize", batchSize.toString)
+    fixedArrivalMs.foreach(ts => reader.option("arrivalMs", ts.toString))
+    reader.load()
+  }
+}
