@@ -99,6 +99,36 @@ object Pipelines {
     * on demand. */
   def asDecimal(c: Column): Column = c.cast("decimal(38,18)")
 
+  /** Event-time windowed OHLCV/VWAP over the trade stream (SURVEY
+    * §2.2's streaming window row: the analytical aggregation the
+    * recorded trades imply, run continuously instead of in batch).
+    * Tumbling `windowLen` windows on exchange event time with a
+    * `watermarkDelay` lateness horizon; decimal sums keep volume and
+    * the VWAP numerator exact. Emits one row per (window, side) in
+    * append mode once the watermark passes the window end. */
+  def streamingOhlcv(
+      tradeRows: DataFrame,
+      windowLen: String = "1 minute",
+      watermarkDelay: String = "5 minutes"): DataFrame =
+    tradeRows
+      .withColumn("event_time", timestamp_millis(col("timestamp")))
+      .withColumn("price_d", asDecimal(col("price")))
+      .withColumn("qty_d", asDecimal(col("quantity")))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowLen), col("side"))
+      .agg(
+        min(col("price_d")).as("low"),
+        max(col("price_d")).as("high"),
+        sum(col("qty_d")).as("volume"),
+        sum(col("price_d") * col("qty_d")).as("notional"),
+        count(lit(1)).as("n_trades"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        col("side"), col("low"), col("high"), col("volume"),
+        (col("notional").cast("double") / col("volume").cast("double"))
+          .as("vwap"),
+        col("n_trades"))
+
   /** s08 (SURVEY §2.4): late/duplicate-data hardening the reference
     * lacks — it trusts exchange ordering and crashes on anomalies.
     * Event-time watermark + per-trade-id dedup with state that expires

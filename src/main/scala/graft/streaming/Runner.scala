@@ -72,7 +72,10 @@ object Runner {
       checkpointRoot: String = "/tmp/graft-checkpoints"): Seq[(StreamingQuery, CsvAppendSink)] =
     config.events.map { idStr =>
       val id = EventId.parse(idStr)
+      // §2.1 #19 observability: the reference's total_messages counter
+      // as an observed metric, readable from every QueryProgress.
       val raw = source.stream(spark, id)
+        .observe(s"graft_raw", count(lit(1)).as("messages"))
       id.eventType match {
         case "trade" =>
           val sink = CsvAppendSink.forTrades(config.basePath, id.symbol, id.market)
@@ -103,6 +106,14 @@ object Runner {
               "futures markets are enumerated but unimplemented, factory.py:26-29)")
       }
     }
+
+  /** §2.1 #19: the reference's `total_messages` counter, summed from
+    * the observed per-batch metrics across the query's progress
+    * history. */
+  def totalMessages(q: StreamingQuery): Long =
+    q.recentProgress.flatMap { p =>
+      Option(p.observedMetrics.get("graft_raw")).map(_.getLong(0))
+    }.sum
 
   /** main.py:16-22 graceful shutdown: stop every query, then log
     * final counters via the query progress. */

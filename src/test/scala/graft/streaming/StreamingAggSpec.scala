@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkSpec
+
+import scala.jdk.CollectionConverters._
+
+/** Event-time windowed streaming aggregation (OHLCV/VWAP) + the
+  * observed-metrics counter. */
+class StreamingAggSpec extends SparkSpec {
+
+  private def tmp(p: String): Path = Files.createTempDirectory(p)
+
+  // two trades in minute 0, one in minute 1, one 20 minutes later so
+  // the watermark finalizes the earlier windows
+  private val base = 1727784000000L // aligned: 2024-10-01 12:00:00 UTC
+  private val lines = Seq(
+    (base + 1000L, 1, "100.00000000", "2.00000000", false),
+    (base + 2000L, 2, "110.00000000", "1.00000000", false),
+    (base + 61000L, 3, "120.00000000", "4.00000000", true),
+    (base + 20 * 60000L, 4, "130.00000000", "1.00000000", false)
+  ).map { case (ts, id, p, q, m) =>
+    s"""{"e":"trade","E":$ts,"s":"BNBUSDT","t":$id,"p":"$p","q":"$q","T":$ts,"m":$m,"M":true}"""
+  }
+
+  test("streamingOhlcv emits finalized per-minute windows with exact vwap") {
+    val fixtures = tmp("aggfix")
+    val dir = fixtures.resolve("bnbusdt.spot.trade")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("messages.jsonl"), lines.asJava)
+    val source = new FileReplaySource(fixtures.toString, fixedArrivalMs = Some(base))
+    val raw = source.stream(spark, EventId.parse("binance.spot.bnbusdt.trade"))
+    val q = Pipelines.streamingOhlcv(Pipelines.trades(raw))
+      .writeStream.format("memory").queryName("ohlcv_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ohlcv_out")
+      .selectExpr("window_start_ms", "side", "cast(low as string)",
+        "cast(high as string)", "cast(volume as string)", "vwap", "n_trades")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).toDouble,
+        r.getString(3).toDouble, r.getString(4).toDouble, r.getDouble(5),
+        r.getLong(6)))
+      .sortBy(t => (t._1, t._2))
+    // minute-0 window: two buys, vwap = (100*2 + 110*1) / 3
+    assert(rows.contains((base, "buy", 100.0, 110.0, 3.0, 310.0 / 3.0, 2L)))
+    // minute-1 window: one sell
+    assert(rows.contains((base + 60000L, "sell", 120.0, 120.0, 4.0, 120.0, 1L)))
+    // the straggler window (base+20min) is NOT finalized: watermark
+    // never advanced past its end
+    assert(!rows.exists(_._1 == base + 20 * 60000L))
+  }
+
+  test("observed metrics expose the total_messages counter") {
+    val fixtures = tmp("obsfix")
+    val out = tmp("obscsv")
+    val dir = fixtures.resolve("bnbusdt.spot.trade")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("messages.jsonl"), lines.asJava)
+    val source = new FileReplaySource(fixtures.toString, fixedArrivalMs = Some(base))
+    val qs = Runner.start(spark,
+      StreamConfig(Seq("binance.spot.bnbusdt.trade"), out.toString),
+      source, Map.empty, checkpointRoot = tmp("ckpt").toString)
+    qs.foreach(_._1.processAllAvailable())
+    val total = Runner.totalMessages(qs.head._1)
+    Runner.stopAll(qs.map(_._1))
+    assert(total == 4L) // raw messages observed pre-filter
+  }
+}
