@@ -1,0 +1,61 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: the shuffle-shaping tools a 100 TB deployment of
+  * this engine leans on. Everything here is plan surgery, not new
+  * semantics — results are identical to the naive operator, verified
+  * by tests against it.
+  */
+object Scale {
+
+  /** Salted equi-join for skewed keys: replicates each right-side row
+    * `salt` times and scatters left-side rows across the replicas, so
+    * one hot key spreads over `salt` reducers instead of melting one.
+    * Use when AQE's runtime skew split isn't available (e.g. a
+    * deliberately partitioned stage) or the skew is known up front.
+    *
+    * Semantics = `left.join(right, leftKey === rightKey, "inner")`,
+    * exactly: the salt column is internal and dropped.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      salt: Int): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salt)))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedLeft.join(saltedRight,
+      saltedLeft(leftKey) === saltedRight(rightKey) &&
+        saltedLeft("__salt") === saltedRight("__salt"))
+      .drop("__salt")
+  }
+
+  /** Writes a frame as a bucketed+sorted table so future equi-joins
+    * and aggregations on `keys` are shuffle-free (both sides already
+    * hash-partitioned by bucket id). This is the co-location strategy
+    * for repeated joins over the same key at scale — pay one shuffle
+    * at write time, none per query. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      buckets: Int,
+      keys: Seq[String]): Unit =
+    df.write
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Rough per-key frequency profile — the diagnostic that decides
+    * between broadcast / salt / AQE-skew-join for a key column. */
+  def keySkewProfile(df: DataFrame, key: Column, topN: Int = 10): DataFrame =
+    df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(topN)
+}
