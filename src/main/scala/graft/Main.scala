@@ -56,6 +56,7 @@ object Main {
     val events = cfg.getAs[scala.collection.Seq[String]]("events").toSeq
     val basePath = str("storage.base_path", "./data")
     val batchSize = str("storage.batch_size", "1000").toDouble.toInt
+    val sinkFormat = str("storage.format", "csv")
     val fixtureRoot = str("replay.fixture_root")
     require(fixtureRoot != null,
       "replay.fixture_root is required (zero-egress build replays tapes; " +
@@ -83,12 +84,13 @@ object Main {
       }.toMap
 
     val source = new Dsv2ReplaySource(fixtureRoot, batchSize, arrivalMs)
-    val queries = Runner.start(spark,
-      StreamConfig(events, basePath, batchSize), source, snapshots)
+    val queries = Runner.startWithSinks(spark,
+      StreamConfig(events, basePath, batchSize, sinkFormat), source, snapshots)
     sys.addShutdownHook {
       queries.foreach { case (q, sink) =>
         println(s"${q.name}: messages=${Runner.totalMessages(q)} " +
-          s"batches_saved=${sink.batchesSaved}")
+          s"rows=${Runner.totalRows(q)}" +
+          sink.map(s => s" batches_saved=${s.batchesSaved}").getOrElse(""))
       }
     }
     Runner.await(spark, queries.map(_._1))

@@ -21,11 +21,17 @@ object EventId {
   }
 }
 
-/** Runtime config (config.json of the reference, SURVEY §1.5). */
+/** Runtime config (config.json of the reference, SURVEY §1.5).
+  * `sinkFormat` picks the storage layout: `csv` is the reference's
+  * single-file header-once append (byte parity; driver-side I/O);
+  * `parquet` is the scale path — Spark's native partitioned writer on
+  * the same lineage, one directory per stream partitioned by
+  * ingest date, no driver materialization. */
 final case class StreamConfig(
     events: Seq[String],
     basePath: String = "./data",
-    batchSize: Int = 1000)
+    batchSize: Int = 1000,
+    sinkFormat: String = "csv")
 
 /** Message source abstraction — the reference's websocket client slot
   * (base.py:26). The zero-egress build ships a file-replay
@@ -63,48 +69,74 @@ object Runner {
   /** Builds (but does not await) one streaming query per event id.
     * Returns the queries with their sinks for observability
     * (§2.1 #19 counters come from StreamingQueryProgress + sink
-    * batchesSaved). */
+    * batchesSaved; the parquet sink has no CsvAppendSink, so None). */
   def start(
       spark: SparkSession,
       config: StreamConfig,
       source: EventSource,
       snapshots: Map[String, BookSnapshot] = Map.empty,
       checkpointRoot: String = "/tmp/graft-checkpoints"): Seq[(StreamingQuery, CsvAppendSink)] =
+    startWithSinks(spark, config, source, snapshots, checkpointRoot)
+      .map { case (q, s) => (q, s.orNull) }
+
+  def startWithSinks(
+      spark: SparkSession,
+      config: StreamConfig,
+      source: EventSource,
+      snapshots: Map[String, BookSnapshot] = Map.empty,
+      checkpointRoot: String = "/tmp/graft-checkpoints"): Seq[(StreamingQuery, Option[CsvAppendSink])] =
     config.events.map { idStr =>
       val id = EventId.parse(idStr)
       // §2.1 #19 observability: the reference's total_messages counter
-      // as an observed metric, readable from every QueryProgress.
+      // plus parsed-message count (their difference = dropped corrupt/
+      // non-data messages, the reference's warn-and-drop path) as
+      // observed metrics, readable from every QueryProgress.
       val raw = source.stream(spark, id)
-        .observe(s"graft_raw", count(lit(1)).as("messages"))
-      id.eventType match {
-        case "trade" =>
-          val sink = CsvAppendSink.forTrades(config.basePath, id.symbol, id.market)
-          val q = Pipelines.trades(raw).writeStream
-            .queryName(id.queryName)
-            .option("checkpointLocation", s"$checkpointRoot/${id.queryName}")
-            .trigger(Trigger.ProcessingTime("1 second"))
-            .foreachBatch { (df: DataFrame, bid: Long) => sink.writeBatch(df, bid) }
-            .start()
-          (q, sink)
+        .observe("graft_raw", count(lit(1)).as("messages"))
+      val rows = (id.eventType match {
+        case "trade" => Pipelines.trades(raw)
         case "depth" =>
-          val sink = CsvAppendSink.forDepth(config.basePath, id.symbol, id.market)
           val snapshot = snapshots.getOrElse(id.symbolId,
             throw new IllegalStateException(
               s"no order-book snapshot provided for ${id.symbolId}"))
-          val synced = BookSynchronizer.apply(
-            Pipelines.depthRecords(raw), id.market, id.symbol, snapshot)
-          val q = Pipelines.depthRows(synced).writeStream
-            .queryName(id.queryName)
-            .option("checkpointLocation", s"$checkpointRoot/${id.queryName}")
-            .trigger(Trigger.ProcessingTime("1 second"))
-            .foreachBatch { (df: DataFrame, bid: Long) => sink.writeBatch(df, bid) }
-            .start()
-          (q, sink)
+          Pipelines.depthRows(BookSynchronizer.apply(
+            Pipelines.depthRecords(raw), id.market, id.symbol, snapshot))
         case other =>
           throw new IllegalArgumentException(
             s"unsupported event type '$other' (reference supports trade|depth; " +
               "futures markets are enumerated but unimplemented, factory.py:26-29)")
+      }).observe("graft_rows", count(lit(1)).as("rows"))
+      val kind = if (id.eventType == "trade") "trades" else "depth"
+      val writer = config.sinkFormat match {
+        case "csv" =>
+          val sink = if (id.eventType == "trade")
+            CsvAppendSink.forTrades(config.basePath, id.symbol, id.market)
+          else CsvAppendSink.forDepth(config.basePath, id.symbol, id.market)
+          val q = rows.writeStream
+            .queryName(id.queryName)
+            .option("checkpointLocation", s"$checkpointRoot/${id.queryName}")
+            .trigger(Trigger.ProcessingTime("1 second"))
+            .foreachBatch { (df: DataFrame, bid: Long) => sink.writeBatch(df, bid) }
+            .start()
+          (q, Some(sink))
+        case "parquet" =>
+          // scale path: native partitioned writer, executor-side I/O
+          val q = rows
+            .withColumn("ingest_date",
+              to_date(timestamp_millis(col("local_timestamp"))))
+            .writeStream
+            .queryName(id.queryName)
+            .format("parquet")
+            .partitionBy("ingest_date")
+            .option("path", s"${config.basePath}/${id.symbolId}.$kind")
+            .option("checkpointLocation", s"$checkpointRoot/${id.queryName}")
+            .trigger(Trigger.ProcessingTime("1 second"))
+            .start()
+          (q, None)
+        case other => throw new IllegalArgumentException(
+          s"unsupported sink format '$other' (csv|parquet)")
       }
+      writer
     }
 
   /** §2.1 #19: the reference's `total_messages` counter, summed from
@@ -113,6 +145,15 @@ object Runner {
   def totalMessages(q: StreamingQuery): Long =
     q.recentProgress.flatMap { p =>
       Option(p.observedMetrics.get("graft_raw")).map(_.getLong(0))
+    }.sum
+
+  /** Output rows counter (for trades = parsed messages, so
+    * totalMessages - totalRows = dropped corrupt/ack messages — the
+    * reference's warn-and-drop path made observable; for depth =
+    * exploded levels). */
+  def totalRows(q: StreamingQuery): Long =
+    q.recentProgress.flatMap { p =>
+      Option(p.observedMetrics.get("graft_rows")).map(_.getLong(0))
     }.sum
 
   /** main.py:16-22 graceful shutdown: stop every query, then log

@@ -55,6 +55,26 @@ class StreamingAggSpec extends SparkSpec {
     assert(!rows.exists(_._1 == base + 20 * 60000L))
   }
 
+  test("parquet sink writes date-partitioned output (scale path)") {
+    val fixtures = tmp("pqfix")
+    val out = tmp("pqout")
+    val dir = fixtures.resolve("bnbusdt.spot.trade")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("messages.jsonl"), lines.asJava)
+    val source = new FileReplaySource(fixtures.toString, fixedArrivalMs = Some(base))
+    val qs = Runner.startWithSinks(spark,
+      StreamConfig(Seq("binance.spot.bnbusdt.trade"), out.toString,
+        sinkFormat = "parquet"),
+      source, Map.empty, checkpointRoot = tmp("ckpt").toString)
+    qs.foreach(_._1.processAllAvailable())
+    Runner.stopAll(qs.map(_._1))
+    val written = spark.read.parquet(out.resolve("bnbusdt.spot.trades").toString)
+    assert(written.count() == 4)
+    assert(written.columns.contains("ingest_date")) // partition column
+    assert(written.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
   test("observed metrics expose the total_messages counter") {
     val fixtures = tmp("obsfix")
     val out = tmp("obscsv")
