@@ -35,15 +35,53 @@ object StreamingBook {
       bids: Map[String, String],
       asks: Map[String, String])
 
-  private val zero = BigDecimal(0)
+  /** Allocation-free numeric comparison of non-negative decimal
+    * strings ("571.10" vs "1000"): longer integer part wins, then
+    * lexicographic with implicit zero-padding of the fraction. Keeps
+    * the per-message best-level scan free of BigDecimal parsing
+    * (thousands of levels × every message is the hot path). */
+  private[book] def cmpDecimalStr(a: String, b: String): Int = {
+    val (ai, bi) = (a.indexOf('.'), b.indexOf('.'))
+    val aInt = if (ai < 0) a.length else ai
+    val bInt = if (bi < 0) b.length else bi
+    if (aInt != bInt) return aInt - bInt
+    var i = 0
+    val aLen = a.length
+    val bLen = b.length
+    var j = 0
+    while (i < aLen || j < bLen) {
+      val ca = if (i < aLen) a.charAt(i) else '0'
+      val cb = if (j < bLen) b.charAt(j) else '0'
+      if (ca == '.' && cb == '.') { i += 1; j += 1 }
+      else if (ca == '.') { i += 1 } // same int length ⇒ dots align; defensive
+      else if (cb == '.') { j += 1 }
+      else {
+        if (ca != cb) return ca - cb
+        i += 1; j += 1
+      }
+    }
+    0
+  }
 
+  private val decimalStrOrdering: Ordering[String] =
+    (a: String, b: String) => cmpDecimalStr(a, b)
+
+  private def isZero(qty: String): Boolean =
+    qty.nonEmpty && qty.forall(c => c == '0' || c == '.')
+
+  /** Warn-and-drop tolerance matching the rest of the pipeline: null
+    * arrays and short/null levels are skipped, never fatal. */
   private def applyLevels(
       levels: Map[String, String],
-      updates: Seq[Seq[String]]): Map[String, String] =
-    updates.foldLeft(levels) { (m, lvl) =>
+      updates: Seq[Seq[String]]): Map[String, String] = {
+    val safe = Option(updates).getOrElse(Seq.empty)
+      .filter(lvl => lvl != null && lvl.length >= 2 &&
+        lvl.head != null && lvl(1) != null && lvl(1).nonEmpty)
+    safe.foldLeft(levels) { (m, lvl) =>
       val (price, qty) = (lvl.head, lvl(1))
-      if (BigDecimal(qty) == zero) m - price else m.updated(price, qty)
+      if (isZero(qty)) m - price else m.updated(price, qty)
     }
+  }
 
   /** Pure per-record step: fold the update into the book, emit ToB. */
   def step(st: BookState, ev: DepthRecord): (BookState, TopOfBook) = {
@@ -53,8 +91,8 @@ object StreamingBook {
     def best(m: Map[String, String], isBid: Boolean): Option[(String, String)] =
       if (m.isEmpty) None
       else Some {
-        val key = if (isBid) m.keysIterator.maxBy(BigDecimal(_))
-        else m.keysIterator.minBy(BigDecimal(_))
+        val key = if (isBid) m.keysIterator.max(decimalStrOrdering)
+        else m.keysIterator.min(decimalStrOrdering)
         (key, m(key))
       }
     val bb = best(st2.bids, isBid = true)
@@ -81,10 +119,14 @@ object StreamingBook {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, events: Iterator[DepthRecord], state: GroupState[BookState]) =>
           var st = state.getOption.getOrElse(BookState(Map.empty, Map.empty))
-          // snapshot rows first (they carry arrival-1 local timestamps),
-          // then deltas in id order — the synchronizer's emission order
+          // Recover the synchronizer's emission order after the shuffle:
+          // snapshot first (it may carry a LOWER update id than a wide
+          // bridge delta), then deltas by last_update_id — the id the
+          // synchronizer guarantees strictly increases across emitted
+          // deltas. local_timestamp must NOT participate: wall-clock
+          // stamps of transit-reordered deltas contradict id order.
           val sorted = events.toVector.sortBy(e =>
-            (e.local_timestamp, e.first_update_id, !e.is_snapshot))
+            (!e.is_snapshot, e.last_update_id))
           val out = sorted.map { ev =>
             val (st2, tob) = step(st, ev)
             st = st2

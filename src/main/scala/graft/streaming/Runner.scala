@@ -75,9 +75,13 @@ object Runner {
       config: StreamConfig,
       source: EventSource,
       snapshots: Map[String, BookSnapshot] = Map.empty,
-      checkpointRoot: String = "/tmp/graft-checkpoints"): Seq[(StreamingQuery, CsvAppendSink)] =
+      checkpointRoot: String = "/tmp/graft-checkpoints"): Seq[(StreamingQuery, CsvAppendSink)] = {
+    require(config.sinkFormat == "csv",
+      "Runner.start returns CsvAppendSinks and is csv-only; use " +
+        "startWithSinks for other sink formats")
     startWithSinks(spark, config, source, snapshots, checkpointRoot)
-      .map { case (q, s) => (q, s.orNull) }
+      .map { case (q, s) => (q, s.get) }
+  }
 
   def startWithSinks(
       spark: SparkSession,
@@ -85,12 +89,14 @@ object Runner {
       source: EventSource,
       snapshots: Map[String, BookSnapshot] = Map.empty,
       checkpointRoot: String = "/tmp/graft-checkpoints"): Seq[(StreamingQuery, Option[CsvAppendSink])] =
+    {
+    StreamMetrics.ensureListener(spark)
     config.events.map { idStr =>
       val id = EventId.parse(idStr)
       // §2.1 #19 observability: the reference's total_messages counter
       // plus parsed-message count (their difference = dropped corrupt/
       // non-data messages, the reference's warn-and-drop path) as
-      // observed metrics, readable from every QueryProgress.
+      // observed metrics, accumulated by StreamMetrics' listener.
       val raw = source.stream(spark, id)
         .observe("graft_raw", count(lit(1)).as("messages"))
       val rows = (id.eventType match {
@@ -112,9 +118,11 @@ object Runner {
           val sink = if (id.eventType == "trade")
             CsvAppendSink.forTrades(config.basePath, id.symbol, id.market)
           else CsvAppendSink.forDepth(config.basePath, id.symbol, id.market)
+          // checkpoint path includes the sink format: offsets committed
+          // for one sink must never satisfy a different one
           val q = rows.writeStream
             .queryName(id.queryName)
-            .option("checkpointLocation", s"$checkpointRoot/${id.queryName}")
+            .option("checkpointLocation", s"$checkpointRoot/${id.queryName}.csv")
             .trigger(Trigger.ProcessingTime("1 second"))
             .foreachBatch { (df: DataFrame, bid: Long) => sink.writeBatch(df, bid) }
             .start()
@@ -129,7 +137,7 @@ object Runner {
             .format("parquet")
             .partitionBy("ingest_date")
             .option("path", s"${config.basePath}/${id.symbolId}.$kind")
-            .option("checkpointLocation", s"$checkpointRoot/${id.queryName}")
+            .option("checkpointLocation", s"$checkpointRoot/${id.queryName}.parquet")
             .trigger(Trigger.ProcessingTime("1 second"))
             .start()
           (q, None)
@@ -138,23 +146,22 @@ object Runner {
       }
       writer
     }
+    }
 
-  /** §2.1 #19: the reference's `total_messages` counter, summed from
-    * the observed per-batch metrics across the query's progress
-    * history. */
+  /** §2.1 #19: the reference's `total_messages` counter, accumulated
+    * by [[StreamMetrics]]' listener across the whole run (NOT a
+    * `recentProgress` sum, which is capped at 100 entries). The
+    * listener delivers events asynchronously — call after
+    * `processAllAvailable`/stop, or expect eventual consistency. */
   def totalMessages(q: StreamingQuery): Long =
-    q.recentProgress.flatMap { p =>
-      Option(p.observedMetrics.get("graft_raw")).map(_.getLong(0))
-    }.sum
+    StreamMetrics.messages(q.runId)
 
   /** Output rows counter (for trades = parsed messages, so
     * totalMessages - totalRows = dropped corrupt/ack messages — the
     * reference's warn-and-drop path made observable; for depth =
     * exploded levels). */
   def totalRows(q: StreamingQuery): Long =
-    q.recentProgress.flatMap { p =>
-      Option(p.observedMetrics.get("graft_rows")).map(_.getLong(0))
-    }.sum
+    StreamMetrics.rows(q.runId)
 
   /** main.py:16-22 graceful shutdown: stop every query, then log
     * final counters via the query progress. */

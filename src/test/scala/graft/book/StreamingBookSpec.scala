@@ -56,6 +56,39 @@ class StreamingBookSpec extends SparkSpec {
     assert(rows(3)._5 == 2 && rows(3)._6 == 2)
   }
 
+  test("decimal-string ordering handles mixed magnitudes without parsing") {
+    import StreamingBook.cmpDecimalStr
+    assert(cmpDecimalStr("571.10", "572.00") < 0)
+    assert(cmpDecimalStr("1000", "571.99999999") > 0) // longer int part wins
+    assert(cmpDecimalStr("571", "571.5") < 0) // implicit zero fraction
+    assert(cmpDecimalStr("571.50", "571.5") == 0) // trailing zeros equal
+    assert(cmpDecimalStr("0.00010", "0.0001") == 0)
+    assert(cmpDecimalStr("99.9", "100.0") < 0)
+  }
+
+  test("transit-reordered deltas with misleading wall clocks apply in id order") {
+    // newer delta (u=110) stamped EARLIER wall-clock than older (u=105):
+    // the book must apply id order, so price 100.0 ends at the newer qty
+    val older = DepthRecord(10L, 995L, 101L, 105L,
+      bids = Seq(Seq("100.0", "5.0")), asks = Seq.empty, is_snapshot = false)
+    val newer = DepthRecord(11L, 990L, 106L, 110L,
+      bids = Seq(Seq("100.0", "2.0")), asks = Seq.empty, is_snapshot = false)
+    import spark.implicits._
+    val out = StreamingBook.topOfBookStream(
+      Seq(newer, older).toDF(), "spot", "bnbusdt").collect()
+    assert(out.last.getAs[String]("best_bid_qty") == "2.0")
+  }
+
+  test("corrupt level arrays are dropped, not fatal (warn-and-drop parity)") {
+    val st0 = StreamingBook.BookState(Map.empty, Map.empty)
+    val rec = DepthRecord(1L, 2L, 10L, 11L,
+      bids = Seq(Seq("100.0", "1.0"), Seq("101.0"), null, Seq(null, "2.0")),
+      asks = null, is_snapshot = false)
+    val (st1, tob) = StreamingBook.step(st0, rec)
+    assert(st1.bids == Map("100.0" -> "1.0") && st1.asks.isEmpty)
+    assert(tob.best_bid == "100.0")
+  }
+
   test("pure step removes emptied levels and handles one-sided books") {
     val st0 = StreamingBook.BookState(Map.empty, Map.empty)
     val rec = DepthRecord(1L, 2L, 10L, 11L,

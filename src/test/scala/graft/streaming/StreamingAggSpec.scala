@@ -86,6 +86,10 @@ class StreamingAggSpec extends SparkSpec {
       StreamConfig(Seq("binance.spot.bnbusdt.trade"), out.toString),
       source, Map.empty, checkpointRoot = tmp("ckpt").toString)
     qs.foreach(_._1.processAllAvailable())
+    // listener delivery is async: poll briefly
+    val deadline = System.currentTimeMillis() + 10000
+    while (Runner.totalMessages(qs.head._1) < 4L &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
     val total = Runner.totalMessages(qs.head._1)
     Runner.stopAll(qs.map(_._1))
     assert(total == 4L) // raw messages observed pre-filter
