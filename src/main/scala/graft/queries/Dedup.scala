@@ -140,11 +140,17 @@ object Dedup {
       |ORDER BY da, db""".stripMargin
 
   /** q29: SimHash near-dup — 32-bit term-frequency-weighted SimHash,
-    * pairs at Hamming distance ≤ 3. */
+    * pairs at Hamming distance ≤ 3. The token hash is computed once
+    * per DISTINCT token and broadcast-joined back (hashing per
+    * occurrence would md5 the whole corpus; the distinct-token dim is
+    * tiny relative to it at any scale). */
   private def q29(s: SparkSession, d: String): DataFrame = {
-    val tf = toks(s, d)
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val tokens = toks(s, d)
+    val dim = tokens.select(col("tok")).distinct()
       .withColumn("h", phash(col("tok")))
+    val tf = tokens
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(dim), Seq("tok"))
     val sim = tf
       .select(col("doc_id"), col("cnt"), col("h"),
         explode(sequence(lit(0), lit(31))).as("b"))

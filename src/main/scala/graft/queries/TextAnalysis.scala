@@ -46,11 +46,16 @@ object TextAnalysis {
     * affinities summed per document, argmax over classes). */
   private def q32(s: SparkSession, d: String): DataFrame = {
     val langs = Seq("de", "en", "es", "fr", "zh")
-    val scored = tbl(s, d, "documents")
+    val perTok = tbl(s, d, "documents")
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))
+    // affinity table = distinct tokens × langs, hashed ONCE and
+    // broadcast — per-occurrence hashing would md5 the corpus
+    val aff = perTok.select(col("tok")).distinct()
       .withColumn("cand", explode(array(langs.map(lit): _*)))
       .withColumn("aff", phash(concat_ws(":", col("cand"), col("tok"))) % 1000)
+    val scored = perTok
+      .join(broadcast(aff), Seq("tok"))
       .groupBy(col("doc_id"), col("lang"), col("cand"))
       .agg(sum(col("aff")).as("score"))
     val w = Window.partitionBy("doc_id")
@@ -136,11 +141,15 @@ object TextAnalysis {
     * rolling hash fp = Σ phash(tok)·(ord+1) mod 1e9+7, with a count of
     * fingerprint collisions (exact-duplicate detection surface). */
   private def q35(s: SparkSession, d: String): DataFrame = {
-    val fp = tbl(s, d, "documents")
+    val perTok = tbl(s, d, "documents")
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("ord", "tok")))
+    val dim = perTok.select(col("tok")).distinct()
+      .withColumn("h", phash(col("tok"))) // hash distinct tokens once
+    val fp = perTok
+      .join(broadcast(dim), Seq("tok"))
       .groupBy("doc_id")
-      .agg((sum(phash(col("tok")) * (col("ord") + 1L)) % 1000000007L).as("fp"))
+      .agg((sum(col("h") * (col("ord") + 1L)) % 1000000007L).as("fp"))
     fp.withColumn("n_same_fp",
         count(lit(1)).over(Window.partitionBy("fp")).cast("long"))
       .orderBy("doc_id")
