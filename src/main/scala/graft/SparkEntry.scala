@@ -37,7 +37,8 @@ object SparkEntry {
       graft.queries.Similarity.queries ++
       graft.queries.TextAnalysis.queries ++
       graft.queries.Multimodal.queries ++
-      graft.queries.Extras.queries
+      graft.queries.Extras.queries ++
+      graft.queries.Corpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,5 +49,6 @@ object SparkEntry {
       graft.queries.Similarity.oracles ++
       graft.queries.TextAnalysis.oracles ++
       graft.queries.Multimodal.oracles ++
-      graft.queries.Extras.oracles
+      graft.queries.Extras.oracles ++
+      graft.queries.Corpus.oracles
 }

@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.T._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-pipeline operators q46-q48: TF-IDF term weighting,
+  * deterministic hash sampling, and near-dup cluster resolution —
+  * the steps that turn near-dup PAIRS into a deduplicated corpus.
+  */
+object Corpus {
+
+  /** q46: TF-IDF — top-3 terms per document by tf·idf. idf uses
+    * ln((N+1)/(df+1)) on exactly-agreed integer inputs; the double
+    * log/division tree is identical in both engines and the final
+    * score is rounded to 6dp. */
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    val toks = tbl(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    // corpus size as a lazy scalar (broadcast 1-row frame, no
+    // driver-side action inside the operator)
+    val n = toks.agg(countDistinct(col("doc_id")).as("n"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val docLen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("tok").asc)
+    tf.join(docLen, Seq("doc_id"))
+      .join(broadcast(df), Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round((col("tf").cast("double") / col("len").cast("double")) *
+          log((col("n").cast("double") + 1.0) / (col("df").cast("double") + 1.0)), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("tok"), col("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  private val q46Sql =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      |n AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1,2),
+      |dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.tok,
+      |         round((CAST(tf AS DOUBLE) / CAST(len AS DOUBLE)) *
+      |               ln((CAST(n.n AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)), 6) AS tfidf
+      |  FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN n)
+      |SELECT doc_id, rnk, tok, tfidf FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |                  ORDER BY tfidf DESC, tok ASC) AS BIGINT) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  /** q47: deterministic hash sampling — the reproducible substitute
+    * for random sampling in data pipelines: a ~10% sample selected by
+    * portable hash mod, stable across engines, runs, and partitioning. */
+  private def q47(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "documents")
+      .withColumn("h", phash(concat(lit("sample:"), col("doc_id"))) % 100)
+      .filter(col("h") < 10)
+      .select(col("doc_id"), col("lang"), col("source"), col("h"))
+      .orderBy("doc_id")
+
+  private val q47Sql =
+    s"""SELECT doc_id, lang, source,
+      |       ${phashSql("'sample:' || doc_id")} % 100 AS h
+      |FROM documents
+      |WHERE ${phashSql("'sample:' || doc_id")} % 100 < 10
+      |ORDER BY doc_id""".stripMargin
+
+  /** Near-dup pairs (the q25 exact-Jaccard output, reused). */
+  private def pairs(s: SparkSession, d: String): DataFrame =
+    Dedup.queries("q25_minhash_textdedup")(s, d).select(col("da"), col("db"))
+
+  /** q48: near-dup cluster resolution — connected components over the
+    * near-dup pair graph by iterative min-label propagation (the
+    * scalable CC pattern: one shuffle join per iteration, iterations
+    * bounded by cluster diameter — near-dup clusters are shallow),
+    * then the canonical keep/drop decision: min doc_id represents the
+    * cluster. */
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    val p = pairs(s, d).cache()
+    val edges = p.select(col("da").as("src"), col("db").as("dst"))
+      .unionByName(p.select(col("db").as("src"), col("da").as("dst")))
+      .cache()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, labels("node") === neighborMin("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("newLabel"),
+          col("label"))
+      changed = updated.filter(col("newLabel") =!= col("label")).count()
+      labels = updated.select(col("node"), col("newLabel").as("label"))
+        .localCheckpoint()
+      iter += 1
+    }
+    labels
+      .select(col("node").as("doc_id"), col("label").as("cluster"),
+        (col("node") === col("label")).as("is_representative"))
+      .orderBy("cluster", "doc_id")
+  }
+
+  private val q48Sql =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS ord FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS shingle
+      |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |prs AS (
+      |  SELECT da, db FROM inter
+      |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2),
+      |edges AS (SELECT da AS src, db AS dst FROM prs
+      |          UNION ALL SELECT db, da FROM prs),
+      |reach AS (
+      |  SELECT src AS n, src AS m FROM edges
+      |  UNION
+      |  SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src)
+      |SELECT n AS doc_id, min(m) AS cluster,
+      |       n = min(m) AS is_representative
+      |FROM reach GROUP BY n ORDER BY cluster, doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_tfidf" -> q46 _,
+    "q47_hash_sample" -> q47 _,
+    "q48_dedup_clusters" -> q48 _)
+
+  val oracles: Map[String, String] = Map(
+    "q46_tfidf" -> q46Sql,
+    "q47_hash_sample" -> q47Sql,
+    "q48_dedup_clusters" -> q48Sql)
+}
