@@ -140,13 +140,70 @@ object Corpus {
       |       n = min(m) AS is_representative
       |FROM reach GROUP BY n ORDER BY cluster, doc_id""".stripMargin
 
+  /** q49: KMV distinct-count sketch (custom typed Aggregator UDAF) —
+    * estimated distinct 3-gram shingles per language vs the exact
+    * count. KMV over the portable hash is deterministic (see
+    * [[graft.functions.KmvDistinct]]), so the sketch itself is
+    * oracle-verified exactly — the mergeable-sketch surface (HLL-like)
+    * with a provable answer. */
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvDistinct(64))
+    val sh = tbl(s, d, "documents")
+      .select(col("lang"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("lang"),
+        explode(transform(
+          sequence(lit(1), size(col("t")) - 2),
+          i => concat_ws(" ",
+            element_at(col("t"), i),
+            element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2)))).as("shingle"))
+    sh.select(col("lang"), phash(col("shingle")).as("h"))
+      .groupBy(col("lang"))
+      .agg(round(kmv(col("h")), 6).as("est_distinct"),
+        countDistinct(col("h")).as("exact_distinct"))
+      .withColumn("rel_err",
+        round((col("est_distinct") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double"), 6))
+      .orderBy("lang")
+  }
+
+  private val q49Sql =
+    s"""WITH t AS (
+      |  SELECT lang, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS ord,
+      |         doc_id FROM documents),
+      |sh AS (
+      |  SELECT lang, tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS shingle
+      |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+      |h AS (SELECT DISTINCT lang, ${phashSql("shingle")} AS h FROM sh),
+      |r AS (SELECT lang, h,
+      |             row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+      |             count(*) OVER (PARTITION BY lang) AS nd
+      |      FROM h),
+      |agg AS (
+      |  SELECT lang, max(nd) AS nd,
+      |         max(CASE WHEN rn = 64 THEN h END) AS h64
+      |  FROM r GROUP BY lang)
+      |SELECT lang,
+      |       CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+      |            ELSE round(63.0 * 4294967296.0 / CAST(h64 AS DOUBLE), 6) END AS est_distinct,
+      |       nd AS exact_distinct,
+      |       round((CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+      |              ELSE round(63.0 * 4294967296.0 / CAST(h64 AS DOUBLE), 6) END
+      |              - CAST(nd AS DOUBLE)) / CAST(nd AS DOUBLE), 6) AS rel_err
+      |FROM agg ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_tfidf" -> q46 _,
     "q47_hash_sample" -> q47 _,
-    "q48_dedup_clusters" -> q48 _)
+    "q48_dedup_clusters" -> q48 _,
+    "q49_kmv_sketch" -> q49 _)
 
   val oracles: Map[String, String] = Map(
     "q46_tfidf" -> q46Sql,
     "q47_hash_sample" -> q47Sql,
-    "q48_dedup_clusters" -> q48Sql)
+    "q48_dedup_clusters" -> q48Sql,
+    "q49_kmv_sketch" -> q49Sql)
 }
