@@ -223,7 +223,36 @@ object Extras {
       |   AND CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) > 100.0
       |ORDER BY user_id""".stripMargin
 
+  /** q50: scalar-function breadth — the remaining string/date surface
+    * (regexp_replace, padding, trim/reverse/repeat, substring search,
+    * interval arithmetic) with portable semantics in both engines. */
+  private def q50(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "part")
+      .select(col("p_partkey"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        lpad(col("p_brand"), 12, "#").as("lpadded"),
+        rpad(col("p_brand"), 12, "#").as("rpadded"),
+        reverse(col("p_type")).as("reversed"),
+        repeat(col("p_brand"), 2).as("doubled"),
+        instr(col("p_type"), "ED").cast("long").as("ed_pos"),
+        trim(lit("  pad  ")).as("trimmed"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("translated"))
+      .orderBy("p_partkey")
+
+  private val q50Sql =
+    """SELECT p_partkey,
+      |       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+      |       lpad(p_brand, 12, '#') AS lpadded,
+      |       rpad(p_brand, 12, '#') AS rpadded,
+      |       reverse(p_type) AS reversed,
+      |       repeat(p_brand, 2) AS doubled,
+      |       CAST(strpos(p_type, 'ED') AS BIGINT) AS ed_pos,
+      |       trim('  pad  ') AS trimmed,
+      |       translate(p_type, 'AEIOU', 'aeiou') AS translated
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_scalar_fns" -> q50 _,
     "q37_outer_join_family" -> q37 _,
     "q38_stats_moments" -> q38 _,
     "q39_median_exact" -> q39 _,
@@ -235,6 +264,7 @@ object Extras {
     "q45_having" -> q45 _)
 
   val oracles: Map[String, String] = Map(
+    "q50_scalar_fns" -> q50Sql,
     "q37_outer_join_family" -> q37Sql,
     "q38_stats_moments" -> q38Sql,
     "q39_median_exact" -> q39Sql,
