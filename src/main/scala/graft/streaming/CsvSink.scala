@@ -30,14 +30,32 @@ final class CsvAppendSink(
     symbol: String,
     market: String,
     kind: String, // "trades" | "depth"
-    columns: Seq[String]) extends Serializable {
+    columns: Seq[String],
+    truncateOnStart: Boolean = true) extends Serializable {
 
   val path: Path = Paths.get(basePath, s"$symbol.$market.$kind.csv")
+  /** Sidecar recording the last batchId appended — makes the append
+    * idempotent when Spark replays the last uncommitted micro-batch
+    * after a restart (foreachBatch is at-least-once; the batchId
+    * guard upgrades this sink to effectively-once). */
+  private val batchIdPath: Path =
+    Paths.get(basePath, s"$symbol.$market.$kind.csv.lastbatch")
   @volatile var batchesSaved: Long = 0L
 
-  // storage.py:77-82: pre-create/truncate at construction
+  // storage.py:77-82: pre-create/truncate at construction — on a
+  // FRESH start. A checkpoint-resumed query must keep the file (the
+  // checkpoint skips already-written batches; truncating would lose
+  // them), so Runner passes truncateOnStart = !checkpointExists.
   Files.createDirectories(path.getParent)
-  Files.write(path, Array.emptyByteArray)
+  if (truncateOnStart || !Files.exists(path)) {
+    Files.write(path, Array.emptyByteArray)
+    Files.deleteIfExists(batchIdPath)
+  }
+
+  private def lastWrittenBatch: Long =
+    if (Files.exists(batchIdPath))
+      new String(Files.readAllBytes(batchIdPath)).trim.toLong
+    else -1L
 
   private def render(v: Any): String = v match {
     case null => ""
@@ -46,8 +64,10 @@ final class CsvAppendSink(
   }
 
   /** foreachBatch body. Header iff nothing written yet (storage.py:
-    * 67-68, 74-75). */
+    * 67-68, 74-75); replayed batches (batchId already recorded) are
+    * skipped. */
   def writeBatch(df: DataFrame, batchId: Long): Unit = {
+    if (batchId <= lastWrittenBatch) return
     val projected = df.select(columns.map(col): _*)
     val it = projected.toLocalIterator()
     if (!it.hasNext) return
@@ -70,6 +90,7 @@ final class CsvAppendSink(
         w.newLine()
       }
     } finally w.close()
+    Files.write(batchIdPath, batchId.toString.getBytes)
     batchesSaved += 1
   }
 }
@@ -82,8 +103,12 @@ object CsvAppendSink {
   val depthColumns: Seq[String] =
     Seq("timestamp", "local_timestamp", "side", "price", "quantity", "is_snapshot")
 
-  def forTrades(basePath: String, symbol: String, market: String): CsvAppendSink =
-    new CsvAppendSink(basePath, symbol, market, "trades", tradeColumns)
-  def forDepth(basePath: String, symbol: String, market: String): CsvAppendSink =
-    new CsvAppendSink(basePath, symbol, market, "depth", depthColumns)
+  def forTrades(basePath: String, symbol: String, market: String,
+      truncateOnStart: Boolean = true): CsvAppendSink =
+    new CsvAppendSink(basePath, symbol, market, "trades", tradeColumns,
+      truncateOnStart)
+  def forDepth(basePath: String, symbol: String, market: String,
+      truncateOnStart: Boolean = true): CsvAppendSink =
+    new CsvAppendSink(basePath, symbol, market, "depth", depthColumns,
+      truncateOnStart)
 }

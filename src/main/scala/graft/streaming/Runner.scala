@@ -115,9 +115,15 @@ object Runner {
       val kind = if (id.eventType == "trade") "trades" else "depth"
       val writer = config.sinkFormat match {
         case "csv" =>
+          // fresh start: truncate like the reference; checkpointed
+          // restart: keep the file, the checkpoint skips written batches
+          val freshStart = !java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$checkpointRoot/${id.queryName}.csv"))
           val sink = if (id.eventType == "trade")
-            CsvAppendSink.forTrades(config.basePath, id.symbol, id.market)
-          else CsvAppendSink.forDepth(config.basePath, id.symbol, id.market)
+            CsvAppendSink.forTrades(config.basePath, id.symbol, id.market,
+              truncateOnStart = freshStart)
+          else CsvAppendSink.forDepth(config.basePath, id.symbol, id.market,
+            truncateOnStart = freshStart)
           // checkpoint path includes the sink format: offsets committed
           // for one sink must never satisfy a different one
           val q = rows.writeStream

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -87,25 +87,37 @@ case class LineOffset(line: Long) extends Offset {
   override def json(): String = line.toString
 }
 
+/** Stateless micro-batch stream: count-based admission is expressed
+  * through [[SupportsAdmissionControl]] — Spark hands the start offset
+  * to `latestOffset(start, limit)`, so the source carries NO cursor
+  * state and restart recovery is trivially correct. (A stateful
+  * `latestOffset()` cursor is subtly wrong: on restart Spark calls it
+  * on the fresh instance before replaying checkpointed offsets, and
+  * it would admit from zero — observed as duplicated output before
+  * this design.) */
 private[source] class ReplayMicroBatchStream(
     path: String, batchSize: Int, arrivalMs: Option[Long])
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private lazy val files: Seq[String] = ReplayDataSource.listFiles(path)
   private lazy val counts: Seq[Long] =
     files.map(f => Files.lines(Paths.get(f)).count())
   private lazy val total: Long = counts.sum
 
-  // advances once per trigger: count-based admission (§2.1 #15)
-  private var admitted: Long = -1L
-
   override def initialOffset(): Offset = LineOffset(0L)
 
-  override def latestOffset(): Offset = {
-    val base = if (admitted < 0) 0L else admitted
-    admitted = math.min(base + batchSize, total)
-    LineOffset(admitted)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchSize)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[LineOffset].line
+    LineOffset(math.min(s + batchSize, total)) // §2.1 #15 count admission
   }
+
+  override def reportLatestOffset(): Offset = LineOffset(total)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is used")
 
   override def deserializeOffset(json: String): Offset =
     LineOffset(json.toLong)
@@ -113,7 +125,6 @@ private[source] class ReplayMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LineOffset].line
     val e = end.asInstanceOf[LineOffset].line
-    if (admitted < e) admitted = e // restart path: resume admission cursor
     if (s >= e) Array.empty
     else Array(ReplayPartition(files, s, e,
       arrivalMs.getOrElse(System.currentTimeMillis())))
