@@ -251,7 +251,44 @@ object Extras {
       |       translate(p_type, 'AEIOU', 'aeiou') AS translated
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** q51: range join — for each order, how many events its key bucket
+    * produced in the trailing 7 days. A naive range predicate plans a
+    * nested-loop join; the scalable shape used here buckets both
+    * sides by (key, day-bin) — orders explode into their 8 candidate
+    * bins — turning it into an equi-join plus an exact range filter.
+    * Zero-count orders are kept (left join). */
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    val ev = tbl(s, d, "events").select(
+      (col("user_id") % 100).cast("long").as("bucket"),
+      expr("unix_millis(date_trunc('day', ts)) div 86400000").as("day"),
+      col("ts"))
+    val od = tbl(s, d, "orders").select(
+      col("o_orderkey"),
+      (col("o_custkey") % 100).cast("long").as("obucket"),
+      col("o_orderdate"),
+      explode(sequence(
+        expr("unix_millis(date_trunc('day', o_orderdate)) div 86400000") - 7,
+        expr("unix_millis(date_trunc('day', o_orderdate)) div 86400000")))
+        .as("oday"))
+    od.join(ev, col("obucket") === col("bucket") && col("oday") === col("day"),
+        "left")
+      .groupBy(col("o_orderkey"))
+      .agg(count(when(
+        col("ts") >= col("o_orderdate") - expr("INTERVAL 7 DAYS") &&
+          col("ts") <= col("o_orderdate"), 1)).as("n_events"))
+      .orderBy("o_orderkey")
+  }
+
+  private val q51Sql =
+    """SELECT o_orderkey,
+      |       (SELECT count(*) FROM events e
+      |        WHERE e.user_id % 100 = o.o_custkey % 100
+      |          AND e.ts >= o.o_orderdate - INTERVAL 7 DAY
+      |          AND e.ts <= o.o_orderdate) AS n_events
+      |FROM orders o ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_range_join" -> q51 _,
     "q50_scalar_fns" -> q50 _,
     "q37_outer_join_family" -> q37 _,
     "q38_stats_moments" -> q38 _,
@@ -264,6 +301,7 @@ object Extras {
     "q45_having" -> q45 _)
 
   val oracles: Map[String, String] = Map(
+    "q51_range_join" -> q51Sql,
     "q50_scalar_fns" -> q50Sql,
     "q37_outer_join_family" -> q37Sql,
     "q38_stats_moments" -> q38Sql,
