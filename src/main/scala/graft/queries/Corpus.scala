@@ -73,9 +73,11 @@ object Corpus {
       |WHERE ${phashSql("'sample:' || doc_id")} % 100 < 10
       |ORDER BY doc_id""".stripMargin
 
-  /** Near-dup pairs (the q25 exact-Jaccard output, reused). */
+  /** Near-dup pairs (the q25 exact-Jaccard computation, shared via a
+    * direct method reference — no ordering baggage, no magic-string
+    * registry lookup). */
   private def pairs(s: SparkSession, d: String): DataFrame =
-    Dedup.queries("q25_minhash_textdedup")(s, d).select(col("da"), col("db"))
+    Dedup.nearDupPairs(s, d).select(col("da"), col("db"))
 
   /** q48: near-dup cluster resolution — connected components over the
     * near-dup pair graph by iterative min-label propagation (the
@@ -92,7 +94,8 @@ object Corpus {
     var labels = nodes.withColumn("label", col("node"))
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    val maxIter = 50
+    while (changed > 0 && iter < maxIter) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
@@ -106,6 +109,12 @@ object Corpus {
         .localCheckpoint()
       iter += 1
     }
+    p.unpersist()
+    edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter iterations — " +
+          "component diameter exceeds the bound; raise maxIter")
     labels
       .select(col("node").as("doc_id"), col("label").as("cluster"),
         (col("node") === col("label")).as("is_representative"))
@@ -148,16 +157,7 @@ object Corpus {
     * with a provable answer. */
   private def q49(s: SparkSession, d: String): DataFrame = {
     val kmv = udaf(new graft.functions.KmvDistinct(64))
-    val sh = tbl(s, d, "documents")
-      .select(col("lang"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("lang"),
-        explode(transform(
-          sequence(lit(1), size(col("t")) - 2),
-          i => concat_ws(" ",
-            element_at(col("t"), i),
-            element_at(col("t"), i + 1),
-            element_at(col("t"), i + 2)))).as("shingle"))
+    val sh = Dedup.shinglesBy(s, d, "lang") // shared shingle definition
     sh.select(col("lang"), phash(col("shingle")).as("h"))
       .groupBy(col("lang"))
       .agg(round(kmv(col("h")), 6).as("est_distinct"),

@@ -26,27 +26,31 @@ object Dedup {
     tbl(s, d, "documents")
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("ord", "tok")))
 
-  /** Distinct 3-gram token shingles per document, built with per-row
-    * array ops (split once → transform(sequence) → array_distinct →
-    * explode): fully narrow — no per-token window shuffle, no global
-    * distinct shuffle — which is what makes shingling embarrassingly
-    * parallel at 100 TB. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  /** Distinct 3-gram token shingles per `keyCols` group, built with
+    * per-row array ops (split once → transform(sequence) →
+    * array_distinct → explode): fully narrow — no per-token window
+    * shuffle, no global distinct shuffle — which is what makes
+    * shingling embarrassingly parallel at 100 TB. Single definition
+    * shared by q25/q28/q48/q49 so the shingle scheme cannot diverge. */
+  private[queries] def shinglesBy(
+      s: SparkSession, d: String, keyCols: String*): DataFrame =
     tbl(s, d, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(keyCols.map(col) :+ split(col("text"), " ").as("t"): _*)
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"),
+      .select(keyCols.map(col) :+
         explode(array_distinct(transform(
           sequence(lit(1), size(col("t")) - 2),
           i => concat_ws(" ",
             element_at(col("t"), i),
             element_at(col("t"), i + 1),
-            element_at(col("t"), i + 2))))).as("shingle"))
+            element_at(col("t"), i + 2))))).as("shingle"): _*)
 
-  /** q25: near-duplicate documents by exact 3-gram shingle Jaccard
-    * (the verifiable form of MinHash dedup at test scale — the MinHash
-    * approximation itself is q28). */
-  private def q25(s: SparkSession, d: String): DataFrame = {
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesBy(s, d, "doc_id")
+
+  /** Near-duplicate pairs (da < db) with exact 3-gram Jaccard ≥ 0.2 —
+    * the q25 computation, shared with q48's cluster resolution. */
+  private[queries] def nearDupPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shA = sh.select(col("doc_id").as("da"), col("shingle"))
@@ -61,8 +65,13 @@ object Dedup {
         (col("i").cast("double") /
           (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
-      .orderBy("da", "db")
   }
+
+  /** q25: near-duplicate documents by exact 3-gram shingle Jaccard
+    * (the verifiable form of MinHash dedup at test scale — the MinHash
+    * approximation itself is q28). */
+  private def q25(s: SparkSession, d: String): DataFrame =
+    nearDupPairs(s, d).orderBy("da", "db")
 
   private val q25Sql =
     """WITH t AS (

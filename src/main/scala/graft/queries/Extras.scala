@@ -251,41 +251,46 @@ object Extras {
       |       translate(p_type, 'AEIOU', 'aeiou') AS translated
       |FROM part ORDER BY p_partkey""".stripMargin
 
-  /** q51: range join — for each order, how many events its key bucket
-    * produced in the trailing 7 days. A naive range predicate plans a
-    * nested-loop join; the scalable shape used here buckets both
-    * sides by (key, day-bin) — orders explode into their 8 candidate
-    * bins — turning it into an equi-join plus an exact range filter.
-    * Zero-count orders are kept (left join). */
+  /** q51: range join — for each purchase event, how many 'view'
+    * events the same user produced in the trailing 24 hours (both
+    * sides time-overlapping, so the binning and boundary logic are
+    * genuinely verified). A naive range predicate plans a nested-loop
+    * join; the scalable shape used here buckets both sides by
+    * (user, day-bin) — purchases explode into their 2 candidate bins
+    * — turning it into an equi-join plus an exact range filter.
+    * Zero-count purchases are kept (left join). */
   private def q51(s: SparkSession, d: String): DataFrame = {
-    val ev = tbl(s, d, "events").select(
-      (col("user_id") % 100).cast("long").as("bucket"),
-      expr("unix_millis(date_trunc('day', ts)) div 86400000").as("day"),
-      col("ts"))
-    val od = tbl(s, d, "orders").select(
-      col("o_orderkey"),
-      (col("o_custkey") % 100).cast("long").as("obucket"),
-      col("o_orderdate"),
+    val e = tbl(s, d, "events")
+    val views = e.filter(col("event_type") === "view").select(
+      col("user_id").as("vuser"),
+      expr("unix_millis(date_trunc('day', ts)) div 86400000").as("vday"),
+      col("ts").as("vts"))
+    val purchases = e.filter(col("event_type") === "purchase").select(
+      col("event_id"),
+      col("user_id").as("puser"),
+      col("ts").as("pts"),
       explode(sequence(
-        expr("unix_millis(date_trunc('day', o_orderdate)) div 86400000") - 7,
-        expr("unix_millis(date_trunc('day', o_orderdate)) div 86400000")))
-        .as("oday"))
-    od.join(ev, col("obucket") === col("bucket") && col("oday") === col("day"),
+        expr("unix_millis(date_trunc('day', ts)) div 86400000") - 1,
+        expr("unix_millis(date_trunc('day', ts)) div 86400000")))
+        .as("pday"))
+    purchases
+      .join(views, col("puser") === col("vuser") && col("pday") === col("vday"),
         "left")
-      .groupBy(col("o_orderkey"))
+      .groupBy(col("event_id"))
       .agg(count(when(
-        col("ts") >= col("o_orderdate") - expr("INTERVAL 7 DAYS") &&
-          col("ts") <= col("o_orderdate"), 1)).as("n_events"))
-      .orderBy("o_orderkey")
+        col("vts") >= col("pts") - expr("INTERVAL 24 HOURS") &&
+          col("vts") <= col("pts"), 1)).as("n_views"))
+      .orderBy("event_id")
   }
 
   private val q51Sql =
-    """SELECT o_orderkey,
-      |       (SELECT count(*) FROM events e
-      |        WHERE e.user_id % 100 = o.o_custkey % 100
-      |          AND e.ts >= o.o_orderdate - INTERVAL 7 DAY
-      |          AND e.ts <= o.o_orderdate) AS n_events
-      |FROM orders o ORDER BY o_orderkey""".stripMargin
+    """SELECT p.event_id,
+      |       (SELECT count(*) FROM events v
+      |        WHERE v.user_id = p.user_id AND v.event_type = 'view'
+      |          AND v.ts >= p.ts - INTERVAL 24 HOURS
+      |          AND v.ts <= p.ts) AS n_views
+      |FROM events p WHERE p.event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_range_join" -> q51 _,

@@ -204,38 +204,46 @@ object Relational {
       |ORDER BY c_custkey""".stripMargin
 
   /** q13: as-of join — the reference's snapshot/delta alignment shape
-    * `U <= lastUpdateId+1 <= u` (book_utils.py:41-44): for each order,
-    * the most recent event at or before the order date in its key
-    * bucket. Implemented scalably as union + running `last(ignoreNulls)`
-    * window — one shuffle, no row explosion, no correlated subquery. */
+    * `U <= lastUpdateId+1 <= u` (book_utils.py:41-44): for each
+    * purchase event, the most recent 'view' event at or before it by
+    * the same user. Both sides come from the time-overlapping events
+    * table so the alignment logic is genuinely exercised (an
+    * orders-vs-events version verifies vacuously: the tables' time
+    * ranges are decades apart). Implemented scalably as union +
+    * running `last(ignoreNulls)` window — one shuffle, no row
+    * explosion, no correlated subquery. */
   private def q13(s: SparkSession, d: String): DataFrame = {
-    val ev = tbl(s, d, "events").select(
-      (col("user_id") % 100).cast("long").as("bucket"),
+    val e = tbl(s, d, "events")
+    val views = e.filter(col("event_type") === "view").select(
+      col("user_id").as("bucket"),
       col("ts"),
       lit(0).as("tag"),
-      lit(null).cast("long").as("o_orderkey"),
-      ms(col("ts")).as("ev_ms"))
-    val od = tbl(s, d, "orders").select(
-      (col("o_custkey") % 100).cast("long").as("bucket"),
-      col("o_orderdate").as("ts"),
+      lit(null).cast("long").as("p_event_id"),
+      ms(col("ts")).as("v_ms"))
+    val purchases = e.filter(col("event_type") === "purchase").select(
+      col("user_id").as("bucket"),
+      col("ts"),
       lit(1).as("tag"),
-      col("o_orderkey"),
-      lit(null).cast("long").as("ev_ms"))
+      col("event_id").as("p_event_id"),
+      lit(null).cast("long").as("v_ms"))
     val w = Window.partitionBy("bucket")
-      .orderBy(col("ts"), col("tag"), col("ev_ms"))
+      .orderBy(col("ts"), col("tag"), col("v_ms"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.unionByName(od)
-      .withColumn("last_ev_ms", last(col("ev_ms"), ignoreNulls = true).over(w))
+    views.unionByName(purchases)
+      .withColumn("last_view_ms", last(col("v_ms"), ignoreNulls = true).over(w))
       .filter(col("tag") === 1)
-      .select(col("o_orderkey"), col("bucket"), col("last_ev_ms"))
-      .orderBy("o_orderkey")
+      .select(col("p_event_id").as("event_id"), col("bucket"),
+        col("last_view_ms"))
+      .orderBy("event_id")
   }
 
   private val q13Sql =
-    """SELECT o.o_orderkey, CAST(o.o_custkey % 100 AS BIGINT) AS bucket,
-      |       (SELECT epoch_ms(max(e.ts)) FROM events e
-      |        WHERE e.user_id % 100 = o.o_custkey % 100 AND e.ts <= o.o_orderdate) AS last_ev_ms
-      |FROM orders o ORDER BY o_orderkey""".stripMargin
+    """SELECT p.event_id, p.user_id AS bucket,
+      |       (SELECT epoch_ms(max(v.ts)) FROM events v
+      |        WHERE v.user_id = p.user_id AND v.event_type = 'view'
+      |          AND v.ts <= p.ts) AS last_view_ms
+      |FROM events p WHERE p.event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
 
   /** q14: set operations — intersect/except over the dedup/replay
     * surface (SURVEY §2.2). */

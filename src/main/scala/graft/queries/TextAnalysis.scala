@@ -138,8 +138,12 @@ object TextAnalysis {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** q35: document fingerprinting — order-sensitive position-weighted
-    * rolling hash fp = Σ phash(tok)·(ord+1) mod 1e9+7, with a count of
-    * fingerprint collisions (exact-duplicate detection surface). */
+    * rolling hash fp = Σ (phash(tok)·(ord+1) mod 1e9+7) mod 1e9+7,
+    * with a count of fingerprint collisions (exact-duplicate detection
+    * surface). The mod is applied per term BEFORE the sum — identical
+    * result (mod distributes over addition) but the long sum can
+    * never overflow, where an unreduced Σ h·ord would overflow Int64
+    * at ~90k-token documents while DuckDB's HUGEINT kept going. */
   private def q35(s: SparkSession, d: String): DataFrame = {
     val perTok = tbl(s, d, "documents")
       .select(col("doc_id"),
@@ -149,7 +153,8 @@ object TextAnalysis {
     val fp = perTok
       .join(broadcast(dim), Seq("tok"))
       .groupBy("doc_id")
-      .agg((sum(col("h") * (col("ord") + 1L)) % 1000000007L).as("fp"))
+      .agg((sum((col("h") * (col("ord") + 1L)) % 1000000007L)
+        % 1000000007L).as("fp"))
     fp.withColumn("n_same_fp",
         count(lit(1)).over(Window.partitionBy("fp")).cast("long"))
       .orderBy("doc_id")
@@ -158,7 +163,7 @@ object TextAnalysis {
   private val q35Sql =
     s"""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
       |                  generate_subscripts(string_split(text,' '),1) AS ord FROM documents),
-      |fp AS (SELECT doc_id, sum(${phashSql("tok")} * ord) % 1000000007 AS fp
+      |fp AS (SELECT doc_id, sum((${phashSql("tok")} * ord) % 1000000007) % 1000000007 AS fp
       |       FROM t GROUP BY doc_id)
       |SELECT doc_id, fp,
       |       CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_same_fp
