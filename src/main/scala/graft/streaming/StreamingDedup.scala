@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate detection — the online form of the batch
+  * MinHash+LSH dedup (q28): documents arrive as a stream, and each is
+  * checked against every previously seen document via LSH band
+  * signatures kept in keyed state.
+  *
+  * Scale design: signatures are computed entirely PER ROW with nested
+  * higher-order functions (shingle → hash → 16 minhashes → 4 band
+  * signatures) — no shuffle, no stateful aggregation — and the only
+  * stateful operator is keyed by (band, signature), so state
+  * partitions across executors and each key holds a single long (the
+  * first doc seen with that signature). The signature scheme is
+  * EXACTLY q28's (same shingles, same hash family, same 4×4 banding),
+  * so batch and stream agree on which pairs are candidates.
+  */
+object StreamingDedup {
+
+  final case class BandSig(doc_id: Long, band: Int, sig: String)
+  final case class DupVerdict(doc_id: Long, dup_of: Long, band: Int, sig: String)
+
+  private val P = 4294967311L
+
+  /** Per-row md5-prefix hash of each array element (T.phash lifted
+    * into a lambda). */
+  private def hashAll(shingles: Column): Column =
+    transform(shingles, x =>
+      conv(substring(md5(x), 1, 8), 16, 10).cast("long"))
+
+  /** (value: doc json with doc_id/text) → (doc_id, band, sig) rows,
+    * one per band, all computed row-locally. */
+  def bandSignatures(docs: DataFrame): DataFrame = {
+    val shingled = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        hashAll(array_distinct(transform(
+          sequence(lit(1), size(col("t")) - 2),
+          i => concat_ws(" ",
+            element_at(col("t"), i),
+            element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2))))).as("hs"))
+    val mh = shingled.select(col("doc_id"),
+      transform(sequence(lit(0), lit(15)), i =>
+        array_min(transform(col("hs"), h =>
+          (h * (lit(2L) * i + 1L) + lit(7919L) * i + 13L) % P))).as("mh"))
+    mh.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(3)), b =>
+          concat_ws("-", transform(
+            slice(col("mh"), b * 4 + 1, lit(4)), x => x.cast("string")))))
+          .as(Seq("band", "sig")))
+  }
+
+  /** Keyed first-seen state: within a (band, sig) group the earliest
+    * doc_id is the keeper; every later arrival is emitted as a
+    * duplicate of it. A document flagged through several bands yields
+    * several verdicts — downstream takes min(dup_of) per doc. */
+  def verdicts(sigs: DataFrame): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    sigs.as[BandSig]
+      .groupByKey(s => s"${s.band}:${s.sig}")
+      .flatMapGroupsWithState[Long, DupVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, events: Iterator[BandSig], state: GroupState[Long]) =>
+          val sorted = events.toVector.sortBy(_.doc_id)
+          val keeper = state.getOption.getOrElse(sorted.head.doc_id)
+          state.update(math.min(keeper, sorted.head.doc_id))
+          sorted.filter(_.doc_id != keeper).map(s =>
+            DupVerdict(s.doc_id, keeper, s.band, s.sig)).iterator
+      }
+      .toDF()
+  }
+
+  /** Full pipeline: raw doc frame (doc_id, text) → duplicate verdicts. */
+  def apply(docs: DataFrame): DataFrame = verdicts(bandSignatures(docs))
+}
