@@ -39,7 +39,8 @@ object OrderBook {
     * wall-clock value) shadow earlier-arriving deltas it predates. */
   def stateAt(depthRows: DataFrame, t: Long): DataFrame = {
     val w = Window.partitionBy(col("side"), col("price"))
-      .orderBy(col("local_timestamp").desc, col("timestamp").desc)
+      .orderBy(col("local_timestamp").desc, col("is_snapshot").asc,
+        col("timestamp").desc)
     depthRows
       .filter(col("is_snapshot") || col("timestamp") <= t)
       .withColumn("rn", row_number().over(w))

@@ -31,13 +31,23 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
+  override def nullable: Boolean = true
+
+  /** Null semantics mirror the `aggregate(zip_with(a,b,_*_),0d,_+_)`
+    * fold this expression replaces: a null element or a length
+    * mismatch (zip_with null-pads) poisons the sum to NULL. */
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -47,10 +57,18 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $s += $a.getDouble($i) * $b.getDouble($i);
+         |    }
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin

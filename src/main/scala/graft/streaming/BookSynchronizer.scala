@@ -41,15 +41,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object SyncLogic {
 
+  /** `buffered` is a COUNT, not the messages: with the snapshot fixed
+    * before stream start (our zero-egress model), only the
+    * just-arrived event can newly satisfy the bridge predicate (any
+    * earlier buffered event would have synced on ITS arrival against
+    * the same snapshot), and the reference's prune to
+    * `U >= bridge.U` then keeps exactly the bridge itself — so
+    * buffered messages are never emitted and holding them would be
+    * O(n²) state growth for nothing. (The reference re-scans its
+    * buffer because its snapshot can CHANGE between retry fetches,
+    * book_utils.py:26-33 — a case our constructor-provided snapshot
+    * rules out.) */
   final case class SyncState(
       synced: Boolean,
       lastU: Option[Long],
-      buffer: List[DepthRecord])
+      buffered: Long)
 
-  val empty: SyncState = SyncState(synced = false, None, Nil)
+  val empty: SyncState = SyncState(synced = false, None, 0L)
 
   /** Max pre-sync buffer size (guard absent in the reference). */
-  val maxBuffer = 100000
+  val maxBuffer = 100000L
 
   def step(
       st: SyncState,
@@ -66,27 +77,24 @@ object SyncLogic {
     if (tracked.synced) {
       (tracked, List(ev)) // 4. pass-through
     } else {
-      // 2. buffer + bridge search
-      val buffer = tracked.buffer :+ ev
-      if (buffer.length > maxBuffer)
-        throw new IllegalStateException(
-          s"book sync buffer exceeded $maxBuffer updates without syncing")
       val lastId = snapshot.lastUpdateId
-      val bridge = buffer
-        .filter(_.last_update_id > lastId) // stale filter (book_utils.py:35)
-        .find(x => x.first_update_id <= lastId + 1 &&
-          x.last_update_id >= lastId + 1) // bridge rule (book_utils.py:41-44)
-      bridge match {
-        case None =>
-          (tracked.copy(buffer = buffer), Nil)
-        case Some(b) =>
-          // 3. snapshot replay then pruned buffer then current again
-          val pruned = buffer.filter(_.first_update_id >= b.first_update_id)
-          val snapTs = ev.local_timestamp - 1 // spot_depth_etl.py:116
-          val snapRec = DepthRecord(snapTs, snapTs, lastId, lastId,
-            snapshot.bids, snapshot.asks, is_snapshot = true)
-          (tracked.copy(synced = true, buffer = Nil),
-            snapRec :: (pruned :+ ev))
+      // 2. stale filter (book_utils.py:35) + bridge rule (:41-44),
+      // evaluated on the current event only (see SyncState scaladoc)
+      val isBridge = ev.last_update_id > lastId &&
+        ev.first_update_id <= lastId + 1 && ev.last_update_id >= lastId + 1
+      if (isBridge) {
+        // 3. snapshot replay, then the bridge, then the current
+        // message once more (the reference's fall-through double-save)
+        val snapTs = ev.local_timestamp - 1 // spot_depth_etl.py:116
+        val snapRec = DepthRecord(snapTs, snapTs, lastId, lastId,
+          snapshot.bids, snapshot.asks, is_snapshot = true)
+        (tracked.copy(synced = true, buffered = 0L),
+          List(snapRec, ev, ev))
+      } else {
+        if (tracked.buffered + 1 > maxBuffer)
+          throw new IllegalStateException(
+            s"book sync buffered over $maxBuffer updates without syncing")
+        (tracked.copy(buffered = tracked.buffered + 1), Nil)
       }
     }
   }

@@ -37,7 +37,10 @@ final class CsvAppendSink(
   /** Sidecar recording the last batchId appended — makes the append
     * idempotent when Spark replays the last uncommitted micro-batch
     * after a restart (foreachBatch is at-least-once; the batchId
-    * guard upgrades this sink to effectively-once). */
+    * guard narrows this to effectively-once, except for a crash in
+    * the small window between the data append and the sidecar write —
+    * true exactly-once needs a transactional sink, which is what the
+    * parquet sink format provides). */
   private val batchIdPath: Path =
     Paths.get(basePath, s"$symbol.$market.$kind.csv.lastbatch")
   @volatile var batchesSaved: Long = 0L
@@ -90,7 +93,12 @@ final class CsvAppendSink(
         w.newLine()
       }
     } finally w.close()
-    Files.write(batchIdPath, batchId.toString.getBytes)
+    // atomic sidecar update (no torn reads on crash mid-write)
+    val tmp = batchIdPath.resolveSibling(batchIdPath.getFileName.toString + ".tmp")
+    Files.write(tmp, batchId.toString.getBytes)
+    Files.move(tmp, batchIdPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     batchesSaved += 1
   }
 }

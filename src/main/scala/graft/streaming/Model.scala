@@ -74,27 +74,9 @@ final case class BookSnapshot(
     bids: Seq[Seq[String]],
     asks: Seq[Seq[String]])
 
-object Schemas {
-  /** Wire schema of a trade message. PERMISSIVE parse + null filter
-    * reproduces the reference's log-and-drop (spot_trades_etl.py:56-58). */
-  val trade: StructType = StructType(Seq(
-    StructField("e", StringType),
-    StructField("E", LongType),
-    StructField("s", StringType),
-    StructField("t", LongType),
-    StructField("p", StringType),
-    StructField("q", StringType),
-    StructField("T", LongType),
-    StructField("m", BooleanType),
-    StructField("M", BooleanType)))
-
-  /** Wire schema of a diff-depth message. */
-  val depth: StructType = StructType(Seq(
-    StructField("e", StringType),
-    StructField("E", LongType),
-    StructField("s", StringType),
-    StructField("U", LongType),
-    StructField("u", LongType),
-    StructField("b", ArrayType(ArrayType(StringType))),
-    StructField("a", ArrayType(ArrayType(StringType)))))
-}
+// NOTE: there is deliberately NO from_json StructType for the wire
+// messages — Binance's field pairs (e/E, U/u, t/T, m/M) collide under
+// Spark's default case-insensitive analysis, so Pipelines parses with
+// json_tuple (positional, key-matched case-sensitively at the JSON
+// level). The wire shapes are documented on the case classes above
+// and in FIXTURES.md §2.

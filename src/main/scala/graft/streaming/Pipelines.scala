@@ -34,8 +34,12 @@ object Pipelines {
         json_tuple(col("value"), "e", "E", "t", "p", "q", "m")
           .as(Seq("et", "ets", "tid", "p", "q", "m")),
         col("local_timestamp"))
-      // corrupt JSON ⇒ all-null tuple; ack/greeting ⇒ et != 'trade'
-      .filter(col("et") === "trade")
+      // corrupt JSON ⇒ all-null tuple; ack/greeting ⇒ et != 'trade';
+      // a type-matching message MISSING required fields is dropped too
+      // (the reference's KeyError → warn-and-drop, spot_trades_etl.py:56-58)
+      .filter(col("et") === "trade" &&
+        col("ets").isNotNull && col("tid").isNotNull &&
+        col("p").isNotNull && col("q").isNotNull && col("m").isNotNull)
       .select(
         col("ets").cast("long").as("timestamp"),
         col("local_timestamp"),
@@ -54,7 +58,12 @@ object Pipelines {
         json_tuple(col("value"), "e", "E", "U", "u", "b", "a")
           .as(Seq("et", "ets", "fu", "lu", "bjson", "ajson")),
         col("local_timestamp"))
-      .filter(col("et") === "depthUpdate")
+      // missing U/u/E/b/a ⇒ drop whole message (reference KeyError path,
+      // spot_depth_etl.py:74-76) — a null id would otherwise kill the
+      // typed book-sync operator
+      .filter(col("et") === "depthUpdate" &&
+        col("ets").isNotNull && col("fu").isNotNull && col("lu").isNotNull &&
+        col("bjson").isNotNull && col("ajson").isNotNull)
       .select(
         col("ets").cast("long").as("timestamp"),
         col("local_timestamp"),

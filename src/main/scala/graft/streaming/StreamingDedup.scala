@@ -68,8 +68,14 @@ object StreamingDedup {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, events: Iterator[BandSig], state: GroupState[Long]) =>
           val sorted = events.toVector.sortBy(_.doc_id)
-          val keeper = state.getOption.getOrElse(sorted.head.doc_id)
-          state.update(math.min(keeper, sorted.head.doc_id))
+          // strict FIRST-SEEN semantics: the keeper never changes once
+          // set (min-updating it would later flag the keeper itself as
+          // a duplicate of a doc that was already deduplicated away)
+          val keeper = state.getOption.getOrElse {
+            val k = sorted.head.doc_id
+            state.update(k)
+            k
+          }
           sorted.filter(_.doc_id != keeper).map(s =>
             DupVerdict(s.doc_id, keeper, s.band, s.sig)).iterator
       }

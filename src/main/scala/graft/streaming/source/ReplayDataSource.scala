@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -100,8 +100,10 @@ private[source] class ReplayMicroBatchStream(
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private lazy val files: Seq[String] = ReplayDataSource.listFiles(path)
-  private lazy val counts: Seq[Long] =
-    files.map(f => Files.lines(Paths.get(f)).count())
+  private lazy val counts: Seq[Long] = files.map { f =>
+    val st = Files.lines(Paths.get(f))
+    try st.count() finally st.close()
+  }
   private lazy val total: Long = counts.sum
 
   override def initialOffset(): Offset = LineOffset(0L)
@@ -110,7 +112,15 @@ private[source] class ReplayMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[LineOffset].line
-    LineOffset(math.min(s + batchSize, total)) // §2.1 #15 count admission
+    // honor the engine's limit: Trigger.Once/AvailableNow pass
+    // ReadAllAvailable — ignoring it would silently record only one
+    // batchSize chunk and terminate
+    val cap = limit match {
+      case _: ReadAllAvailable => total
+      case m: ReadMaxRows => s + m.maxRows()
+      case _ => s + batchSize
+    }
+    LineOffset(math.min(cap, total)) // §2.1 #15 count admission
   }
 
   override def reportLatestOffset(): Offset = LineOffset(total)
@@ -126,7 +136,7 @@ private[source] class ReplayMicroBatchStream(
     val s = start.asInstanceOf[LineOffset].line
     val e = end.asInstanceOf[LineOffset].line
     if (s >= e) Array.empty
-    else Array(ReplayPartition(files, s, e,
+    else Array(ReplayPartition(files, counts, s, e,
       arrivalMs.getOrElse(System.currentTimeMillis())))
   }
 
@@ -139,25 +149,54 @@ private[source] class ReplayMicroBatchStream(
 
 /** One ordered partition per micro-batch: replay is an ordered tape,
   * and order is what the book-sync contiguity contract consumes.
-  * (A live multi-symbol source would partition by stream instead.) */
+  * (A live multi-symbol source would partition by stream instead.)
+  * Carries per-file line counts so the reader seeks with Long offsets
+  * (no Int truncation) and opens only the files its range touches. */
 case class ReplayPartition(
-    files: Seq[String], start: Long, end: Long, localTs: Long)
-    extends InputPartition
+    files: Seq[String], counts: Seq[Long], start: Long, end: Long,
+    localTs: Long) extends InputPartition
 
 private[source] class ReplayReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ReplayPartition]
     new PartitionReader[InternalRow] {
-      private val it: Iterator[String] = p.files.iterator
-        .flatMap(f => Files.readAllLines(Paths.get(f)).asScala)
-        .slice(p.start.toInt, p.end.toInt)
+      // map the global [start, end) range onto (file, localStart,
+      // localEnd) slices, skipping files entirely outside the range —
+      // streams lines instead of materializing every preceding file
+      private val slices: Iterator[(String, Long, Long)] = {
+        val cum = p.counts.scanLeft(0L)(_ + _) // file f spans [cum(f), cum(f+1))
+        p.files.indices.iterator.flatMap { f =>
+          val (lo, hi) = (cum(f), cum(f + 1))
+          val s = math.max(p.start, lo)
+          val e = math.min(p.end, hi)
+          if (s < e) Some((p.files(f), s - lo, e - lo)) else None
+        }
+      }
+      private var fileIt: Iterator[String] = Iterator.empty
       private var current: String = _
+      private var open: java.util.stream.Stream[String] = _
+
+      private def advanceFile(): Boolean = {
+        if (open != null) { open.close(); open = null }
+        if (!slices.hasNext) return false
+        val (file, s, e) = slices.next()
+        open = Files.lines(Paths.get(file))
+        fileIt = open.iterator().asScala.slice(
+          // per-file offsets are bounded by the file's line count, so
+          // the Int narrowing here cannot truncate real values unless
+          // a single file exceeds 2^31 lines (split tapes before that)
+          math.toIntExact(s), math.toIntExact(e))
+        true
+      }
+
       override def next(): Boolean = {
-        if (it.hasNext) { current = it.next(); true } else false
+        while (!fileIt.hasNext) if (!advanceFile()) return false
+        current = fileIt.next()
+        true
       }
       override def get(): InternalRow =
         InternalRow(UTF8String.fromString(current), p.localTs)
-      override def close(): Unit = ()
+      override def close(): Unit = if (open != null) open.close()
     }
   }
 }
