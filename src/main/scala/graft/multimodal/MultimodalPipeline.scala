@@ -94,6 +94,24 @@ object MultimodalPipeline {
     }
   }
 
+  /** Resize: recompute target dimensions preserving aspect ratio
+    * (longest side capped at `maxSide`) — partition-local like
+    * [[extractFeatures]]; a real implementation hands pixels to the
+    * codec, the dimension arithmetic and batch shape stay the same. */
+  def resize(features: Dataset[MediaFeatures], maxSide: Int): Dataset[MediaFeatures] = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      val longest = math.max(f.width, f.height)
+      if (longest <= maxSide) f
+      else {
+        val scale = maxSide.toDouble / longest
+        f.copy(
+          width = math.max(1, math.round(f.width * scale).toInt),
+          height = math.max(1, math.round(f.height * scale).toInt))
+      }
+    }
+  }
+
   /** Frame sampling: every k-th frame index up to the decoded frame
     * count — the row-explosion shape of video pipelines (each sampled
     * frame becomes a row, to be decoded/embedded downstream). */

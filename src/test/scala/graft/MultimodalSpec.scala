@@ -35,6 +35,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize caps the longest side preserving aspect ratio") {
+    val resized = MultimodalPipeline.resize(feats, maxSide = 100).collect()
+    val originals = feats.collect().map(f => f.media_id -> f).toMap
+    resized.foreach { r =>
+      val o = originals(r.media_id)
+      assert(math.max(r.width, r.height) <= 100)
+      if (math.max(o.width, o.height) <= 100)
+        assert(r.width == o.width && r.height == o.height)
+      else if (math.min(r.width, r.height) >= 5) {
+        // ratio check only where integer rounding can't dominate
+        val ratioO = o.width.toDouble / o.height
+        val ratioR = r.width.toDouble / r.height
+        assert(math.abs(ratioO - ratioR) / ratioO < 0.2)
+      }
+    }
+  }
+
   test("media stats aggregates per type") {
     val stats = MultimodalPipeline.mediaStats(feats).collect()
     assert(stats.length == 3)
