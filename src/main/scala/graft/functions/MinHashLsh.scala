@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared MinHash+LSH signature scheme — the ONE definition used by both
+  * the batch candidate-pair query (q28, `queries/Dedup.scala`) and the
+  * online streaming dedup (s11, `streaming/StreamingDedup.scala`), so
+  * batch and stream provably agree on which pairs are candidates.
+  *
+  * Scheme: 3-gram token shingles → portable md5-prefix hash →
+  * 16 minhashes mh_i = min((h·(2i+1) + 7919·i + 13) mod 4294967311)
+  * → 4 bands of 4, each band signature the '-'-joined minhash values.
+  * Pure integer arithmetic on the portable hash ⇒ bit-identical in the
+  * DuckDB oracle.
+  *
+  * Scale design (100 TB posture): the whole signature computation is
+  * row-local — nested higher-order functions over the per-document
+  * shingle array, no explode, no shuffle, no stateful aggregation.
+  * (An earlier formulation exploded 16× per hashed shingle and shuffled
+  * into groupBy(doc_id, i).min — same result, but the explode+shuffle
+  * was 25% of the whole benchmark and would move 16× the corpus over
+  * the network at scale. Signatures are embarrassingly parallel; only
+  * candidate generation should shuffle, and it shuffles by (band, sig).)
+  */
+object MinHashLsh {
+
+  /** Minhash modulus (smallest prime > 2^32). */
+  val P = 4294967311L
+
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Per-row md5-prefix hash of each array element (T.phash lifted
+    * into a lambda). */
+  def hashAll(shingles: Column): Column =
+    transform(shingles, x =>
+      conv(substring(md5(x), 1, 8), 16, 10).cast("long"))
+
+  /** Distinct 3-gram shingle array of a pre-split token array column. */
+  def shingleArray(t: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(t) - 2),
+      i => concat_ws(" ",
+        element_at(t, i),
+        element_at(t, i + 1),
+        element_at(t, i + 2))))
+
+  /** (doc_id, text) → (doc_id, band, sig) rows, one per band, all
+    * computed row-locally (docs with fewer than 3 tokens have no
+    * shingles and are skipped, matching the batch shingle builder).
+    *
+    * The signature compute is CPU-bound per row, so parallelism must
+    * not be bound to the input split count: a small corpus arrives as
+    * ONE parquet split and would serialize the whole build on one
+    * core. The narrow repartition by doc_id (row-sized shuffle of raw
+    * text) pins parallelism to the cluster, not the file layout; at
+    * real scale the scan has thousands of splits and the exchange is
+    * equally useful as the reusable anchor for self-joins downstream. */
+  def bandSignatures(docs: DataFrame): DataFrame = {
+    // The md5 hashing of the shingle set (`hs`) is the expensive step,
+    // and it sits BELOW the repartition exchange: CollapseProject
+    // inlines single-reference aliases into downstream lambda bodies,
+    // where they would be re-evaluated once per lambda element — an
+    // adjacent-projection formulation of this pipeline recomputed the
+    // md5s 16×. The exchange is a collapse barrier, so `hs` is
+    // materialized exactly once per row.
+    val hashed = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), hashAll(shingleArray(col("t"))).as("hs"))
+      .repartition(col("doc_id"))
+    // All 16 minhashes in ONE fold over the hashed shingle set (the
+    // streaming-minhash formulation): acc starts at P (> every mod
+    // value) and takes the per-function min as each shingle streams
+    // by. Arithmetic only — cheap enough that its re-evaluation per
+    // band lambda (4×) is irrelevant once the md5s are protected.
+    val mh = hashed.select(col("doc_id"),
+      aggregate(
+        col("hs"),
+        array_repeat(lit(P), NumHashes),
+        (acc, h) => zip_with(acc, sequence(lit(0), lit(NumHashes - 1)),
+          (a, i) => least(a,
+            (h * (lit(2L) * i + 1L) + lit(7919L) * i + 13L) % P))).as("mh"))
+    mh.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+          concat_ws("-", transform(
+            slice(col("mh"), b * RowsPerBand + 1, lit(RowsPerBand)),
+            x => x.cast("string")))))
+          .as(Seq("band", "sig")))
+  }
+}

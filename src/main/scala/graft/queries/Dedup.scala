@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.T._
+import graft.functions.MinHashLsh
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -11,13 +12,15 @@ import org.apache.spark.sql.functions._
   * (T.phash) so DuckDB oracles are hash-exact.
   *
   * Scale design (100 TB posture): the exact-Jaccard join only touches
-  * co-occurring shingles (no all-pairs blowup as long as shingle
-  * frequencies are bounded — a frequency cap on hot shingles is the
-  * standard mitigation); MinHash/LSH reduces candidate generation to
-  * equality joins on band signatures, which shuffle-partition cleanly
-  * by (band, signature); SimHash pair pruning would use band-prefix
-  * blocking at scale (kept exact all-pairs here because the documents
-  * table is small at every test sf).
+  * co-occurring shingles (no all-pairs blowup — hot shingles above a
+  * document-frequency cap are dropped before the self-join, the
+  * standard stop-phrase mitigation); MinHash/LSH reduces candidate
+  * generation to equality joins on band signatures, which
+  * shuffle-partition cleanly by (band, signature) and are computed
+  * row-locally (functions.MinHashLsh — zero shuffle); SimHash pairing
+  * uses band-prefix blocking (equality join on 8-bit signature bands,
+  * exact for hamming ≤ 3 by pigeonhole) instead of an all-pairs
+  * cartesian.
   */
 object Dedup {
 
@@ -48,13 +51,32 @@ object Dedup {
   private def shingles(s: SparkSession, d: String): DataFrame =
     shinglesBy(s, d, "doc_id")
 
+  /** Document-frequency cap for the exact-Jaccard self-join: shingles
+    * shared by more than this many documents are dropped before the
+    * join. A single stop-phrase shingle shared by k docs contributes
+    * O(k²) join rows — one phrase in 1M docs is 10¹² rows — so the cap
+    * bounds per-shingle join fan-out at cap² regardless of corpus
+    * size. Chosen far above the observed max df at every test sf
+    * (sf0.1: max df = 25 over 5000 docs) so test results are
+    * byte-identical with and without the cap; at production scale it
+    * would be tuned to ~0.1% of the corpus. */
+  private[queries] val HotShingleDfCap = 1000L
+
   /** Near-duplicate pairs (da < db) with exact 3-gram Jaccard ≥ 0.2 —
-    * the q25 computation, shared with q48's cluster resolution. */
-  private[queries] def nearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shA = sh.select(col("doc_id").as("da"), col("shingle"))
-    val shB = sh.select(col("doc_id").as("db"), col("shingle").as("shingle_b"))
+    * the q25 computation, shared with q48's cluster resolution.
+    * Injectable corpus + cap so the blowup guard is unit-testable. */
+  private[queries] def nearDupPairsFrom(sh: DataFrame, dfCap: Long): DataFrame = {
+    // Cap is applied BEFORE set sizes are computed, so jaccard stays a
+    // true Jaccard over the capped shingle universe (intersections and
+    // unions count the same shingle set).
+    val capped = sh
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= dfCap)
+      .drop("df")
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shA = capped.select(col("doc_id").as("da"), col("shingle"))
+    val shB = capped.select(col("doc_id").as("db"), col("shingle").as("shingle_b"))
     val inter = shA
       .join(shB, col("shingle") === col("shingle_b") && col("da") < col("db"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
@@ -66,6 +88,9 @@ object Dedup {
           (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
   }
+
+  private[queries] def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    nearDupPairsFrom(shingles(s, d), HotShingleDfCap)
 
   /** q25: near-duplicate documents by exact 3-gram shingle Jaccard
     * (the verifiable form of MinHash dedup at test scale — the MinHash
@@ -100,24 +125,21 @@ object Dedup {
     * the tiny shared vocab makes every pair collide), banded 4×4; a
     * candidate pair shares at least one full band signature. Pure
     * integer arithmetic on the portable hash ⇒ bit-identical in
-    * DuckDB. */
+    * DuckDB.
+    *
+    * Signatures come from the shared row-local HOF scheme
+    * ([[graft.functions.MinHashLsh.bandSignatures]] — also the s11
+    * streaming-dedup scheme, so batch and stream provably agree); the
+    * only shuffle in the whole query is candidate generation itself,
+    * the (band, sig) equality self-join. */
   private def q28(s: SparkSession, d: String): DataFrame = {
-    val hashed = shingles(s, d)
-      .select(col("doc_id"), phash(col("shingle")).as("h"))
-    val mh = hashed
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(15))).as("i"))
-      .withColumn("mh",
-        (col("h") * (lit(2L) * col("i") + 1L) + lit(7919L) * col("i") + 13L)
-          % 4294967311L)
-      .groupBy(col("doc_id"), col("i")).agg(min(col("mh")).as("mh"))
-    val sigs = mh
-      .withColumn("band", expr("i div 4"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(concat_ws("-",
-        transform(
-          array_sort(collect_list(struct(col("i"), col("mh")))),
-          e => e.getField("mh").cast("string"))).as("sig"))
+    // Repartition on the join keys BEFORE the self-join: both sides
+    // then share one canonicalized exchange (ReuseExchange), so the
+    // CPU-bound signature build runs ONCE, not once per join side —
+    // and the (band, sig) equality join is co-partitioned, needing no
+    // further shuffle.
+    val sigs = MinHashLsh.bandSignatures(tbl(s, d, "documents"))
+      .repartition(col("band"), col("sig"))
     val a = sigs.select(col("doc_id").as("da"), col("band"), col("sig"))
     val b = sigs.select(col("doc_id").as("db"), col("band").as("band_b"),
       col("sig").as("sig_b"))
@@ -152,15 +174,23 @@ object Dedup {
     * pairs at Hamming distance ≤ 3. The token hash is computed once
     * per DISTINCT token and broadcast-joined back (hashing per
     * occurrence would md5 the whole corpus; the distinct-token dim is
-    * tiny relative to it at any scale). */
-  private def q29(s: SparkSession, d: String): DataFrame = {
+    * tiny relative to it at any scale).
+    *
+    * Pairing uses band-prefix blocking, not an all-pairs cartesian:
+    * the 32-bit signature is split into 4 bands of 8 bits, and
+    * candidates are generated by an equality self-join on
+    * (band, band_value). EXACT for the hamming ≤ 3 predicate — by
+    * pigeonhole, ≤ 3 differing bits cannot touch all 4 bands, so every
+    * qualifying pair shares at least one full band. Turns O(n²)
+    * pairing into a shuffle-partitioned equality join (the LSH shape),
+    * which is what survives a 100× corpus. */
+  private[queries] def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     val tokens = toks(s, d)
     val dim = tokens.select(col("tok")).distinct()
       .withColumn("h", phash(col("tok")))
-    val tf = tokens
+    tokens
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .join(broadcast(dim), Seq("tok"))
-    val sim = tf
       .select(col("doc_id"), col("cnt"), col("h"),
         explode(sequence(lit(0), lit(31))).as("b"))
       .withColumn("contrib",
@@ -170,9 +200,21 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sum(when(col("s") > 0, expr("cast(pow(2, b) as bigint)"))
         .otherwise(0L)).as("sim"))
-    val a = sim.select(col("doc_id").as("da"), col("sim").as("sa"))
-    val b = sim.select(col("doc_id").as("db"), col("sim").as("sb"))
-    a.join(b, col("da") < col("db"))
+  }
+
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    val sim = simhashSignatures(s, d)
+    val banded = sim
+      .select(col("doc_id"), col("sim"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv", expr("shiftright(sim, band * 8) & 255"))
+    val a = banded.select(col("doc_id").as("da"), col("sim").as("sa"),
+      col("band"), col("bv"))
+    val b = banded.select(col("doc_id").as("db"), col("sim").as("sb"),
+      col("band").as("band_b"), col("bv").as("bv_b"))
+    a.join(b, col("band") === col("band_b") && col("bv") === col("bv_b") &&
+        col("da") < col("db"))
+      .select(col("da"), col("db"), col("sa"), col("sb")).distinct()
       .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
       .filter(col("hamming") <= 3)
       .select(col("da"), col("db"), col("hamming"))

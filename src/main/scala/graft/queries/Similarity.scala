@@ -136,13 +136,68 @@ object Similarity {
       |  FROM q JOIN assign m ON q.cluster = m.cluster AND q.qid <> m.vec_id)
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** q52: blocked embedding near-dup — the scale shape of q30. Each
+    * vector is assigned to its top-2 nearest of the 8 seed centroids
+    * (multi-probe softens cluster-boundary misses); candidate pairs
+    * are generated by an equality self-join on the assigned cluster id
+    * and scored with the same rounded cosine ≥ 0.4 predicate. The
+    * plan has NO cartesian/broadcast-NL pair join (asserted in
+    * DedupScaleSpec): candidate generation shuffles once on cluster
+    * id, so pair cost is Σ cluster² instead of n². Approximate by
+    * design (pairs whose members share no probed cluster are not
+    * candidates); the oracle encodes the same blocking, and q30
+    * remains the exactness baseline. */
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    val c = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val assign = v.join(broadcast(c), lit(true))
+      .withColumn("ccos", cosR("v", "cv", col("nrm"), col("cn")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id"), col("cid").as("cluster"), col("v"), col("nrm"))
+    val a = assign.select(col("vec_id").as("va"), col("cluster"),
+      col("v").as("av"), col("nrm").as("na"))
+    val b = assign.select(col("vec_id").as("vb"), col("cluster").as("cluster_b"),
+      col("v").as("bv"), col("nrm").as("nb"))
+    a.join(b, col("cluster") === col("cluster_b") && col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        cosR("av", "bv", col("na"), col("nb")).as("cos"))
+      .distinct() // a pair sharing both probed clusters matches twice
+      .filter(col("cos") >= 0.4)
+      .orderBy("va", "vb")
+  }
+
+  private val q52Sql =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+      |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+      |assign AS (
+      |  SELECT vec_id, cid AS cluster, v, nrm FROM (
+      |    SELECT n.vec_id, c.cid, n.v, n.nrm,
+      |           row_number() OVER (
+      |             PARTITION BY n.vec_id
+      |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
+      |                      c.cid ASC) AS rn
+      |    FROM n CROSS JOIN c)
+      |  WHERE rn <= 2)
+      |SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+      |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+      |FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+      |ORDER BY va, vb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_cosine_topk" -> q26 _,
     "q30_embed_neardup" -> q30 _,
-    "q31_ann_ivf" -> q31 _)
+    "q31_ann_ivf" -> q31 _,
+    "q52_embed_neardup_blocked" -> q52 _)
 
   val oracles: Map[String, String] = Map(
     "q26_cosine_topk" -> q26Sql,
     "q30_embed_neardup" -> q30Sql,
-    "q31_ann_ivf" -> q31Sql)
+    "q31_ann_ivf" -> q31Sql,
+    "q52_embed_neardup_blocked" -> q52Sql)
 }

@@ -33,8 +33,8 @@ object TextAnalysis {
       .orderBy("lang")
 
   private val q27Sql =
-    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-      |       sum(len(string_split(text, ' '))) AS total_tokens,
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
       |       CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars,
       |       CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
       |         / CAST(count(*) AS DOUBLE) AS avg_tokens
@@ -71,7 +71,7 @@ object TextAnalysis {
   private val q32Sql =
     s"""WITH t AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents),
       |sc AS (
-      |  SELECT doc_id, lang, cand, sum(${phashSql("cand || ':' || tok")} % 1000) AS score
+      |  SELECT doc_id, lang, cand, CAST(sum(${phashSql("cand || ':' || tok")} % 1000) AS BIGINT) AS score
       |  FROM t CROSS JOIN (SELECT unnest(['de','en','es','fr','zh']) AS cand)
       |  GROUP BY doc_id, lang, cand)
       |SELECT doc_id, cand AS pred_lang, lang, cand = lang AS correct, score
@@ -163,7 +163,7 @@ object TextAnalysis {
   private val q35Sql =
     s"""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
       |                  generate_subscripts(string_split(text,' '),1) AS ord FROM documents),
-      |fp AS (SELECT doc_id, sum((${phashSql("tok")} * ord) % 1000000007) % 1000000007 AS fp
+      |fp AS (SELECT doc_id, CAST(sum((${phashSql("tok")} * ord) % 1000000007) % 1000000007 AS BIGINT) AS fp
       |       FROM t GROUP BY doc_id)
       |SELECT doc_id, fp,
       |       CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_same_fp

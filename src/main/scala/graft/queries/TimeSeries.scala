@@ -103,7 +103,7 @@ object TimeSeries {
       |  FROM events GROUP BY 1)
       |SELECT day_num,
       |       CAST(CAST(sum(day_sum) OVER w AS VARCHAR) AS DOUBLE) / CAST(sum(day_n) OVER w AS DOUBLE) AS avg7,
-      |       sum(day_n) OVER w AS n7
+      |       CAST(sum(day_n) OVER w AS BIGINT) AS n7
       |FROM daily
       |WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY day_num""".stripMargin

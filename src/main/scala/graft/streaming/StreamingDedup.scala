@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions._
+import graft.functions.MinHashLsh
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming near-duplicate detection — the online form of the batch
@@ -23,37 +23,12 @@ object StreamingDedup {
   final case class BandSig(doc_id: Long, band: Int, sig: String)
   final case class DupVerdict(doc_id: Long, dup_of: Long, band: Int, sig: String)
 
-  private val P = 4294967311L
-
-  /** Per-row md5-prefix hash of each array element (T.phash lifted
-    * into a lambda). */
-  private def hashAll(shingles: Column): Column =
-    transform(shingles, x =>
-      conv(substring(md5(x), 1, 8), 16, 10).cast("long"))
-
-  /** (value: doc json with doc_id/text) → (doc_id, band, sig) rows,
-    * one per band, all computed row-locally. */
-  def bandSignatures(docs: DataFrame): DataFrame = {
-    val shingled = docs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"),
-        hashAll(array_distinct(transform(
-          sequence(lit(1), size(col("t")) - 2),
-          i => concat_ws(" ",
-            element_at(col("t"), i),
-            element_at(col("t"), i + 1),
-            element_at(col("t"), i + 2))))).as("hs"))
-    val mh = shingled.select(col("doc_id"),
-      transform(sequence(lit(0), lit(15)), i =>
-        array_min(transform(col("hs"), h =>
-          (h * (lit(2L) * i + 1L) + lit(7919L) * i + 13L) % P))).as("mh"))
-    mh.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(3)), b =>
-          concat_ws("-", transform(
-            slice(col("mh"), b * 4 + 1, lit(4)), x => x.cast("string")))))
-          .as(Seq("band", "sig")))
-  }
+  /** (doc_id, text) → (doc_id, band, sig) rows, one per band, all
+    * computed row-locally — delegates to the single shared scheme
+    * definition ([[graft.functions.MinHashLsh.bandSignatures]], also
+    * used by batch q28) so batch and stream cannot diverge. */
+  def bandSignatures(docs: DataFrame): DataFrame =
+    MinHashLsh.bandSignatures(docs)
 
   /** Keyed first-seen state: within a (band, sig) group the earliest
     * doc_id is the keeper; every later arrival is emitted as a
