@@ -50,7 +50,12 @@ class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Double] {
     if (buf.length < k) buf.length.toDouble
     else (k - 1).toDouble * 4294967296.0 / buf(k - 1).toDouble
 
+  // kryo, not javaSerialization: the buffer round-trips on every
+  // partial merge, and kryo writes a primitive long[] as length +
+  // packed values instead of a full Java object-stream header per
+  // merge. (KMV is order-independent, so encoding never affects the
+  // result — only merge overhead.)
   override def bufferEncoder: Encoder[Array[Long]] =
-    Encoders.javaSerialization[Array[Long]]
+    Encoders.kryo[Array[Long]]
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }

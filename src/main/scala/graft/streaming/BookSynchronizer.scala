@@ -51,7 +51,13 @@ object SyncLogic {
     * O(n²) state growth for nothing. (The reference re-scans its
     * buffer because its snapshot can CHANGE between retry fetches,
     * book_utils.py:26-33 — a case our constructor-provided snapshot
-    * rules out.) */
+    * rules out. SyncLogicPropSpec's "fixed-snapshot model subsumes
+    * the reference's snapshot re-fetch branch" property verifies the
+    * subsumption against a faithful simulator of the delayed-fetch
+    * algorithm: byte-identical whenever the snapshot exists by the
+    * time the bridge arrives — always true in our deployment, where
+    * the driver fetches it before starting the stream — and
+    * same-unique-output when it arrives later.) */
   final case class SyncState(
       synced: Boolean,
       lastU: Option[Long],

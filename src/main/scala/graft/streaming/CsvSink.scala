@@ -62,19 +62,35 @@ final class CsvAppendSink(
 
   private def render(v: Any): String = v match {
     case null => ""
-    case b: Boolean => if (b) "true" else "false"
+    // Python bool capitalization: the reference persists rows via
+    // pandas DataFrame.to_csv (storage.py:60-66), which renders bools
+    // as 'True'/'False' — so depth's is_snapshot column must too.
+    case b: Boolean => if (b) "True" else "False"
     case other => other.toString
   }
 
   /** foreachBatch body. Header iff nothing written yet (storage.py:
     * 67-68, 74-75); replayed batches (batchId already recorded) are
-    * skipped. */
+    * skipped.
+    *
+    * Flush-cadence deviation from the reference (deliberate):
+    * storage.py:24-36 buffers OUTPUT rows and flushes only when
+    * ≥ batch_size rows accumulated, silently dropping a trailing
+    * partial buffer at shutdown; this sink writes every non-empty
+    * micro-batch (the replay source admits batch_size MESSAGES, and a
+    * depth message explodes to several rows). Net effect: file
+    * CONTENT gains the tail rows the reference loses at shutdown, and
+    * `batchesSaved` counts micro-batches, not 1000-row chunks. Row
+    * bytes are otherwise identical. */
   def writeBatch(df: DataFrame, batchId: Long): Unit = {
     if (batchId <= lastWrittenBatch) return
     val projected = df.select(columns.map(col): _*)
     val it = projected.toLocalIterator()
     if (!it.hasNext) return
-    val w = new BufferedWriter(new FileWriter(path.toFile, true))
+    // explicit UTF-8: platform-default charset could diverge from the
+    // reference's UTF-8 CSVs on a non-UTF-8 locale JVM
+    val w = new BufferedWriter(new FileWriter(path.toFile,
+      java.nio.charset.StandardCharsets.UTF_8, true))
     try {
       if (Files.size(path) == 0L) {
         w.write(columns.mkString(","))

@@ -19,8 +19,17 @@ object StreamMetrics {
   }
 
   private val byRun = new ConcurrentHashMap[UUID, Totals]()
-  private val registered =
-    ConcurrentHashMap.newKeySet[SparkSession]()
+  // Weak keys: a stopped SparkSession must be collectable — a strong
+  // key-set would pin every session ever registered in a long-lived
+  // multi-session process.
+  private val registered = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+  // Totals of TERMINATED runs stay readable (tests and operators read
+  // finals after stop) but only the most recent `Retention` of them —
+  // unbounded byRun growth across query churn is a slow leak.
+  private val terminated = new java.util.concurrent.ConcurrentLinkedQueue[UUID]()
+  private val Retention = 64
 
   /** Registers the accumulator listener once per session. */
   def ensureListener(spark: SparkSession): Unit =
@@ -36,7 +45,13 @@ object StreamMetrics {
           Option(om.get("graft_rows")).foreach(r => t.rows += r.getLong(0))
         }
         override def onQueryTerminated(
-            e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+          terminated.add(e.runId)
+          while (terminated.size > Retention) {
+            val old = terminated.poll()
+            if (old != null) byRun.remove(old)
+          }
+        }
       })
     }
 

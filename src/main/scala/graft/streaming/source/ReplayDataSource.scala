@@ -53,10 +53,12 @@ object ReplayDataSource {
   /** Sorted message files under a path (file or directory). */
   def listFiles(path: String): Seq[String] = {
     val p = Paths.get(path)
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq
+    if (Files.isDirectory(p)) {
+      val st = Files.list(p) // close, or the dir fd leaks per enumeration
+      try st.iterator().asScala.toSeq
         .filter(Files.isRegularFile(_)).map(_.toString).sorted
-    else Seq(path)
+      finally st.close()
+    } else Seq(path)
   }
 }
 

@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Scale-shape proofs for the dedup/similarity family: the blocked
+  * pairing paths (q29 band-prefix, q52 IVF-bucketed) must produce the
+  * same rows as their all-pairs definitions WITHOUT any cartesian /
+  * broadcast-nested-loop join in the physical plan, and the
+  * hot-shingle frequency cap must bound the exact-Jaccard self-join's
+  * fan-out without changing results below the cap. */
+class DedupScaleSpec extends SparkSpec {
+
+  /** Final (post-AQE) physical plan string of an EXECUTED frame — the
+    * frame's own QueryExecution must be run (collect), because a write
+    * plans a separate QueryExecution and AQE's runtime decisions
+    * (stage reuse, join selection) only exist in the executed one. */
+  private def planString(df: DataFrame): String = {
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    p.toString
+  }
+
+  test("hot-shingle cap: a stop-phrase shared by every doc stops driving pairs") {
+    import spark.implicits._
+    // 20 docs all share one hot shingle; docs 1 and 2 additionally
+    // share 5 rare shingles (a genuine near-dup pair).
+    val hot = (1 to 20).map(d => (d.toLong, "the quick brown"))
+    val rare = (1 to 5).flatMap(i => Seq((1L, s"rare shingle $i"), (2L, s"rare shingle $i")))
+    val unique = (3 to 20).map(d => (d.toLong, s"unique to $d"))
+    val sh = (hot ++ rare ++ unique).toDF("doc_id", "shingle")
+
+    val uncapped = Dedup.nearDupPairsFrom(sh, dfCap = 1000L)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val capped = Dedup.nearDupPairsFrom(sh, dfCap = 10L)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+
+    // Uncapped, the hot shingle makes the small docs pairwise similar
+    // (jaccard 1/3) — the quadratic blowup in miniature.
+    assert(uncapped.size > 100, s"expected hot-shingle pair blowup, got ${uncapped.size}")
+    // Capped, only the genuinely-similar pair survives.
+    assert(capped == Set((1L, 2L)), s"got $capped")
+  }
+
+  test("hot-shingle cap does not change q25 at test scale") {
+    val def_ = Dedup.nearDupPairs(spark, sfDir).orderBy("da", "db").collect().toSeq
+    val unc = Dedup.nearDupPairsFrom(
+      Dedup.shinglesBy(spark, sfDir, "doc_id"), dfCap = Long.MaxValue)
+      .orderBy("da", "db").collect().toSeq
+    assert(def_ == unc)
+  }
+
+  test("q29 band-prefix blocking: exact vs all-pairs, no cartesian in plan") {
+    import spark.implicits._
+    val q29 = SparkEntry.queries("q29_simhash_neardup")(spark, sfDir)
+    val plan = planString(q29)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q29 pairing must be an equality join, not all-pairs:\n$plan")
+    // All-pairs reference recomputed inline from the same signatures.
+    val sim = Dedup.simhashSignatures(spark, sfDir)
+    val a = sim.select(col("doc_id").as("da"), col("sim").as("sa"))
+    val b = sim.select(col("doc_id").as("db"), col("sim").as("sb"))
+    val ref = a.join(b, col("da") < col("db"))
+      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("da", "db", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val got = q29.as[(Long, Long, Long)].collect().toSet
+    assert(got == ref)
+  }
+
+  test("q52 IVF-blocked near-dup: subset of q30, no cartesian in plan") {
+    import spark.implicits._
+    val q52 = SparkEntry.queries("q52_embed_neardup_blocked")(spark, sfDir)
+    val plan = planString(q52)
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+    // The ONLY nested-loop join allowed is the centroid assignment,
+    // which broadcasts the bounded 8-row centroid table — that's the
+    // IVF design, not an all-pairs blowup.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"only the 8-row centroid broadcast may be nested-loop:\n$plan")
+    // Pair generation itself must be keyed on the cluster id.
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cluster".r
+        .findFirstIn(plan).isDefined,
+      s"pair join must be an equality join on cluster:\n$plan")
+    val got = q52.select("va", "vb").as[(Long, Long)].collect().toSet
+    val base = SparkEntry.queries("q30_embed_neardup")(spark, sfDir)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty, "q52 should find candidate near-dups at test sf")
+    assert(got.subsetOf(base),
+      s"blocked pairs must all satisfy the exact predicate; extras: ${got.diff(base)}")
+  }
+
+  test("q28 self-join computes the signature build once (reused exchange)") {
+    val q28 = SparkEntry.queries("q28_minhash_lsh")(spark, sfDir)
+    val plan = planString(q28)
+    assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
+      s"q28's (band,sig) self-join should reuse one exchange:\n$plan")
+  }
+}

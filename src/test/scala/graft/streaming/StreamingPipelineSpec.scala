@@ -77,18 +77,18 @@ class StreamingPipelineSpec extends SparkSpec {
     // ('ask' < 'bid' in the reference's sort_values(['timestamp','side'])),
     // array order within side, is_snapshot=true (spot_depth_etl.py:114-123)
     assert(rows.take(3) == List(
-      "1727784000999,1727784000999,ask,571.00000000,1.20000000,true",
-      "1727784000999,1727784000999,bid,570.90000000,3.10000000,true",
-      "1727784000999,1727784000999,bid,570.80000000,5.00000000,true"))
+      "1727784000999,1727784000999,ask,571.00000000,1.20000000,True",
+      "1727784000999,1727784000999,bid,570.90000000,3.10000000,True",
+      "1727784000999,1727784000999,bid,570.80000000,5.00000000,True"))
     // stale delta [150,155] never emitted
     assert(!rows.exists(_.contains("570.00000000")))
     // bridge [156,159] emitted twice (reference falls through to
     // _save_update after the buffer replay) — qty 0 rows KEPT
-    assert(rows.count(_ == "1727784000200,1727784001000,bid,570.90000000,0.00000000,false") == 2)
-    assert(rows.count(_ == "1727784000200,1727784001000,bid,571.00000000,1.50000000,false") == 2)
-    assert(rows.count(_ == "1727784000200,1727784001000,ask,571.10000000,2.00000000,false") == 2)
+    assert(rows.count(_ == "1727784000200,1727784001000,bid,570.90000000,0.00000000,False") == 2)
+    assert(rows.count(_ == "1727784000200,1727784001000,bid,571.00000000,1.50000000,False") == 2)
+    assert(rows.count(_ == "1727784000200,1727784001000,ask,571.10000000,2.00000000,False") == 2)
     // post-sync delta passes through once
-    assert(rows.count(_ == "1727784000300,1727784001000,ask,571.20000000,3.00000000,false") == 1)
+    assert(rows.count(_ == "1727784000300,1727784001000,ask,571.20000000,3.00000000,False") == 1)
   }
 
   test("s04: gap in update ids crashes the stream (reference parity)") {

@@ -98,6 +98,80 @@ class SyncLogicPropSpec extends AnyFunSuite {
     })
   }
 
+  /** Faithful simulator of the reference's DELAYED-snapshot branch
+    * (book_utils.py:26-33: the REST fetch can fail and is retried on
+    * later messages, re-scanning the whole buffered-update list once
+    * a snapshot is finally obtained; spot_depth_etl.py:44-54: on
+    * success, snapshot + pruned buffer are saved, then the current
+    * message falls through and is saved again). `availableAt` is the
+    * message index at which the fetch first succeeds. */
+  private def referenceDelayedFetch(
+      msgs: List[DepthRecord],
+      snap: BookSnapshot,
+      availableAt: Int): List[DepthRecord] = {
+    val out = scala.collection.mutable.ListBuffer.empty[DepthRecord]
+    var buffered = List.empty[DepthRecord]
+    var synced = false
+    for ((m, i) <- msgs.zipWithIndex) {
+      if (synced) out += m
+      else {
+        buffered = buffered :+ m // try_to_sync_book appends first
+        if (i >= availableAt) { // fetch has succeeded by now
+          val l = snap.lastUpdateId
+          val valid = buffered.filter(_.last_update_id > l)
+          valid.find(b => b.first_update_id <= l + 1 && b.last_update_id >= l + 1)
+            .foreach { b =>
+              buffered = buffered.filter(_.first_update_id >= b.first_update_id)
+              val ts = m.local_timestamp - 1
+              out += DepthRecord(ts, ts, l, l, snap.bids, snap.asks,
+                is_snapshot = true)
+              out ++= buffered
+              out += m // fall-through double-save of the completer
+              synced = true
+            }
+        }
+      }
+    }
+    out.toList
+  }
+
+  test("fixed-snapshot model subsumes the reference's snapshot re-fetch branch") {
+    val genWithFetchDelay = for {
+      sc <- genScenario
+      // fetch succeeds at message k (k = last index models a fetch
+      // failing until the final message; a never-succeeding fetch has
+      // no analog in our model, whose driver fetches before starting)
+      k <- Gen.choose(0, sc.updates.length - 1)
+    } yield (sc, k)
+    check(Prop.forAll(genWithFetchDelay) { case (sc, k) =>
+      val ours = SyncLogic.run(SyncLogic.empty, sc.updates, sc.snapshot)._2
+      val ref = referenceDelayedFetch(sc.updates, sc.snapshot, k)
+      val bridgeIdx = sc.updates.indexWhere(u =>
+        u.last_update_id > sc.snapshot.lastUpdateId &&
+          u.first_update_id <= sc.snapshot.lastUpdateId + 1 &&
+          u.last_update_id >= sc.snapshot.lastUpdateId + 1)
+      if (bridgeIdx < 0)
+        Prop(ours.isEmpty && ref.isEmpty) :| "no bridge => both silent"
+      else if (k <= bridgeIdx)
+        // our deployment model: the driver has the snapshot BEFORE the
+        // stream starts (k = 0 is the real case) — byte-identical
+        Prop(ref == ours) :| s"fetch-by-bridge (k=$k) must be exact"
+      else {
+        // fetch succeeds only after the bridge passed: the reference
+        // replays its buffer at sync time. Same unique delta sequence
+        // and same snapshot content; only the double-saved record (the
+        // reference's sync completer = message k, ours = the bridge)
+        // and the snapshot row's arrival-derived ts differ.
+        val (refSnap, refDeltas) = ref.partition(_.is_snapshot)
+        val (ourSnap, ourDeltas) = ours.partition(_.is_snapshot)
+        (Prop(refDeltas.distinct == ourDeltas.distinct) :| "same unique deltas") &&
+          (Prop(refSnap.length == 1 && ourSnap.length == 1) :| "one snapshot each") &&
+          (Prop(refSnap.head.bids == ourSnap.head.bids &&
+            refSnap.head.asks == ourSnap.head.asks) :| "same snapshot content")
+      }
+    })
+  }
+
   test("gap in update ids raises (crash-stop parity)") {
     val genWithGap = for {
       sc <- genScenario if sc.updates.length >= 2
