@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProduct
+
+/** Library entry point for `spark.sql.extensions`: installs graft's
+  * native Catalyst functions into every session built with
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * so SQL users get `dot_product` without calling
+  * [[graft.functions.VectorFunctions.register]] programmatically.
+  * This is the deployment route a cluster would use (cluster-wide
+  * conf, no code change in user jobs); the registry route stays for
+  * ad-hoc sessions. Verify/Bench/Main set it on their builders, so
+  * the driver's correctness and bench gates exercise this path.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+}

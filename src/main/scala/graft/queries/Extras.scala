@@ -292,7 +292,88 @@ object Extras {
       |FROM events p WHERE p.event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
 
+  /** q54: correlation/regression aggregate family (corr, covar_pop,
+    * covar_samp, regr slope/intercept/r²) between event value and
+    * event day, per event type. Like q38, every statistic is derived
+    * from EXACT sums (decimal for value-terms, integer for day-terms)
+    * through a double expression tree written identically in the
+    * oracle — never the engines' own corr/covar/regr_* aggregates,
+    * whose internal summation orders differ between engines. */
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    val base = tbl(s, d, "events")
+      .select(col("event_type"),
+        col("value").cast("decimal(12,4)").as("x"),
+        expr("unix_millis(date_trunc('day', ts)) div 86400000").as("y"))
+    val agg = base.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y").cast("decimal(12,4)")).as("sxy"))
+    val dbl = agg.select(col("event_type"), col("n"),
+      col("n").cast("double").as("nd"),
+      col("sx").cast("double").as("dx"),
+      col("sy").cast("double").as("dy"),
+      col("sxx").cast("double").as("dxx"),
+      col("syy").cast("double").as("dyy"),
+      col("sxy").cast("double").as("dxy"))
+    val cov = col("dxy") - col("dx") * col("dy") / col("nd")
+    val corrNum = col("nd") * col("dxy") - col("dx") * col("dy")
+    val varX = col("nd") * col("dxx") - col("dx") * col("dx")
+    val varY = col("nd") * col("dyy") - col("dy") * col("dy")
+    val slope = corrNum / varX
+    val corr = corrNum / (sqrt(varX) * sqrt(varY))
+    dbl.select(col("event_type"), col("n"),
+        (col("dx") / col("nd")).as("mean_x"),
+        (col("dy") / col("nd")).as("mean_y"),
+        (cov / col("nd")).as("covar_pop"),
+        (cov / (col("nd") - 1.0)).as("covar_samp"),
+        corr.as("corr_xy"),
+        (corr * corr).as("r2"),
+        slope.as("slope"),
+        ((col("dy") - slope * col("dx")) / col("nd")).as("intercept"))
+      .orderBy("event_type")
+  }
+
+  private val q54Sql =
+    """WITH a AS (
+      |  SELECT event_type, count(*) AS n,
+      |         sum(CAST(value AS DECIMAL(12,4))) AS sx,
+      |         sum(y) AS sy,
+      |         sum(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4))) AS sxx,
+      |         sum(y * y) AS syy,
+      |         sum(CAST(value AS DECIMAL(12,4)) * CAST(y AS DECIMAL(12,4))) AS sxy
+      |  FROM (SELECT event_type, value,
+      |               epoch_ms(CAST(date_trunc('day', ts) AS TIMESTAMP)) // 86400000 AS y
+      |        FROM events)
+      |  GROUP BY 1),
+      |d AS (
+      |  SELECT event_type, n,
+      |         CAST(n AS DOUBLE) AS nd,
+      |         CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dx,
+      |         CAST(sy AS DOUBLE) AS dy,
+      |         CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dxx,
+      |         CAST(syy AS DOUBLE) AS dyy,
+      |         CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dxy
+      |  FROM a)
+      |SELECT event_type, n,
+      |       dx / nd AS mean_x,
+      |       dy / nd AS mean_y,
+      |       (dxy - dx * dy / nd) / nd AS covar_pop,
+      |       (dxy - dx * dy / nd) / (nd - 1.0) AS covar_samp,
+      |       (nd * dxy - dx * dy)
+      |         / (sqrt(nd * dxx - dx * dx) * sqrt(nd * dyy - dy * dy)) AS corr_xy,
+      |       ((nd * dxy - dx * dy)
+      |         / (sqrt(nd * dxx - dx * dx) * sqrt(nd * dyy - dy * dy)))
+      |       * ((nd * dxy - dx * dy)
+      |         / (sqrt(nd * dxx - dx * dx) * sqrt(nd * dyy - dy * dy))) AS r2,
+      |       (nd * dxy - dx * dy) / (nd * dxx - dx * dx) AS slope,
+      |       (dy - ((nd * dxy - dx * dy) / (nd * dxx - dx * dx)) * dx) / nd AS intercept
+      |FROM d ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_corr_regr" -> q54 _,
     "q51_range_join" -> q51 _,
     "q50_scalar_fns" -> q50 _,
     "q37_outer_join_family" -> q37 _,
@@ -306,6 +387,7 @@ object Extras {
     "q45_having" -> q45 _)
 
   val oracles: Map[String, String] = Map(
+    "q54_corr_regr" -> q54Sql,
     "q51_range_join" -> q51Sql,
     "q50_scalar_fns" -> q50Sql,
     "q37_outer_join_family" -> q37Sql,

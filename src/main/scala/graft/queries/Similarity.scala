@@ -189,15 +189,117 @@ object Similarity {
       |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
       |ORDER BY va, vb""".stripMargin
 
+  /** Driver-side md5-prefix hash (same formula as T.phash / DuckDB's
+    * ('0x'||substr(md5(x),1,8))::BIGINT) for deterministic constants
+    * baked into literals. */
+  private def phashLocal(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  /** q53: random-hyperplane LSH ANN — the OTHER classic ANN bucketing
+    * (complements q31's IVF): 16 deterministic pseudo-random integer
+    * hyperplanes w[j][d] = phash("j:d") % 1001 − 500 give each vector
+    * a 16-bit sign signature; candidates share an 8-bit signature
+    * band; probes (vec_id % 50 = 0) take top-5 cosine among
+    * candidates.
+    *
+    * Exactness design: vectors are quantized (floor(v·1000), exact in
+    * both engines) so the plane projections are pure BIGINT sums —
+    * sign bits cannot flip on float summation order. The weight table
+    * is a 16×64 literal baked driver-side with the same md5 formula
+    * the oracle computes in SQL, so signatures are bit-identical.
+    * Scale shape: signatures row-local (no shuffle), candidate
+    * generation a (band, value) equality join — same posture as q28's
+    * LSH. */
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    val planes: Seq[Seq[Long]] = (0 to 15).map(j =>
+      (1 to 64).map(dd => (phashLocal(s"$j:$dd") % 1001L) - 500L))
+    val wLit = typedlit(planes)
+    val v = vecs(s, d)
+      .repartition(col("vec_id")) // parallelism off the single scan split
+      .withColumn("q", transform(col("v"), x => floor(x * 1000).cast("long")))
+    val sig = v.withColumn("sg",
+      aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) =>
+        acc + when(
+          aggregate(zip_with(col("q"), element_at(wLit, j + 1),
+            (x, w) => x * w), lit(0L), (a, b) => a + b) > 0,
+          pow(lit(2.0), j).cast("long")).otherwise(0L)))
+    val banded = sig
+      .select(col("vec_id"), col("v"), col("nrm"), col("sg"),
+        explode(sequence(lit(0), lit(1))).as("b"))
+      .withColumn("bv", expr("shiftright(sg, b * 8) & 255"))
+    val probes = banded.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("b"), col("bv"))
+    val members = banded.select(col("vec_id").as("mid"), col("v").as("mv"),
+      col("nrm").as("mn"), col("b").as("b_m"), col("bv").as("bv_m"))
+    val wTop = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("mid").asc)
+    probes
+      .join(members,
+        col("b") === col("b_m") && col("bv") === col("bv_m") &&
+          col("qid") =!= col("mid"))
+      .select(col("qid"), col("mid"),
+        cosR("qv", "mv", col("qn"), col("mn")).as("cos"))
+      .distinct() // a pair can share both bands
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("mid"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  private val q53Sql =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+      |qv AS (SELECT vec_id,
+      |              list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+      |       FROM v),
+      |planes AS (
+      |  SELECT j, d,
+      |         ((('0x' || substr(md5(j || ':' || d), 1, 8))::BIGINT % 1001) - 500) AS w
+      |  FROM generate_series(0, 15) g(j), generate_series(1, 64) gd(d)),
+      |comp AS (
+      |  SELECT vec_id, j, sum(qd * w) AS s
+      |  FROM (SELECT vec_id, unnest(q) AS qd, generate_subscripts(q, 1) AS d
+      |        FROM qv) u
+      |  JOIN planes USING (d)
+      |  GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT vec_id,
+      |         sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS sg
+      |  FROM comp GROUP BY 1),
+      |banded AS (
+      |  SELECT vec_id, b, (sg >> (8 * b)) & 255 AS bv
+      |  FROM sig, generate_series(0, 1) gb(b)),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS qid, m.vec_id AS mid
+      |  FROM banded q JOIN banded m
+      |    ON q.b = m.b AND q.bv = m.bv AND q.vec_id <> m.vec_id
+      |  WHERE q.vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT qid, mid,
+      |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+      |  FROM cand JOIN n a ON a.vec_id = qid JOIN n b ON b.vec_id = mid)
+      |SELECT qid, rank, mid, cos FROM (
+      |  SELECT qid, mid, cos,
+      |         CAST(row_number() OVER (
+      |           PARTITION BY qid ORDER BY cos DESC, mid ASC) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_cosine_topk" -> q26 _,
     "q30_embed_neardup" -> q30 _,
     "q31_ann_ivf" -> q31 _,
-    "q52_embed_neardup_blocked" -> q52 _)
+    "q52_embed_neardup_blocked" -> q52 _,
+    "q53_ann_lsh" -> q53 _)
 
   val oracles: Map[String, String] = Map(
     "q26_cosine_topk" -> q26Sql,
     "q30_embed_neardup" -> q30Sql,
     "q31_ann_ivf" -> q31Sql,
-    "q52_embed_neardup_blocked" -> q52Sql)
+    "q52_embed_neardup_blocked" -> q52Sql,
+    "q53_ann_lsh" -> q53Sql)
 }
