@@ -38,7 +38,8 @@ object SparkEntry {
       graft.queries.TextAnalysis.queries ++
       graft.queries.Multimodal.queries ++
       graft.queries.Extras.queries ++
-      graft.queries.Corpus.queries
+      graft.queries.Corpus.queries ++
+      graft.queries.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -50,5 +51,6 @@ object SparkEntry {
       graft.queries.TextAnalysis.oracles ++
       graft.queries.Multimodal.oracles ++
       graft.queries.Extras.oracles ++
-      graft.queries.Corpus.oracles
+      graft.queries.Corpus.oracles ++
+      graft.queries.Pipeline.oracles
 }

@@ -83,7 +83,7 @@ object TextAnalysis {
     * stopword ratio, composed into one rounded score. The double
     * expression tree is written identically in the oracle so every op
     * is the same IEEE op. */
-  private def q33(s: SparkSession, d: String): DataFrame = {
+  private[queries] def q33(s: SparkSession, d: String): DataFrame = {
     val perTok = tbl(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val st = perTok.groupBy("doc_id").agg(
@@ -144,7 +144,7 @@ object TextAnalysis {
     * result (mod distributes over addition) but the long sum can
     * never overflow, where an unreduced Σ h·ord would overflow Int64
     * at ~90k-token documents while DuckDB's HUGEINT kept going. */
-  private def q35(s: SparkSession, d: String): DataFrame = {
+  private[queries] def q35(s: SparkSession, d: String): DataFrame = {
     val perTok = tbl(s, d, "documents")
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("ord", "tok")))

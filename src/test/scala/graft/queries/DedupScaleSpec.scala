@@ -97,6 +97,14 @@ class DedupScaleSpec extends SparkSpec {
       s"blocked pairs must all satisfy the exact predicate; extras: ${got.diff(base)}")
   }
 
+  test("q53 LSH ANN: candidate generation is an equality join, no cartesian") {
+    val q53 = SparkEntry.queries("q53_ann_lsh")(spark, sfDir)
+    val plan = planString(q53)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q53 candidates must come from the (band, value) equality join:\n$plan")
+  }
+
   test("q28 self-join computes the signature build once (reused exchange)") {
     val q28 = SparkEntry.queries("q28_minhash_lsh")(spark, sfDir)
     val plan = planString(q28)
