@@ -135,4 +135,13 @@ object CsvAppendSink {
       truncateOnStart: Boolean = true): CsvAppendSink =
     new CsvAppendSink(basePath, symbol, market, "depth", depthColumns,
       truncateOnStart)
+
+  /** Derived OHLCV candle stream (beyond-reference; column order =
+    * Pipelines.streamingOhlcv's output order). */
+  val ohlcvColumns: Seq[String] =
+    Seq("window_start_ms", "side", "low", "high", "volume", "vwap", "n_trades")
+  def forOhlcv(basePath: String, symbol: String, market: String,
+      truncateOnStart: Boolean = true): CsvAppendSink =
+    new CsvAppendSink(basePath, symbol, market, "ohlcv", ohlcvColumns,
+      truncateOnStart)
 }

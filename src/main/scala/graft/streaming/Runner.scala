@@ -97,7 +97,11 @@ object Runner {
       // plus parsed-message count (their difference = dropped corrupt/
       // non-data messages, the reference's warn-and-drop path) as
       // observed metrics, accumulated by StreamMetrics' listener.
-      val raw = source.stream(spark, id)
+      // derived streams (ohlcv) consume the TRADE tape — the source
+      // directory is keyed by the underlying event type
+      val sourceId =
+        if (id.eventType == "ohlcv") id.copy(eventType = "trade") else id
+      val raw = source.stream(spark, sourceId)
         .observe("graft_raw", count(lit(1)).as("messages"))
       val rows = (id.eventType match {
         case "trade" => Pipelines.trades(raw)
@@ -107,23 +111,37 @@ object Runner {
               s"no order-book snapshot provided for ${id.symbolId}"))
           Pipelines.depthRows(BookSynchronizer.apply(
             Pipelines.depthRecords(raw), id.market, id.symbol, snapshot))
+        // beyond-reference derived stream: continuous per-minute
+        // OHLCV/VWAP candles over the trade stream (SURVEY §2.4 s09),
+        // routed through the same sink machinery as the raw streams —
+        // a user configures `exchange.market.symbol.ohlcv` next to
+        // `...trade` and gets candle files instead of tick files
+        case "ohlcv" => Pipelines.streamingOhlcv(Pipelines.trades(raw))
         case other =>
           throw new IllegalArgumentException(
             s"unsupported event type '$other' (reference supports trade|depth; " +
-              "futures markets are enumerated but unimplemented, factory.py:26-29)")
+              "futures markets are enumerated but unimplemented, factory.py:26-29; " +
+              "this engine adds derived 'ohlcv')")
       }).observe("graft_rows", count(lit(1)).as("rows"))
-      val kind = if (id.eventType == "trade") "trades" else "depth"
+      val kind = id.eventType match {
+        case "trade" => "trades"
+        case "ohlcv" => "ohlcv"
+        case _ => "depth"
+      }
       val writer = config.sinkFormat match {
         case "csv" =>
           // fresh start: truncate like the reference; checkpointed
           // restart: keep the file, the checkpoint skips written batches
           val freshStart = !java.nio.file.Files.exists(
             java.nio.file.Paths.get(s"$checkpointRoot/${id.queryName}.csv"))
-          val sink = if (id.eventType == "trade")
-            CsvAppendSink.forTrades(config.basePath, id.symbol, id.market,
-              truncateOnStart = freshStart)
-          else CsvAppendSink.forDepth(config.basePath, id.symbol, id.market,
-            truncateOnStart = freshStart)
+          val sink = id.eventType match {
+            case "trade" => CsvAppendSink.forTrades(config.basePath,
+              id.symbol, id.market, truncateOnStart = freshStart)
+            case "ohlcv" => CsvAppendSink.forOhlcv(config.basePath,
+              id.symbol, id.market, truncateOnStart = freshStart)
+            case _ => CsvAppendSink.forDepth(config.basePath,
+              id.symbol, id.market, truncateOnStart = freshStart)
+          }
           // checkpoint path includes the sink format: offsets committed
           // for one sink must never satisfy a different one
           val q = rows.writeStream

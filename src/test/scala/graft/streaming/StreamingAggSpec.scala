@@ -55,6 +55,31 @@ class StreamingAggSpec extends SparkSpec {
     assert(!rows.exists(_._1 == base + 20 * 60000L))
   }
 
+  test("s09 via Runner: configured ohlcv stream writes candle csv") {
+    val fixtures = tmp("runohlcv")
+    val out = tmp("runohlcvout")
+    val dir = fixtures.resolve("bnbusdt.spot.trade") // ohlcv reads the trade tape
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("messages.jsonl"), lines.asJava)
+    val source = new FileReplaySource(fixtures.toString, fixedArrivalMs = Some(base))
+    val qs = Runner.startWithSinks(spark,
+      StreamConfig(Seq("binance.spot.bnbusdt.ohlcv"), out.toString,
+        sinkFormat = "csv"),
+      source, Map.empty, checkpointRoot = tmp("ckpt").toString)
+    qs.foreach(_._1.processAllAvailable())
+    Runner.stopAll(qs.map(_._1))
+    val csv = Files.readAllLines(
+      out.resolve("bnbusdt.spot.ohlcv.csv")).asScala.toList
+    assert(csv.head ==
+      "window_start_ms,side,low,high,volume,vwap,n_trades")
+    // the two finalized windows (straggler window stays open)
+    val body = csv.tail.sorted
+    assert(body.length == 2, s"got $body")
+    assert(body.head.startsWith(s"$base,buy,100") && body.head.endsWith(",2"))
+    assert(body(1).startsWith(s"${base + 60000L},sell,120") &&
+      body(1).endsWith(",1"))
+  }
+
   test("parquet sink writes date-partitioned output (scale path)") {
     val fixtures = tmp("pqfix")
     val out = tmp("pqout")
