@@ -26,5 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        // arity-checked here: the registry calls the builder during
+        // resolution, and an IndexOutOfBounds from exprs(1) would
+        // surface as an internal error instead of a usable message
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"dot_product expects exactly 2 arguments, got ${exprs.length}")
+        DotProduct(exprs.head, exprs(1))
+      }))
 }

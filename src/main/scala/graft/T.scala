@@ -50,6 +50,16 @@ object T {
   def phashSql(expr: String): String =
     s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)"
 
+  /** Driver-side JVM twin of [[phash]] — for deterministic constants
+    * baked into literals (q53's plane weights) and for computing
+    * expected outcomes in tests. The three forms (Column, SQL, JVM)
+    * must stay in lockstep; this file is their single home. */
+  def phashDriver(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
   /** Exact, order-independent aggregation-ready value for a double col. */
   def dec(c: Column): Column = c.cast("decimal(18,6)")
 

@@ -32,11 +32,10 @@ object MinHashLsh {
   val Bands = 4
   val RowsPerBand: Int = NumHashes / Bands
 
-  /** Per-row md5-prefix hash of each array element (T.phash lifted
-    * into a lambda). */
+  /** Per-row md5-prefix hash of each array element ([[graft.T.phash]]
+    * — the single portable-hash definition — lifted into a lambda). */
   def hashAll(shingles: Column): Column =
-    transform(shingles, x =>
-      conv(substring(md5(x), 1, 8), 16, 10).cast("long"))
+    transform(shingles, x => graft.T.phash(x))
 
   /** Distinct 3-gram shingle array of a pre-split token array column. */
   def shingleArray(t: Column): Column =
@@ -58,36 +57,33 @@ object MinHashLsh {
     * text) pins parallelism to the cluster, not the file layout; at
     * real scale the scan has thousands of splits and the exchange is
     * equally useful as the reusable anchor for self-joins downstream. */
-  def bandSignatures(docs: DataFrame): DataFrame = {
-    // The md5 hashing of the shingle set (`hs`) is the expensive step,
-    // and it sits BELOW the repartition exchange: CollapseProject
-    // inlines single-reference aliases into downstream lambda bodies,
-    // where they would be re-evaluated once per lambda element — an
-    // adjacent-projection formulation of this pipeline recomputed the
-    // md5s 16×. The exchange is a collapse barrier, so `hs` is
-    // materialized exactly once per row.
-    val hashed = docs
+  def bandSignatures(docs: DataFrame): DataFrame =
+    // The whole signature — md5 per shingle, 16-minhash fold, band
+    // strings — is ONE expression, so nothing is ever re-evaluated:
+    // the md5s are the aggregate's input (evaluated once), the 16
+    // minhashes accumulate in one pass over it (init P > every mod
+    // value; ≥1 shingle guaranteed by the size filter), and the band
+    // strings come from the aggregate's FINISH lambda, which runs
+    // once on the final accumulator. (Formulations that alias the
+    // minhash array in a separate projection get inlined by
+    // CollapseProject into the band lambda and recompute the fold —
+    // and with it the md5 input — once per band.) No shuffle: batch
+    // call sites that read a single small parquet split add their own
+    // repartition for parallelism; the streaming path stays
+    // exchange-free ahead of its keyed state.
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), hashAll(shingleArray(col("t"))).as("hs"))
-      .repartition(col("doc_id"))
-    // All 16 minhashes in ONE fold over the hashed shingle set (the
-    // streaming-minhash formulation): acc starts at P (> every mod
-    // value) and takes the per-function min as each shingle streams
-    // by. Arithmetic only — cheap enough that its re-evaluation per
-    // band lambda (4×) is irrelevant once the md5s are protected.
-    val mh = hashed.select(col("doc_id"),
-      aggregate(
-        col("hs"),
-        array_repeat(lit(P), NumHashes),
-        (acc, h) => zip_with(acc, sequence(lit(0), lit(NumHashes - 1)),
-          (a, i) => least(a,
-            (h * (lit(2L) * i + 1L) + lit(7919L) * i + 13L) % P))).as("mh"))
-    mh.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
-          concat_ws("-", transform(
-            slice(col("mh"), b * RowsPerBand + 1, lit(RowsPerBand)),
-            x => x.cast("string")))))
+      .select(col("doc_id"),
+        posexplode(aggregate(
+          hashAll(shingleArray(col("t"))),
+          array_repeat(lit(P), NumHashes),
+          (acc, h) => zip_with(acc, sequence(lit(0), lit(NumHashes - 1)),
+            (a, i) => least(a,
+              (h * (lit(2L) * i + 1L) + lit(7919L) * i + 13L) % P)),
+          acc => transform(sequence(lit(0), lit(Bands - 1)), b =>
+            concat_ws("-", transform(
+              slice(acc, b * RowsPerBand + 1, lit(RowsPerBand)),
+              x => x.cast("string"))))))
           .as(Seq("band", "sig")))
-  }
 }

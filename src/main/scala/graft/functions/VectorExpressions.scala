@@ -86,7 +86,12 @@ object VectorFunctions {
     * off Column's private expression constructor. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+      "dot_product", exprs => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"dot_product expects exactly 2 arguments, got ${exprs.length}")
+        DotProduct(exprs.head, exprs(1))
+      }, "built-in")
 
   /** Convenience: dot_product over two columns known by name. */
   def dot(a: String, b: String): Column = expr(s"dot_product($a, $b)")

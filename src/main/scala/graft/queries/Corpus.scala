@@ -130,10 +130,13 @@ object Corpus {
       |         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS shingle
       |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
       |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |shc AS (
+      |  SELECT doc_id, shingle FROM sh
+      |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
       |inter AS (
       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
       |prs AS (
       |  SELECT da, db FROM inter

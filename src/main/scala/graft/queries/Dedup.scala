@@ -59,7 +59,9 @@ object Dedup {
     * size. Chosen far above the observed max df at every test sf
     * (sf0.1: max df = 25 over 5000 docs) so test results are
     * byte-identical with and without the cap; at production scale it
-    * would be tuned to ~0.1% of the corpus. */
+    * would be tuned to ~0.1% of the corpus. The q25/q48 oracles apply
+    * the SAME cap (shc CTE), so Spark and DuckDB stay formally
+    * equivalent at every scale, not just below the cap. */
   private[queries] val HotShingleDfCap = 1000L
 
   /** Near-duplicate pairs (da < db) with exact 3-gram Jaccard ≥ 0.2 —
@@ -107,10 +109,13 @@ object Dedup {
       |         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS shingle
       |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
       |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |shc AS (
+      |  SELECT doc_id, shingle FROM sh
+      |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
       |inter AS (
       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT da, db,
       |       CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
@@ -133,12 +138,15 @@ object Dedup {
     * only shuffle in the whole query is candidate generation itself,
     * the (band, sig) equality self-join. */
   private def q28(s: SparkSession, d: String): DataFrame = {
-    // Repartition on the join keys BEFORE the self-join: both sides
-    // then share one canonicalized exchange (ReuseExchange), so the
-    // CPU-bound signature build runs ONCE, not once per join side —
-    // and the (band, sig) equality join is co-partitioned, needing no
-    // further shuffle.
-    val sigs = MinHashLsh.bandSignatures(tbl(s, d, "documents"))
+    // Input repartition: the test corpus is one parquet split, which
+    // would serialize the CPU-bound signature build on one core (at
+    // real scale the scan has many splits and this is a no-op-sized
+    // shuffle). Then repartition on the join keys BEFORE the
+    // self-join: both sides share one canonicalized exchange
+    // (ReuseExchange), so the signature build runs ONCE, not once per
+    // join side — and the (band, sig) equality join is co-partitioned.
+    val sigs = MinHashLsh.bandSignatures(
+        tbl(s, d, "documents").repartition(col("doc_id")))
       .repartition(col("band"), col("sig"))
     val a = sigs.select(col("doc_id").as("da"), col("band"), col("sig"))
     val b = sigs.select(col("doc_id").as("db"), col("band").as("band_b"),

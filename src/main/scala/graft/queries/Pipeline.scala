@@ -44,9 +44,15 @@ object Pipeline {
       .withColumn("rn", row_number().over(wFp))
       .filter(col("rn") === 1)
       .drop("rn", "fp")
-    // 3. near-dup drop: LSH candidate pairs among survivors, drop db
-    val sigs = MinHashLsh.bandSignatures(tbl(s, d, "documents"))
-      .join(exactKept.select(col("doc_id")), Seq("doc_id"))
+    // 3. near-dup drop: LSH candidate pairs among survivors, drop db.
+    // Survivor filter BEFORE the signature build — the md5+minhash
+    // work is the pipeline's dominant CPU cost and must not be spent
+    // on documents stages 1-2 already dropped (the oracle filters
+    // before hashing too).
+    val sigs = MinHashLsh.bandSignatures(
+        tbl(s, d, "documents")
+          .join(exactKept.select(col("doc_id")), Seq("doc_id"))
+          .repartition(col("doc_id")))
       .repartition(col("band"), col("sig"))
     val dropped = sigs.select(col("doc_id").as("da"), col("band"), col("sig"))
       .join(sigs.select(col("doc_id").as("db"), col("band").as("band_b"),

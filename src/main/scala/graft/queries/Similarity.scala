@@ -189,15 +189,6 @@ object Similarity {
       |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
       |ORDER BY va, vb""".stripMargin
 
-  /** Driver-side md5-prefix hash (same formula as T.phash / DuckDB's
-    * ('0x'||substr(md5(x),1,8))::BIGINT) for deterministic constants
-    * baked into literals. */
-  private def phashLocal(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 8), 16)
-  }
-
   /** q53: random-hyperplane LSH ANN — the OTHER classic ANN bucketing
     * (complements q31's IVF): 16 deterministic pseudo-random integer
     * hyperplanes w[j][d] = phash("j:d") % 1001 − 500 give each vector
@@ -215,7 +206,7 @@ object Similarity {
     * LSH. */
   private def q53(s: SparkSession, d: String): DataFrame = {
     val planes: Seq[Seq[Long]] = (0 to 15).map(j =>
-      (1 to 64).map(dd => (phashLocal(s"$j:$dd") % 1001L) - 500L))
+      (1 to 64).map(dd => (phashDriver(s"$j:$dd") % 1001L) - 500L))
     val wLit = typedlit(planes)
     val v = vecs(s, d)
       .repartition(col("vec_id")) // parallelism off the single scan split

@@ -152,10 +152,16 @@ object Runner {
             .start()
           (q, Some(sink))
         case "parquet" =>
-          // scale path: native partitioned writer, executor-side I/O
+          // scale path: native partitioned writer, executor-side I/O.
+          // Partition date comes from arrival time for raw streams;
+          // the ohlcv candle frame has no local_timestamp (it is an
+          // event-time aggregate), so its window start partitions it.
+          val dateSource =
+            if (id.eventType == "ohlcv") col("window_start_ms")
+            else col("local_timestamp")
           val q = rows
             .withColumn("ingest_date",
-              to_date(timestamp_millis(col("local_timestamp"))))
+              to_date(timestamp_millis(dateSource)))
             .writeStream
             .queryName(id.queryName)
             .format("parquet")

@@ -10,14 +10,8 @@ import graft.{SparkSpec, SparkEntry}
   * never fires on the test corpus verifies vacuously). */
 class PipelineSpec extends SparkSpec {
 
-  /** Driver-side twin of T.phash for computing expected sample/dedup
-    * outcomes in the test itself. */
-  private def phashLocal(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 8), 16)
-  }
-  private def samplePass(id: Long): Boolean = phashLocal(s"sample:$id") % 2 == 0
+  private def samplePass(id: Long): Boolean =
+    graft.T.phashDriver(s"sample:$id") % 2 == 0
 
   test("every pipeline stage drops the document built to trigger it") {
     import spark.implicits._

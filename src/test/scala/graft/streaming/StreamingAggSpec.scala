@@ -80,6 +80,26 @@ class StreamingAggSpec extends SparkSpec {
       body(1).endsWith(",1"))
   }
 
+  test("ohlcv with parquet sink partitions candles by window date") {
+    val fixtures = tmp("runohlcvpq")
+    val out = tmp("runohlcvpqout")
+    val dir = fixtures.resolve("bnbusdt.spot.trade")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("messages.jsonl"), lines.asJava)
+    val source = new FileReplaySource(fixtures.toString, fixedArrivalMs = Some(base))
+    val qs = Runner.startWithSinks(spark,
+      StreamConfig(Seq("binance.spot.bnbusdt.ohlcv"), out.toString,
+        sinkFormat = "parquet"),
+      source, Map.empty, checkpointRoot = tmp("ckpt").toString)
+    qs.foreach(_._1.processAllAvailable())
+    Runner.stopAll(qs.map(_._1))
+    val result = spark.read.parquet(out.resolve("bnbusdt.spot.ohlcv").toString)
+    assert(result.columns.contains("ingest_date"))
+    assert(result.count() == 2) // the two finalized windows
+    assert(result.select("ingest_date").distinct().collect()
+      .head.getDate(0).toString == "2024-10-01")
+  }
+
   test("parquet sink writes date-partitioned output (scale path)") {
     val fixtures = tmp("pqfix")
     val out = tmp("pqout")
