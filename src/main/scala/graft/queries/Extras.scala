@@ -372,7 +372,58 @@ object Extras {
       |       (dy - ((nd * dxy - dx * dy) / (nd * dxx - dx * dx)) * dx) / nd AS intercept
       |FROM d ORDER BY event_type""".stripMargin
 
+  /** q56: gap-based sessionization — the classic event-stream
+    * operator a behavioral pipeline runs: per user, a new session
+    * starts when the gap to the previous event exceeds 30 minutes;
+    * session id = running count of session breaks (lag → gap flag →
+    * cumulative sum), then one row per session with span and
+    * composition. Shape: two windows over the same
+    * (user, ts)-partitioned sort — one shuffle, both windows reuse
+    * it — then a partial-aggregable groupBy on (user, session). */
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl(s, d, "events")
+      .withColumn("prev_ms", unix_millis(lag(col("ts"), 1).over(w)))
+      .withColumn("brk",
+        when(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > 30L * 60 * 1000, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(unix_millis(col("ts"))).as("start_ms"),
+        max(unix_millis(col("ts"))).as("end_ms"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      .orderBy("user_id", "session_id")
+  }
+
+  private val q56Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, event_type, epoch_ms(ts) AS ms,
+      |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_type, ms,
+      |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |           AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id,
+      |       CAST(min(ms) AS BIGINT) AS start_ms,
+      |       CAST(max(ms) AS BIGINT) AS end_ms,
+      |       count(*) AS n_events,
+      |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_purchases
+      |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_sessionize" -> q56 _,
     "q54_corr_regr" -> q54 _,
     "q51_range_join" -> q51 _,
     "q50_scalar_fns" -> q50 _,
@@ -387,6 +438,7 @@ object Extras {
     "q45_having" -> q45 _)
 
   val oracles: Map[String, String] = Map(
+    "q56_sessionize" -> q56Sql,
     "q54_corr_regr" -> q54Sql,
     "q51_range_join" -> q51Sql,
     "q50_scalar_fns" -> q50Sql,
