@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, VectorFunctions}
 
 /** Library entry point for `spark.sql.extensions`: installs graft's
   * native Catalyst functions into every session built with
@@ -26,13 +26,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => {
-        // arity-checked here: the registry calls the builder during
-        // resolution, and an IndexOutOfBounds from exprs(1) would
-        // surface as an internal error instead of a usable message
-        if (exprs.length != 2)
-          throw new IllegalArgumentException(
-            s"dot_product expects exactly 2 arguments, got ${exprs.length}")
-        DotProduct(exprs.head, exprs(1))
-      }))
+      VectorFunctions.dotProductBuilder))
 }

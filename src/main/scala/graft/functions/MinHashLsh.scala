@@ -50,13 +50,13 @@ object MinHashLsh {
     * computed row-locally (docs with fewer than 3 tokens have no
     * shingles and are skipped, matching the batch shingle builder).
     *
-    * The signature compute is CPU-bound per row, so parallelism must
-    * not be bound to the input split count: a small corpus arrives as
-    * ONE parquet split and would serialize the whole build on one
-    * core. The narrow repartition by doc_id (row-sized shuffle of raw
-    * text) pins parallelism to the cluster, not the file layout; at
-    * real scale the scan has thousands of splits and the exchange is
-    * equally useful as the reusable anchor for self-joins downstream. */
+    * Parallelism contract: this builder adds NO exchange (the
+    * streaming dedup path must stay shuffle-free ahead of its keyed
+    * state). The signature compute is CPU-bound per row, so BATCH
+    * callers whose input is a single small parquet split must add
+    * their own `repartition` before calling (q28/q55 do), or the
+    * whole build serializes on one core; at real scale the scan has
+    * many splits and no repartition is needed. */
   def bandSignatures(docs: DataFrame): DataFrame =
     // The whole signature — md5 per shingle, 16-minhash fold, band
     // strings — is ONE expression, so nothing is ever re-evaluated:

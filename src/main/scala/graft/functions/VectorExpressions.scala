@@ -80,18 +80,25 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
+
+  /** The one arity-checked builder both registration routes share
+    * (the session-registry path below and GraftExtensions'
+    * injectFunction) — a single definition so the two routes cannot
+    * drift. */
+  val dotProductBuilder: Seq[Expression] => Expression = exprs => {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"dot_product expects exactly 2 arguments, got ${exprs.length}")
+    DotProduct(exprs.head, exprs(1))
+  }
+
   /** Registers `dot_product` in the session's function registry
     * (idempotent); call once per query, then reference it with
     * `expr("dot_product(colA, colB)")` — the registry route keeps us
     * off Column's private expression constructor. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => {
-        if (exprs.length != 2)
-          throw new IllegalArgumentException(
-            s"dot_product expects exactly 2 arguments, got ${exprs.length}")
-        DotProduct(exprs.head, exprs(1))
-      }, "built-in")
+      "dot_product", dotProductBuilder, "built-in")
 
   /** Convenience: dot_product over two columns known by name. */
   def dot(a: String, b: String): Column = expr(s"dot_product($a, $b)")

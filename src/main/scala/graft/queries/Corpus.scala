@@ -122,7 +122,7 @@ object Corpus {
   }
 
   private val q48Sql =
-    """WITH RECURSIVE t AS (
+    s"""WITH RECURSIVE t AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
       |         generate_subscripts(string_split(text,' '),1) AS ord FROM documents),
       |sh AS (
@@ -132,7 +132,7 @@ object Corpus {
       |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
       |shc AS (
       |  SELECT doc_id, shingle FROM sh
-      |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000),
+      |  QUALIFY count(*) OVER (PARTITION BY shingle) <= ${Dedup.HotShingleDfCap}),
       |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
       |inter AS (
       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i

@@ -101,7 +101,7 @@ object Dedup {
     nearDupPairs(s, d).orderBy("da", "db")
 
   private val q25Sql =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
       |         generate_subscripts(string_split(text,' '),1) AS ord FROM documents),
       |sh AS (
@@ -111,7 +111,7 @@ object Dedup {
       |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
       |shc AS (
       |  SELECT doc_id, shingle FROM sh
-      |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000),
+      |  QUALIFY count(*) OVER (PARTITION BY shingle) <= $HotShingleDfCap),
       |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
       |inter AS (
       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i

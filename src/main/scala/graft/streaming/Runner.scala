@@ -153,12 +153,15 @@ object Runner {
           (q, Some(sink))
         case "parquet" =>
           // scale path: native partitioned writer, executor-side I/O.
-          // Partition date comes from arrival time for raw streams;
-          // the ohlcv candle frame has no local_timestamp (it is an
-          // event-time aggregate), so its window start partitions it.
+          // Partition date comes from arrival time when the frame has
+          // one; derived/aggregate frames (ohlcv and any future type)
+          // have no local_timestamp, so their event-time window start
+          // partitions them — selected by what the frame CONTAINS so a
+          // new derived type cannot reintroduce the unresolved-column
+          // crash this guards against.
           val dateSource =
-            if (id.eventType == "ohlcv") col("window_start_ms")
-            else col("local_timestamp")
+            if (rows.columns.contains("local_timestamp")) col("local_timestamp")
+            else col("window_start_ms")
           val q = rows
             .withColumn("ingest_date",
               to_date(timestamp_millis(dateSource)))
