@@ -144,4 +144,14 @@ object CsvAppendSink {
       truncateOnStart: Boolean = true): CsvAppendSink =
     new CsvAppendSink(basePath, symbol, market, "ohlcv", ohlcvColumns,
       truncateOnStart)
+
+  /** Derived top-of-book quote stream (beyond-reference; column order
+    * = book.TopOfBook's field order). */
+  val tobColumns: Seq[String] =
+    Seq("timestamp", "local_timestamp", "best_bid", "best_bid_qty",
+      "best_ask", "best_ask_qty", "spread", "bid_levels", "ask_levels")
+  def forTob(basePath: String, symbol: String, market: String,
+      truncateOnStart: Boolean = true): CsvAppendSink =
+    new CsvAppendSink(basePath, symbol, market, "tob", tobColumns,
+      truncateOnStart)
 }

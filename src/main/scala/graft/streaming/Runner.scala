@@ -97,10 +97,13 @@ object Runner {
       // plus parsed-message count (their difference = dropped corrupt/
       // non-data messages, the reference's warn-and-drop path) as
       // observed metrics, accumulated by StreamMetrics' listener.
-      // derived streams (ohlcv) consume the TRADE tape — the source
+      // derived streams consume their underlying tape — the source
       // directory is keyed by the underlying event type
-      val sourceId =
-        if (id.eventType == "ohlcv") id.copy(eventType = "trade") else id
+      val sourceId = id.eventType match {
+        case "ohlcv" => id.copy(eventType = "trade")
+        case "tob" => id.copy(eventType = "depth")
+        case _ => id
+      }
       val raw = source.stream(spark, sourceId)
         .observe("graft_raw", count(lit(1)).as("messages"))
       val rows = (id.eventType match {
@@ -111,12 +114,21 @@ object Runner {
               s"no order-book snapshot provided for ${id.symbolId}"))
           Pipelines.depthRows(BookSynchronizer.apply(
             Pipelines.depthRecords(raw), id.market, id.symbol, snapshot))
-        // beyond-reference derived stream: continuous per-minute
-        // OHLCV/VWAP candles over the trade stream (SURVEY §2.4 s09),
-        // routed through the same sink machinery as the raw streams —
-        // a user configures `exchange.market.symbol.ohlcv` next to
-        // `...trade` and gets candle files instead of tick files
+        // beyond-reference derived streams, routed through the same
+        // sink machinery as the raw streams: `...ohlcv` gives
+        // per-minute OHLCV/VWAP candles over the trade tape (SURVEY
+        // §2.4 s09); `...tob` gives the continuous top-of-book quote
+        // stream over the SYNCED depth tape (s10) — same snapshot
+        // requirement as a raw depth stream
         case "ohlcv" => Pipelines.streamingOhlcv(Pipelines.trades(raw))
+        case "tob" =>
+          val snapshot = snapshots.getOrElse(id.symbolId,
+            throw new IllegalStateException(
+              s"no order-book snapshot provided for ${id.symbolId}"))
+          graft.book.StreamingBook.topOfBookStream(
+            BookSynchronizer.apply(
+              Pipelines.depthRecords(raw), id.market, id.symbol, snapshot),
+            id.market, id.symbol)
         case other =>
           throw new IllegalArgumentException(
             s"unsupported event type '$other' (reference supports trade|depth; " +
@@ -126,6 +138,7 @@ object Runner {
       val kind = id.eventType match {
         case "trade" => "trades"
         case "ohlcv" => "ohlcv"
+        case "tob" => "tob"
         case _ => "depth"
       }
       val writer = config.sinkFormat match {
@@ -138,6 +151,8 @@ object Runner {
             case "trade" => CsvAppendSink.forTrades(config.basePath,
               id.symbol, id.market, truncateOnStart = freshStart)
             case "ohlcv" => CsvAppendSink.forOhlcv(config.basePath,
+              id.symbol, id.market, truncateOnStart = freshStart)
+            case "tob" => CsvAppendSink.forTob(config.basePath,
               id.symbol, id.market, truncateOnStart = freshStart)
             case _ => CsvAppendSink.forDepth(config.basePath,
               id.symbol, id.market, truncateOnStart = freshStart)

@@ -50,6 +50,27 @@ class StreamingPipelineSpec extends SparkSpec {
     qs
   }
 
+  test("s10 via Runner: configured tob stream writes quote csv") {
+    val fixtures = tmp("fixtures")
+    val out = tmp("csv")
+    writeFixture(fixtures, "bnbusdt.spot.depth", depthLines) // tob reads depth tape
+    runStreams(Seq("binance.spot.bnbusdt.tob"),
+      Map("bnbusdt.spot" -> snapshot), fixtures, out)
+    val csv = Files.readAllLines(out.resolve("bnbusdt.spot.tob.csv")).asScala
+    assert(csv.head == "timestamp,local_timestamp,best_bid,best_bid_qty," +
+      "best_ask,best_ask_qty,spread,bid_levels,ask_levels")
+    val rows = csv.tail.toList
+    // one quote per synced record: snapshot, bridge x2, post-sync delta
+    assert(rows.length == 4, s"got $rows")
+    // snapshot-only book: best bid 570.90 x 3.10, best ask 571.00 x 1.20
+    assert(rows.head ==
+      "1727784000999,1727784000999,570.90000000,3.10000000," +
+        "571.00000000,1.20000000,0.10000000,2,1")
+    // after the bridge: bid 571.00 added, 570.90 removed (qty 0),
+    // ask 571.10 added => crossed-out spread recomputed
+    assert(rows(1).startsWith("1727784000200,1727784001000,571.00000000,1.50000000,571.00000000"))
+  }
+
   test("s02/s06: trade stream replays to the reference CSV layout") {
     val fixtures = tmp("fixtures")
     val out = tmp("csv")
