@@ -10,16 +10,33 @@ import org.apache.spark.sql.SparkSession
   * Queries are executed with a noop-sink write, NOT `.count()`: under a
   * count Catalyst prunes unreferenced projections and drops sorts, so
   * projection-heavy queries would be timed as little more than parquet
-  * row-count scans. The noop write materializes every output column. */
+  * row-count scans. The noop write materializes every output column.
+  *
+  * Each query is timed SPARK_GRAFT_BENCH_RUNS times (default 3) and the
+  * per-query MINIMUM is reported: the minimum is the steady-state cost,
+  * robust to co-tenant CPU contention that can inflate a single pass by
+  * 10-20x (observed on shared VMs). Failures are NOT silently swallowed:
+  * a failing query is reported in an "errors" list and its time excluded
+  * from the total, so a crash can never *improve* the headline number.
+  * The host's /proc/loadavg is recorded before and after the timed passes
+  * so a contended run is identifiable from the artifact alone. */
 object Bench {
 
   /** Force full execution of every column with zero sink I/O. */
   def exec(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  private def loadAvg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(",")
+    catch { case _: Throwable => "" }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ") + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,18 +46,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val warmupDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try exec(fn(spark, warmupDir)) catch { case _: Throwable => () }
+    val warmupErrors = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try exec(fn(spark, warmupDir))
+      catch { case t: Throwable => warmupErrors(name) = t.toString.take(200) }
     }
+    val loadBefore = loadAvg()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    warmupErrors.foreach { case (k, v) => errors(k) = v }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { exec(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case t: Throwable => errors(name) = t.toString.take(200); None }
+      }
+      name -> (if (times.nonEmpty) Some(times.min) else None)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val loadAfter = loadAvg()
+    val qs = results.map { case (k, v) => jsonStr(k) + ":" + v.getOrElse(-1.0) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.flatten.sum
+    val errJson = errors.map { case (k, v) => s"""{"query":${jsonStr(k)},"error":${jsonStr(v)}}""" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"errors":$errJson,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }
