@@ -95,6 +95,14 @@ object Corpus {
     var changed = 1L
     var iter = 0
     val maxIter = 50
+    // Convergence is checked every checkEvery iterations, not every
+    // one: min-label propagation is monotone, so a single iteration
+    // with zero changes IS the fixed point, and checking a block's
+    // last iteration only is sound — at the shallow diameters of
+    // near-dup clusters this drops most of the per-iteration driver
+    // round-trips (the count() job), at worst checkEvery-1 cheap
+    // no-op propagation steps past convergence.
+    val checkEvery = 3
     while (changed > 0 && iter < maxIter) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("node"))
@@ -104,10 +112,11 @@ object Corpus {
         .select(col("node"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("newLabel"),
           col("label"))
-      changed = updated.filter(col("newLabel") =!= col("label")).count()
+      iter += 1
+      if (iter % checkEvery == 0 || iter >= maxIter)
+        changed = updated.filter(col("newLabel") =!= col("label")).count()
       labels = updated.select(col("node"), col("newLabel").as("label"))
         .localCheckpoint()
-      iter += 1
     }
     p.unpersist()
     edges.unpersist()
@@ -130,9 +139,13 @@ object Corpus {
       |         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS shingle
       |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
       |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+      |cap AS (
+      |  SELECT greatest(${Dedup.HotShingleDfFloor},
+      |                  CAST(floor(count(DISTINCT doc_id) * ${Dedup.HotShingleDfFraction}) AS BIGINT)) AS cap
+      |  FROM sh),
       |shc AS (
-      |  SELECT doc_id, shingle FROM sh
-      |  QUALIFY count(*) OVER (PARTITION BY shingle) <= ${Dedup.HotShingleDfCap}),
+      |  SELECT doc_id, shingle FROM sh, cap
+      |  QUALIFY count(*) OVER (PARTITION BY shingle) <= cap),
       |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
       |inter AS (
       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i

@@ -52,30 +52,41 @@ object Dedup {
     shinglesBy(s, d, "doc_id")
 
   /** Document-frequency cap for the exact-Jaccard self-join: shingles
-    * shared by more than this many documents are dropped before the
-    * join. A single stop-phrase shingle shared by k docs contributes
-    * O(k²) join rows — one phrase in 1M docs is 10¹² rows — so the cap
+    * shared by more than `cap` documents are dropped before the join.
+    * A single stop-phrase shingle shared by k docs contributes O(k²)
+    * join rows — one phrase in 1M docs is 10¹² rows — so the cap
     * bounds per-shingle join fan-out at cap² regardless of corpus
-    * size. Chosen far above the observed max df at every test sf
-    * (sf0.1: max df = 25 over 5000 docs) so test results are
-    * byte-identical with and without the cap; at production scale it
-    * would be tuned to ~0.1% of the corpus. The q25/q48 oracles apply
-    * the SAME cap (shc CTE), so Spark and DuckDB stay formally
-    * equivalent at every scale, not just below the cap. */
-  private[queries] val HotShingleDfCap = 1000L
+    * size. The cap is RELATIVE — 0.1% of the corpus's document count,
+    * the production tuning — with an absolute floor so tiny test
+    * corpora (where 0.1% rounds to ~0) keep a cap far above the
+    * observed max df (sf0.1: max df = 25 over 5000 docs → floor 1000
+    * binds, results byte-identical with and without the cap; at 1e9
+    * docs the fraction, 1e6, binds). The q25/q48 oracles apply the
+    * SAME fraction+floor cap (cap/shc CTEs), so Spark and DuckDB stay
+    * formally equivalent at every scale, not just below the cap. */
+  private[queries] val HotShingleDfFraction = 0.001
+  private[queries] val HotShingleDfFloor = 1000L
+
+  /** The cap as a lazy 1-row scalar off the shingle frame itself (like
+    * q46's corpus-size N: a broadcast cross join, no driver action). */
+  private[queries] def hotShingleCap(sh: DataFrame): DataFrame =
+    sh.agg(greatest(lit(HotShingleDfFloor),
+      floor(countDistinct(col("doc_id")) * HotShingleDfFraction)).as("cap"))
 
   /** Near-duplicate pairs (da < db) with exact 3-gram Jaccard ≥ 0.2 —
     * the q25 computation, shared with q48's cluster resolution.
-    * Injectable corpus + cap so the blowup guard is unit-testable. */
-  private[queries] def nearDupPairsFrom(sh: DataFrame, dfCap: Long): DataFrame = {
+    * Injectable corpus + cap frame (1 row, `cap: bigint`) so the
+    * blowup guard is unit-testable at any cap. */
+  private[queries] def nearDupPairsFrom(sh: DataFrame, capDf: DataFrame): DataFrame = {
     // Cap is applied BEFORE set sizes are computed, so jaccard stays a
     // true Jaccard over the capped shingle universe (intersections and
     // unions count the same shingle set).
     val capped = sh
+      .crossJoin(broadcast(capDf))
       .withColumn("df",
         count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("df") <= dfCap)
-      .drop("df")
+      .filter(col("df") <= col("cap"))
+      .drop("df", "cap")
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shA = capped.select(col("doc_id").as("da"), col("shingle"))
     val shB = capped.select(col("doc_id").as("db"), col("shingle").as("shingle_b"))
@@ -91,8 +102,10 @@ object Dedup {
       .filter(col("jaccard") >= 0.2)
   }
 
-  private[queries] def nearDupPairs(s: SparkSession, d: String): DataFrame =
-    nearDupPairsFrom(shingles(s, d), HotShingleDfCap)
+  private[queries] def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    nearDupPairsFrom(sh, hotShingleCap(sh))
+  }
 
   /** q25: near-duplicate documents by exact 3-gram shingle Jaccard
     * (the verifiable form of MinHash dedup at test scale — the MinHash
@@ -109,9 +122,13 @@ object Dedup {
       |         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS shingle
       |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
       |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+      |cap AS (
+      |  SELECT greatest($HotShingleDfFloor,
+      |                  CAST(floor(count(DISTINCT doc_id) * $HotShingleDfFraction) AS BIGINT)) AS cap
+      |  FROM sh),
       |shc AS (
-      |  SELECT doc_id, shingle FROM sh
-      |  QUALIFY count(*) OVER (PARTITION BY shingle) <= $HotShingleDfCap),
+      |  SELECT doc_id, shingle FROM sh, cap
+      |  QUALIFY count(*) OVER (PARTITION BY shingle) <= cap),
       |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
       |inter AS (
       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i

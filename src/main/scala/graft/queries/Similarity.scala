@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   * (q31) is the scale path: a tiny broadcast centroid table assigns
   * each vector to a partition-local cluster, and search shuffles once
   * on cluster id, reducing candidate generation from n² to
-  * Σ cluster². Replace `vec_id < 8` seeding with k-means iterations
-  * at real scale; the plan shape is identical.
+  * Σ cluster². Centroids are LEARNED: two deterministic Lloyd's
+  * iterations in quantized-integer space (see [[lloyd]]) — exact in
+  * both engines, so the oracle replays the identical k-means chain.
   */
 object Similarity {
 
@@ -80,20 +81,101 @@ object Similarity {
     s"""WITH $pairCosSql
       |SELECT va, vb, cos FROM pc WHERE cos >= 0.4 ORDER BY va, vb""".stripMargin
 
-  /** q31: IVF-style ANN — vectors are assigned to the nearest of 8
-    * seed centroids (vec_id < 8, broadcast); each probe vector
-    * (vec_id % 50 = 0) retrieves its top-5 cosine neighbors from its
-    * own cluster only. */
+  // ---- deterministic k-means (Lloyd's) for the IVF family ----------
+
+  /** Vectors with an integer-quantized copy `q` (floor(x·1000), stored
+    * as integer-VALUED doubles) and its norm `qn`. Everything the
+    * k-means chain computes from `q` — element-wise centroid sums and
+    * dot products — is a sum of integers, which IEEE doubles represent
+    * EXACTLY (no rounding) as long as magnitudes stay below 2^53, so
+    * both engines get bit-identical centroids and assignment scores
+    * regardless of summation order. With |x| ≲ 1 the centroid
+    * self-dot stays exact up to cluster sizes of ~1e4; beyond that
+    * (real 100 TB) swap the scoring folds to BIGINT `aggregate` HOFs —
+    * the plan shape is unchanged. */
+  private def qvecs(s: SparkSession, d: String): DataFrame =
+    vecs(s, d)
+      .withColumn("q", transform(col("v"), x => floor(x * 1000).cast("double")))
+      .withColumn("qn", sqrt(expr("dot_product(q, q)")))
+
+  /** Assign each vector to its `keep` highest-cosine centroids (ties →
+    * lower cid). Cosine against the UN-normalized centroid sum-vector:
+    * cosine is scale-invariant, so the mean's division by the cluster
+    * count — the one inexact step of textbook Lloyd's — is never
+    * performed. Output: input columns + `cid`. */
+  private def assignTo(v: DataFrame, c: DataFrame, keep: Int): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+    v.join(broadcast(c), lit(true))
+      .withColumn("ccos", round(expr("dot_product(q, cs)") / (col("qn") * col("cn")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= keep)
+      .drop("ccos", "rn", "cs", "cn")
+  }
+
+  /** One Lloyd's update: element-wise integer sum of the quantized
+    * vectors per cluster. Distributed shape: posexplode to (cluster,
+    * dim) — a partial-aggregatable groupBy over narrow rows — then the
+    * ≤8·64 sums collapse to ≤8 centroid rows. */
+  private def recompute(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), posexplode(col("q")).as(Seq("d", "qd")))
+      .groupBy("cid", "d").agg(sum("qd").as("sd"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("sd")))),
+        x => x.getField("sd")).as("cs"))
+      .withColumn("cn", sqrt(expr("dot_product(cs, cs)")))
+
+  /** Two deterministic Lloyd's iterations from the vec_id < 8 seeds:
+    * (vec_id, v, nrm, q, qn) × learned centroids (cid, cs, cn). */
+  private def lloyd(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val qv = qvecs(s, d)
+    val c0 = qv.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("q").as("cs"), col("qn").as("cn"))
+    val c1 = recompute(assignTo(qv, c0, 1).select(col("cid"), col("q")))
+    val c2 = recompute(assignTo(qv, c1, 1).select(col("cid"), col("q")))
+    (qv, c2)
+  }
+
+  /** Oracle mirror of [[lloyd]]: the same unrolled seed → assign →
+    * re-sum → assign → re-sum chain. `sum(qd)` over integer-valued
+    * doubles is exact, so `c2` is bit-identical to Spark's. */
+  private val lloydSql =
+    """v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+      |qv AS (SELECT vec_id, v, nrm,
+      |              list_transform(v, x -> CAST(floor(x * 1000) AS DOUBLE)) AS q
+      |       FROM n),
+      |qq AS (SELECT vec_id, v, nrm, q, sqrt(list_dot_product(q, q)) AS qn FROM qv),
+      |c0 AS (SELECT vec_id AS cid, q AS cs, qn AS cn FROM qq WHERE vec_id < 8),
+      |a1 AS (SELECT cid, q FROM (
+      |         SELECT qq.vec_id, c0.cid, qq.q,
+      |                row_number() OVER (PARTITION BY qq.vec_id
+      |                  ORDER BY round(list_dot_product(qq.q, c0.cs) / (qq.qn * c0.cn), 6) DESC,
+      |                           c0.cid ASC) AS rn
+      |         FROM qq CROSS JOIN c0) WHERE rn = 1),
+      |s1 AS (SELECT cid, d, sum(qd) AS sd
+      |       FROM (SELECT cid, unnest(q) AS qd, generate_subscripts(q, 1) AS d FROM a1) e
+      |       GROUP BY 1, 2),
+      |c1p AS (SELECT cid, list(sd ORDER BY d) AS cs FROM s1 GROUP BY 1),
+      |c1 AS (SELECT cid, cs, sqrt(list_dot_product(cs, cs)) AS cn FROM c1p),
+      |a2 AS (SELECT cid, q FROM (
+      |         SELECT qq.vec_id, c1.cid, qq.q,
+      |                row_number() OVER (PARTITION BY qq.vec_id
+      |                  ORDER BY round(list_dot_product(qq.q, c1.cs) / (qq.qn * c1.cn), 6) DESC,
+      |                           c1.cid ASC) AS rn
+      |         FROM qq CROSS JOIN c1) WHERE rn = 1),
+      |s2 AS (SELECT cid, d, sum(qd) AS sd
+      |       FROM (SELECT cid, unnest(q) AS qd, generate_subscripts(q, 1) AS d FROM a2) e
+      |       GROUP BY 1, 2),
+      |c2p AS (SELECT cid, list(sd ORDER BY d) AS cs FROM s2 GROUP BY 1),
+      |c2 AS (SELECT cid, cs, sqrt(list_dot_product(cs, cs)) AS cn FROM c2p)""".stripMargin
+
+  /** q31: IVF-style ANN — centroids are learned with two deterministic
+    * Lloyd's iterations from the vec_id < 8 seeds (broadcast at every
+    * step); each probe vector (vec_id % 50 = 0) retrieves its top-5
+    * cosine neighbors from its own cluster only. */
   private def q31(s: SparkSession, d: String): DataFrame = {
-    val v = vecs(s, d)
-    val c = v.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cid").asc)
-    val assign = v.join(broadcast(c), lit(true))
-      .withColumn("ccos", cosR("v", "cv", col("nrm"), col("cn")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+    val (qv, c2) = lloyd(s, d)
+    val assign = assignTo(qv, c2, 1)
       .select(col("vec_id"), col("cid").as("cluster"), col("v"), col("nrm"))
     val q = assign.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("cluster"),
@@ -111,17 +193,15 @@ object Similarity {
   }
 
   private val q31Sql =
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
-      |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+    s"""WITH $lloydSql,
       |assign AS (
       |  SELECT vec_id, cid AS cluster, v, nrm FROM (
-      |    SELECT n.vec_id, c.cid, n.v, n.nrm,
+      |    SELECT qq.vec_id, c2.cid, qq.v, qq.nrm,
       |           row_number() OVER (
-      |             PARTITION BY n.vec_id
-      |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
-      |                      c.cid ASC) AS rn
-      |    FROM n CROSS JOIN c)
+      |             PARTITION BY qq.vec_id
+      |             ORDER BY round(list_dot_product(qq.q, c2.cs) / (qq.qn * c2.cn), 6) DESC,
+      |                      c2.cid ASC) AS rn
+      |    FROM qq CROSS JOIN c2)
       |  WHERE rn = 1),
       |q AS (SELECT vec_id AS qid, cluster, v AS qv, nrm AS qn
       |      FROM assign WHERE vec_id % 50 = 0)
@@ -137,8 +217,8 @@ object Similarity {
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   /** q52: blocked embedding near-dup — the scale shape of q30. Each
-    * vector is assigned to its top-2 nearest of the 8 seed centroids
-    * (multi-probe softens cluster-boundary misses); candidate pairs
+    * vector is assigned to its top-2 nearest of the 8 Lloyd's-learned
+    * centroids (multi-probe softens cluster-boundary misses); candidate pairs
     * are generated by an equality self-join on the assigned cluster id
     * and scored with the same rounded cosine ≥ 0.4 predicate. The
     * plan has NO cartesian/broadcast-NL pair join (asserted in
@@ -148,15 +228,8 @@ object Similarity {
     * candidates); the oracle encodes the same blocking, and q30
     * remains the exactness baseline. */
   private def q52(s: SparkSession, d: String): DataFrame = {
-    val v = vecs(s, d)
-    val c = v.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cid").asc)
-    val assign = v.join(broadcast(c), lit(true))
-      .withColumn("ccos", cosR("v", "cv", col("nrm"), col("cn")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") <= 2)
+    val (qv, c2) = lloyd(s, d)
+    val assign = assignTo(qv, c2, 2)
       .select(col("vec_id"), col("cid").as("cluster"), col("v"), col("nrm"))
     val a = assign.select(col("vec_id").as("va"), col("cluster"),
       col("v").as("av"), col("nrm").as("na"))
@@ -171,17 +244,15 @@ object Similarity {
   }
 
   private val q52Sql =
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
-      |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+    s"""WITH $lloydSql,
       |assign AS (
       |  SELECT vec_id, cid AS cluster, v, nrm FROM (
-      |    SELECT n.vec_id, c.cid, n.v, n.nrm,
+      |    SELECT qq.vec_id, c2.cid, qq.v, qq.nrm,
       |           row_number() OVER (
-      |             PARTITION BY n.vec_id
-      |             ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
-      |                      c.cid ASC) AS rn
-      |    FROM n CROSS JOIN c)
+      |             PARTITION BY qq.vec_id
+      |             ORDER BY round(list_dot_product(qq.q, c2.cs) / (qq.qn * c2.cn), 6) DESC,
+      |                      c2.cid ASC) AS rn
+      |    FROM qq CROSS JOIN c2)
       |  WHERE rn <= 2)
       |SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
       |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos

@@ -35,9 +35,9 @@ class DedupScaleSpec extends SparkSpec {
     val unique = (3 to 20).map(d => (d.toLong, s"unique to $d"))
     val sh = (hot ++ rare ++ unique).toDF("doc_id", "shingle")
 
-    val uncapped = Dedup.nearDupPairsFrom(sh, dfCap = 1000L)
+    val uncapped = Dedup.nearDupPairsFrom(sh, Seq(1000L).toDF("cap"))
       .select("da", "db").as[(Long, Long)].collect().toSet
-    val capped = Dedup.nearDupPairsFrom(sh, dfCap = 10L)
+    val capped = Dedup.nearDupPairsFrom(sh, Seq(10L).toDF("cap"))
       .select("da", "db").as[(Long, Long)].collect().toSet
 
     // Uncapped, the hot shingle makes the small docs pairwise similar
@@ -48,11 +48,23 @@ class DedupScaleSpec extends SparkSpec {
   }
 
   test("hot-shingle cap does not change q25 at test scale") {
+    import spark.implicits._
     val def_ = Dedup.nearDupPairs(spark, sfDir).orderBy("da", "db").collect().toSeq
     val unc = Dedup.nearDupPairsFrom(
-      Dedup.shinglesBy(spark, sfDir, "doc_id"), dfCap = Long.MaxValue)
+      Dedup.shinglesBy(spark, sfDir, "doc_id"), Seq(Long.MaxValue).toDF("cap"))
       .orderBy("da", "db").collect().toSeq
     assert(def_ == unc)
+  }
+
+  test("hot-shingle cap scalar: fraction of corpus with an absolute floor") {
+    import spark.implicits._
+    // Small corpus: the floor binds (0.1% of 20 docs rounds to 0).
+    val small = (1 to 20).map(d => (d.toLong, s"shingle $d")).toDF("doc_id", "shingle")
+    assert(Dedup.hotShingleCap(small).as[Long].head() == 1000L)
+    // Large corpus (distinct doc ids beyond floor/fraction): the
+    // fraction binds — 0.1% of 3,000,000 docs = 3000 > floor 1000.
+    val big = spark.range(3000000).select(col("id").as("doc_id"), lit("x").as("shingle"))
+    assert(Dedup.hotShingleCap(big).as[Long].head() == 3000L)
   }
 
   test("q29 band-prefix blocking: exact vs all-pairs, no cartesian in plan") {
@@ -80,11 +92,12 @@ class DedupScaleSpec extends SparkSpec {
     val q52 = SparkEntry.queries("q52_embed_neardup_blocked")(spark, sfDir)
     val plan = planString(q52)
     assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
-    // The ONLY nested-loop join allowed is the centroid assignment,
-    // which broadcasts the bounded 8-row centroid table — that's the
-    // IVF design, not an all-pairs blowup.
-    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
-      s"only the 8-row centroid broadcast may be nested-loop:\n$plan")
+    // The ONLY nested-loop joins allowed are the centroid assignments
+    // (one per Lloyd's pass: seed assign ×2 + final assign), each
+    // broadcasting the bounded ≤8-row centroid table — that's the IVF
+    // design, not an all-pairs blowup.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 3,
+      s"only the ≤8-row centroid broadcasts may be nested-loop:\n$plan")
     // Pair generation itself must be keyed on the cluster id.
     assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cluster".r
         .findFirstIn(plan).isDefined,
