@@ -275,7 +275,13 @@ object Similarity {
     * Scale shape: signatures row-local (no shuffle), candidate
     * generation a (band, value) equality join — same posture as q28's
     * LSH. */
-  private def q53(s: SparkSession, d: String): DataFrame = {
+  /** Shared LSH top-k machinery for q53 (sampled probes) and q57 (all
+    * vectors). `probeFilter = None` is the full-corpus shape: both
+    * join sides are the SAME banded frame, pre-partitioned on
+    * (b, bv) so the signature build runs once and the self-join
+    * reuses one exchange (the q28 pattern). */
+  private def lshTopK(s: SparkSession, d: String,
+      probeFilter: Option[Column]): DataFrame = {
     val planes: Seq[Seq[Long]] = (0 to 15).map(j =>
       (1 to 64).map(dd => (phashDriver(s"$j:$dd") % 1001L) - 500L))
     val wLit = typedlit(planes)
@@ -288,11 +294,16 @@ object Similarity {
           aggregate(zip_with(col("q"), element_at(wLit, j + 1),
             (x, w) => x * w), lit(0L), (a, b) => a + b) > 0,
           pow(lit(2.0), j).cast("long")).otherwise(0L)))
-    val banded = sig
+    val banded0 = sig
       .select(col("vec_id"), col("v"), col("nrm"), col("sg"),
         explode(sequence(lit(0), lit(1))).as("b"))
       .withColumn("bv", expr("shiftright(sg, b * 8) & 255"))
-    val probes = banded.filter(col("vec_id") % 50 === 0)
+    // All-vectors case: co-partition once on the join keys so the
+    // identical probe/member subtrees collapse to a ReusedExchange.
+    val banded =
+      if (probeFilter.isEmpty) banded0.repartition(col("b"), col("bv"))
+      else banded0
+    val probes = probeFilter.fold(banded)(banded.filter)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         col("b"), col("bv"))
     val members = banded.select(col("vec_id").as("mid"), col("v").as("mv"),
@@ -312,8 +323,25 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  private val q53Sql =
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  private def q53(s: SparkSession, d: String): DataFrame =
+    lshTopK(s, d, Some(col("vec_id") % 50 === 0))
+
+  /** q57: all-vectors LSH top-k — the blocked replacement for q26 at
+    * scale: EVERY vector retrieves its top-5 cosine neighbors among
+    * its (band, value) LSH candidates. Same signature scheme as q53;
+    * the pair join stays an equality join whose fan-out is Σ bucket²
+    * over the band-value buckets, never n². At real corpus sizes the
+    * band width grows with log n (wider signatures → smaller buckets);
+    * the 2×8-bit banding here matches q53 so the two stay one scheme.
+    * Approximate by design: vectors sharing no band with anything
+    * (or fewer than 5 candidates) emit fewer rows — q26 remains the
+    * exactness baseline. */
+  private def q57(s: SparkSession, d: String): DataFrame =
+    lshTopK(s, d, None)
+
+  /** Oracle twin of [[lshTopK]]; `probeWhere` mirrors `probeFilter`. */
+  private def lshSql(probeWhere: String): String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
       |qv AS (SELECT vec_id,
       |              list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
@@ -339,7 +367,7 @@ object Similarity {
       |  SELECT DISTINCT q.vec_id AS qid, m.vec_id AS mid
       |  FROM banded q JOIN banded m
       |    ON q.b = m.b AND q.bv = m.bv AND q.vec_id <> m.vec_id
-      |  WHERE q.vec_id % 50 = 0),
+      |  $probeWhere),
       |scored AS (
       |  SELECT qid, mid,
       |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
@@ -351,17 +379,22 @@ object Similarity {
       |  FROM scored)
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  private val q53Sql = lshSql("WHERE q.vec_id % 50 = 0")
+  private val q57Sql = lshSql("")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_cosine_topk" -> q26 _,
     "q30_embed_neardup" -> q30 _,
     "q31_ann_ivf" -> q31 _,
     "q52_embed_neardup_blocked" -> q52 _,
-    "q53_ann_lsh" -> q53 _)
+    "q53_ann_lsh" -> q53 _,
+    "q57_ann_lsh_all" -> q57 _)
 
   val oracles: Map[String, String] = Map(
     "q26_cosine_topk" -> q26Sql,
     "q30_embed_neardup" -> q30Sql,
     "q31_ann_ivf" -> q31Sql,
     "q52_embed_neardup_blocked" -> q52Sql,
-    "q53_ann_lsh" -> q53Sql)
+    "q53_ann_lsh" -> q53Sql,
+    "q57_ann_lsh_all" -> q57Sql)
 }

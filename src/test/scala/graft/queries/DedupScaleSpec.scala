@@ -118,6 +118,18 @@ class DedupScaleSpec extends SparkSpec {
       s"q53 candidates must come from the (band, value) equality join:\n$plan")
   }
 
+  test("q57 all-vectors LSH top-k: equality-join candidates, reused exchange") {
+    val q57 = SparkEntry.queries("q57_ann_lsh_all")(spark, sfDir)
+    val plan = planString(q57)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q57 candidates must come from the (band, value) equality join:\n$plan")
+    // Both join sides are the same banded signature frame — the
+    // signature build must run once, not once per side.
+    assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
+      s"q57's self-join should reuse the (b, bv) exchange:\n$plan")
+  }
+
   test("q28 self-join computes the signature build once (reused exchange)") {
     val q28 = SparkEntry.queries("q28_minhash_lsh")(spark, sfDir)
     val plan = planString(q28)
