@@ -59,6 +59,37 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("date-partitioned write prunes partitions on a date filter") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("events_by_day").toString
+    try {
+      val events = T.tbl(spark, sfDir, "events")
+      Scale.writeDatePartitioned(events, dir, "ts")
+      val part = spark.read.parquet(dir)
+
+      def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
+        df.queryExecution.executedPlan
+          .collect { case f: FileSourceScanExec => f }.head
+
+      val total = scanOf(part.select("event_id")).selectedPartitions.partitionCount
+      assert(total > 1, s"expected one partition per day, got $total")
+
+      val filtered = part.filter(col("p_date") === lit("2024-01-05"))
+      val scan = scanOf(filtered)
+      // The filter must reach the listing as a PartitionFilter (pruned
+      // before I/O), not survive as a post-scan data filter.
+      assert(scan.partitionFilters.exists(_.references.exists(_.name == "p_date")),
+        s"p_date filter must be a partition filter:\n${scan.partitionFilters}")
+      assert(scan.selectedPartitions.partitionCount == 1,
+        s"one day => one pruned partition, got ${scan.selectedPartitions.partitionCount} of $total")
+      // Semantics unchanged vs filtering the unpartitioned table.
+      val expected = events.filter(to_date(col("ts")) === lit("2024-01-05")).count()
+      assert(filtered.count() == expected && expected > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("keySkewProfile surfaces the hottest keys first") {
     val prof = Scale.keySkewProfile(
       T.tbl(spark, sfDir, "events"), col("event_type"), topN = 3).collect()
