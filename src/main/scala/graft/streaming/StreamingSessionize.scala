@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** s14: streaming gap-based sessionization — the event-time-timer
+  * analog of batch q56 (`queries.Extras`): per user, a session closes
+  * when no event arrives within `gapMs` of its last event, and one row
+  * per CLOSED session is emitted with the same (session_id, span,
+  * composition) the batch operator computes.
+  *
+  * Two close paths, both exercised by the spec:
+  *  - arrival close: a same-user event beyond the gap closes the open
+  *    session inside `handleInputRows` (no timer involvement);
+  *  - timer close: when the stream goes quiet, the event-time timer
+  *    registered at `last_event + gapMs` fires once the WATERMARK
+  *    passes it — the no-more-events proof — and flushes the session.
+  *
+  * session_id is a per-user running counter in state, so ids match the
+  * batch operator's running-sum-of-breaks numbering as long as
+  * sessions close in event-time order (guaranteed per user: a session
+  * only closes when a later event, or the watermark, has moved past
+  * its whole gap window).
+  *
+  * Scale posture: state per user is O(1) (one open-session accumulator
+  * + counter + timer), keyed state partitions by user hash, and every
+  * emitted row leaves state behind — the operator's footprint is
+  * (active users) × O(1), independent of stream history. Ordering
+  * contract: per-user event-time order up to the watermark delay (the
+  * standard ingestion contract); same-batch disorder is sorted, events
+  * later than the watermark allows are the source's responsibility.
+  *
+  * Requires the RocksDB state store provider (named state + timers),
+  * like [[BookSynchronizerTws]]/[[StreamingDedupTws]].
+  */
+object StreamingSessionize {
+
+  /** Input surface (ts_t carries the watermark; ts_ms is its exact
+    * integer twin used for all arithmetic). */
+  case class SessEvent(user_id: Long, event_id: Long, ts_ms: Long,
+      event_type: String, ts_t: java.sql.Timestamp)
+
+  /** One closed session — the q56 output row. */
+  case class SessionOut(user_id: Long, session_id: Long, start_ms: Long,
+      end_ms: Long, n_events: Long, n_purchases: Long)
+
+  /** The open-session accumulator. */
+  case class OpenSession(start_ms: Long, end_ms: Long, n_events: Long,
+      n_purchases: Long)
+
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, SessEvent, SessionOut] {
+
+    @transient private var open: ValueState[OpenSession] = _
+    @transient private var seq: ValueState[Long] = _
+    @transient private var timer: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getValueState[OpenSession]("open",
+        Encoders.product[OpenSession], TTLConfig.NONE)
+      seq = getHandle.getValueState[Long]("seq", Encoders.scalaLong, TTLConfig.NONE)
+      timer = getHandle.getValueState[Long]("timer", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def close(key: Long, o: OpenSession): SessionOut = {
+      val id = (if (seq.exists()) seq.get() else 0L) + 1L
+      seq.update(id)
+      SessionOut(key, id, o.start_ms, o.end_ms, o.n_events, o.n_purchases)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[SessEvent],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toVector.sortBy(e => (e.ts_ms, e.event_id))
+      var out = Vector.empty[SessionOut]
+      var cur = if (open.exists()) Option(open.get()) else None
+      sorted.foreach { e =>
+        val p = if (e.event_type == "purchase") 1L else 0L
+        cur = cur match {
+          case Some(o) if e.ts_ms - o.end_ms > gapMs =>
+            out :+= close(key, o) // arrival close
+            Some(OpenSession(e.ts_ms, e.ts_ms, 1L, p))
+          case Some(o) =>
+            Some(OpenSession(o.start_ms, math.max(o.end_ms, e.ts_ms),
+              o.n_events + 1L, o.n_purchases + p))
+          case None =>
+            Some(OpenSession(e.ts_ms, e.ts_ms, 1L, p))
+        }
+      }
+      cur.foreach { o =>
+        open.update(o)
+        val expiry = o.end_ms + gapMs
+        // exactly one live timer per user: replace, never accumulate
+        if (timer.exists() && timer.get() != expiry)
+          getHandle.deleteTimer(timer.get())
+        if (!timer.exists() || timer.get() != expiry) {
+          getHandle.registerTimer(expiry)
+          timer.update(expiry)
+        }
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      // Only the CURRENT timer closes the session; a stale fire (the
+      // delete raced a downstream watermark advance) is a no-op.
+      if (open.exists() && timer.exists() &&
+          timer.get() == expiredTimerInfo.getExpiryTimeInMs()) {
+        val o = open.get()
+        open.clear()
+        timer.clear()
+        Iterator.single(close(key, o))
+      } else Iterator.empty
+    }
+  }
+
+  /** Raw event frame (user_id, event_id, ts_ms, event_type) → closed
+    * sessions. `watermarkDelay` is how much event-time disorder the
+    * source tolerates before a session may close without an event. */
+  def apply(events: DataFrame, gapMs: Long, watermarkDelay: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("ts_t", timestamp_millis(col("ts_ms")))
+      .withWatermark("ts_t", watermarkDelay)
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionProcessor(gapMs),
+        TimeMode.EventTime(),
+        OutputMode.Append())
+      .toDF()
+  }
+}

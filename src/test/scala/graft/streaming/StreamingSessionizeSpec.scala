@@ -1,0 +1,134 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** s14: streaming sessionization must reproduce the batch q56 session
+  * boundaries — ids, spans and composition — over the same events,
+  * exercising BOTH close paths: arrival-close (a later same-user event
+  * beyond the gap) and timer-close (watermark passes last_event + gap
+  * with no further events).
+  *
+  * Fixture timeline (gap = 30 min, watermark delay = 1 s):
+  *   user 1: t0, t0+10m           — session 1 (closed by the t0+45m arrival)
+  *           t0+45m, t0+50m       — session 2 (closed by timer)
+  *   user 2: t0+5m (purchase)     — session 1 (closed by timer)
+  * A far-future sentinel event (user 999) advances the watermark past
+  * every open session's gap so the timers fire; the sentinel's own
+  * session stays open and must NOT be emitted.
+  */
+class StreamingSessionizeSpec extends SparkSpec {
+
+  private val GapMs = 30L * 60 * 1000
+  private val t0 = 1700000000000L
+
+  private val schema = new StructType()
+    .add("user_id", LongType).add("event_id", LongType)
+    .add("ts_ms", LongType).add("event_type", StringType)
+
+  private val batch1 = Seq(
+    (1L, 101L, t0, "view"),
+    (1L, 102L, t0 + 10 * 60 * 1000, "click"),
+    (2L, 201L, t0 + 5 * 60 * 1000, "purchase"))
+  private val batch2 = Seq(
+    (1L, 103L, t0 + 45 * 60 * 1000, "purchase"),
+    (1L, 104L, t0 + 50 * 60 * 1000, "view"))
+  private val sentinel = Seq(
+    (999L, 901L, t0 + 10L * 60 * 60 * 1000, "view"))
+
+  private def writeEvents(dir: Path, file: String,
+      es: Seq[(Long, Long, Long, String)]): Unit =
+    Files.write(dir.resolve(file), es.map { case (u, e, ts, et) =>
+      s"""{"user_id": $u, "event_id": $e, "ts_ms": $ts, "event_type": "$et"}"""
+    }.asJava)
+
+  /** The q56 chain (lag → break → running-sum → per-session agg) over
+    * an in-memory frame — the batch truth the stream must match. */
+  private def batchSessions(es: Seq[(Long, Long, Long, String)]): Set[(Long, Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    es.toDF("user_id", "event_id", "ts_ms", "event_type")
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > GapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+  }
+
+  test("streaming sessions match batch q56 boundaries via both close paths") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("sess_in")
+      val ckpt = Files.createTempDirectory("sess_ckpt")
+      val collected = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[(Long, Long, Long, Long, Long, Long)]()
+
+      writeEvents(dir, "b1.jsonl", batch1)
+      val stream = spark.readStream.schema(schema).json(dir.toString)
+      val q = StreamingSessionize(stream, GapMs, "1 second")
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select("user_id", "session_id", "start_ms", "end_ms",
+              "n_events", "n_purchases")
+            .collect().foreach(r => collected.add((r.getLong(0), r.getLong(1),
+              r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        }
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        def ingested: Long = q.recentProgress.map(_.numInputRows).sum
+        def awaitIngest(n: Long): Unit = {
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (ingested < n && System.nanoTime() < deadline) Thread.sleep(100)
+          assert(ingested >= n, s"timed out waiting for $n input rows (got $ingested)")
+        }
+        def awaitSessions(n: Int): Unit = {
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (collected.size < n && System.nanoTime() < deadline) Thread.sleep(100)
+        }
+
+        awaitIngest(batch1.size.toLong)
+        writeEvents(dir, "b2.jsonl", batch2)
+        awaitIngest((batch1.size + batch2.size).toLong)
+        // user 1's first session closes on ARRIVAL of the t0+45m event
+        // (the watermark — still at batch2's max − 1s — has not passed
+        // any timer yet, so this proves the arrival path alone).
+        awaitSessions(1)
+        assert(collected.asScala.toSet ==
+          Set((1L, 1L, t0, t0 + 10 * 60 * 1000, 2L, 0L)),
+          s"arrival-close should emit exactly user 1 session 1, got $collected")
+
+        // Sentinel pushes the watermark past every open gap → timers
+        // fire for user 1 session 2 and user 2 session 1.
+        writeEvents(dir, "b3.jsonl", sentinel)
+        awaitSessions(3)
+      } finally q.stop()
+
+      val expected = batchSessions(batch1 ++ batch2)
+      assert(collected.asScala.toSet == expected,
+        s"stream sessions must equal batch q56 sessions:\n" +
+          s"got      ${collected.asScala.toSet}\nexpected $expected")
+      assert(!collected.asScala.exists(_._1 == 999L),
+        "the sentinel's still-open session must not be emitted")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+}
