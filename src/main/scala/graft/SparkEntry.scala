@@ -39,6 +39,7 @@ object SparkEntry {
       graft.queries.Multimodal.queries ++
       graft.queries.Extras.queries ++
       graft.queries.Corpus.queries ++
+      graft.queries.Curation.queries ++
       graft.queries.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -52,5 +53,6 @@ object SparkEntry {
       graft.queries.Multimodal.oracles ++
       graft.queries.Extras.oracles ++
       graft.queries.Corpus.oracles ++
+      graft.queries.Curation.oracles ++
       graft.queries.Pipeline.oracles
 }

@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.T._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators q58-q60 — the remaining steps a
+  * training-data pipeline runs between raw corpus and training shards:
+  * benchmark decontamination, PII-safe pseudonymization, and
+  * class-balance (stratified) sampling.
+  *
+  * All three are hash-partitionable, shuffle-minimal shapes: q58 is a
+  * broadcast semijoin-aggregate against the (small) eval shingle set,
+  * q59 is a broadcast-dim enrichment + row-local masking, q60 is a
+  * broadcast of per-stratum counts + a row-local integer predicate.
+  */
+object Curation {
+
+  /** q58: test-set decontamination (the RefinedWeb/Dolma-style gate) —
+    * documents from the held-out eval split (`source = 'src0'`) define
+    * a contaminated-shingle set; every training doc whose distinct
+    * 3-gram shingles overlap the eval set by ≥ 15% is flagged (the
+    * threshold sits inside the corpus's observed 0-100% overlap range,
+    * flagging 10/475 docs at sf0.01 — selective, not vacuous).
+    *
+    * Scale shape: eval sets are benchmarks — tiny next to the corpus —
+    * so the distinct eval-shingle frame BROADCASTS and the overlap
+    * count is a map-side hash semijoin + partial-aggregatable groupBy
+    * on doc_id; the corpus is never shuffled on shingle. */
+  private def q58(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shinglesBy(s, d, "doc_id", "source")
+    val evalSh = sh.filter(col("source") === "src0")
+      .select(col("shingle")).distinct()
+      .withColumn("hit", lit(1L))
+    sh.filter(col("source") =!= "src0")
+      .join(broadcast(evalSh), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
+      .withColumn("overlap_ratio",
+        round(col("n_overlap").cast("double") / col("n_shingles").cast("double"), 6))
+      .filter(col("overlap_ratio") >= 0.15)
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"), col("overlap_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val q58Sql =
+    """WITH t AS (
+      |  SELECT doc_id, source, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS ord FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source,
+      |         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS shingle
+      |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+      |eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+      |o AS (
+      |  SELECT doc_id, count(*) AS n_shingles, count(es.shingle) AS n_overlap
+      |  FROM (SELECT doc_id, shingle FROM sh WHERE source <> 'src0') train
+      |  LEFT JOIN eval_sh es USING (shingle)
+      |  GROUP BY 1)
+      |SELECT doc_id, n_shingles, n_overlap,
+      |       round(CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS overlap_ratio
+      |FROM o
+      |WHERE round(CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) >= 0.15
+      |ORDER BY doc_id""".stripMargin
+
+  /** q59: PII-safe event log — the privacy pass a behavioral corpus
+    * goes through before training: user identity replaced by a keyed
+    * pseudonym (portable hash of a salted id — join-preserving but
+    * unlinkable without the salt; production uses a secret salt),
+    * quasi-identifiers masked (digits in the customer name) and
+    * generalized (timestamp coarsened to the hour, value bucketed to
+    * 50s) for k-anonymity-style protection. Row-local masking over a
+    * broadcast customer dim — no corpus shuffle. */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    val ev = tbl(s, d, "events")
+    val cust = tbl(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+      .select(
+        col("event_id"),
+        phash(concat(lit("u:"), col("user_id"))).as("user_token"),
+        regexp_replace(col("c_name"), "[0-9]", "X").as("name_masked"),
+        (expr("unix_millis(ts) div 3600000") * 3600000L).as("ts_hour_ms"),
+        (floor(col("value") / 50.0) * 50L).cast("long").as("value_bucket"))
+      .orderBy("event_id")
+  }
+
+  private val q59Sql =
+    s"""SELECT event_id,
+      |       ${phashSql("'u:' || user_id")} AS user_token,
+      |       regexp_replace(c_name, '[0-9]', 'X', 'g') AS name_masked,
+      |       (epoch_ms(ts) // 3600000) * 3600000 AS ts_hour_ms,
+      |       CAST(floor(value / 50.0) * 50 AS BIGINT) AS value_bucket
+      |FROM events JOIN customer ON user_id = c_custkey
+      |ORDER BY event_id""".stripMargin
+
+  /** q60: stratified (class-balance) sampling — caps every language at
+    * ~40 expected documents via a per-stratum deterministic hash rate:
+    * doc selected iff h·n_lang < 40·10⁶ where h = phash mod 10⁶ (i.e.
+    * rate = min(1, 40/n_lang)). Pure BIGINT predicate — no division,
+    * no threshold rounding to disagree on — so selection is
+    * bit-identical cross-engine and stable under repartitioning.
+    * Per-stratum counts broadcast back; the corpus scan stays
+    * embarrassingly parallel. */
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    val docs = tbl(s, d, "documents")
+    val n = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        (phash(concat(lit("strat:"), col("doc_id"))) % 1000000L).as("h"))
+      .join(broadcast(n), Seq("lang"))
+      .filter(col("h") * col("n") < 40L * 1000000L)
+      .select(col("doc_id"), col("lang"), col("h"))
+      .orderBy("doc_id")
+  }
+
+  private val q60Sql =
+    s"""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |h AS (SELECT doc_id, lang,
+      |             ${phashSql("'strat:' || doc_id")} % 1000000 AS h
+      |      FROM documents)
+      |SELECT doc_id, h.lang, h FROM h JOIN n USING (lang)
+      |WHERE h * n < 40 * 1000000
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_decontaminate" -> q58 _,
+    "q59_pii_pseudonymize" -> q59 _,
+    "q60_stratified_sample" -> q60 _)
+
+  val oracles: Map[String, String] = Map(
+    "q58_decontaminate" -> q58Sql,
+    "q59_pii_pseudonymize" -> q59Sql,
+    "q60_stratified_sample" -> q60Sql)
+}

@@ -52,7 +52,7 @@ final class FileReplaySource(
     fixedArrivalMs: Option[Long] = None) extends EventSource {
   override def stream(spark: SparkSession, id: EventId): DataFrame = {
     val dir = s"$fixtureRoot/${id.symbol}.${id.market}.${id.eventType}"
-    val raw = spark.readStream.text(dir).withColumnRenamed("value", "value")
+    val raw = spark.readStream.text(dir)
     val ts = fixedArrivalMs
       .map(lit(_))
       .getOrElse(unix_millis(current_timestamp()))
