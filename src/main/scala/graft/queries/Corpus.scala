@@ -211,13 +211,48 @@ object Corpus {
       |              - CAST(nd AS DOUBLE)) / CAST(nd AS DOUBLE), 6) AS rel_err
       |FROM agg ORDER BY lang""".stripMargin
 
+  /** q62: corpus n-gram frequency table — the classic LM-corpus
+    * statistic: top-20 trigrams by OCCURRENCE count (unlike the dedup
+    * family's per-doc-distinct shingles, every occurrence counts).
+    * Scale shape: row-local trigram explode → partial-aggregatable
+    * groupBy(ngram) → global top-k, which Spark plans as
+    * TakeOrderedAndProject (per-partition top-20, merged on the
+    * driver) — no global sort of the full frequency table. Boundary
+    * ties broken by ngram text in both engines. */
+  private def q62(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "documents")
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(explode(transform(
+        sequence(lit(1), size(col("t")) - 2),
+        i => concat_ws(" ",
+          element_at(col("t"), i),
+          element_at(col("t"), i + 1),
+          element_at(col("t"), i + 2)))).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(20)
+
+  private val q62Sql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS ord FROM documents),
+      |ng AS (
+      |  SELECT tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS ngram
+      |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      |  QUALIFY lead(tok,2) OVER w IS NOT NULL)
+      |SELECT ngram, count(*) AS n FROM ng
+      |GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_ngram_counts" -> q62 _,
     "q46_tfidf" -> q46 _,
     "q47_hash_sample" -> q47 _,
     "q48_dedup_clusters" -> q48 _,
     "q49_kmv_sketch" -> q49 _)
 
   val oracles: Map[String, String] = Map(
+    "q62_ngram_counts" -> q62Sql,
     "q46_tfidf" -> q46Sql,
     "q47_hash_sample" -> q47Sql,
     "q48_dedup_clusters" -> q48Sql,

@@ -124,12 +124,51 @@ object Curation {
       |WHERE h * n < 40 * 1000000
       |ORDER BY doc_id""".stripMargin
 
+  /** q63: token-budget shard packing — the last step before training:
+    * documents are packed into shards of ~2000 whitespace tokens.
+    * Packing is PER STRATUM (language): a running token sum over
+    * (lang, doc_id) order assigns shard_id = prefix_tokens div budget,
+    * so shards are deterministic, contiguous in doc order, and the
+    * window parallelizes across strata (per-language shards are the
+    * production layout anyway — no global single-partition cumsum,
+    * which would be the scale anti-pattern here). Integer division on
+    * exact BIGINT sums; no float anywhere. */
+  private def q63(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    tbl(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard_id", expr("(cum - n_tokens) div 2000"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("shard_id"))
+      .orderBy("doc_id")
+  }
+
+  private val q63Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM tok)
+      |SELECT doc_id, lang, n_tokens,
+      |       CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id
+      |FROM packed ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_shard_pack" -> q63 _,
     "q58_decontaminate" -> q58 _,
     "q59_pii_pseudonymize" -> q59 _,
     "q60_stratified_sample" -> q60 _)
 
   val oracles: Map[String, String] = Map(
+    "q63_shard_pack" -> q63Sql,
     "q58_decontaminate" -> q58Sql,
     "q59_pii_pseudonymize" -> q59Sql,
     "q60_stratified_sample" -> q60Sql)

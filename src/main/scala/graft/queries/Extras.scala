@@ -422,7 +422,52 @@ object Extras {
       |         AS BIGINT) AS n_purchases
       |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
 
+  /** q61: histogram quantile sketch — the partial-aggregatable
+    * quantile shape at scale: per event type, values land in fixed
+    * 5-wide bins (shuffle volume = #bins per group, independent of row
+    * count), and p50/p90/p99 are estimated as the lower edge of the
+    * first bin whose cumulative count crosses the target. The crossing
+    * test is `cum·100 ≥ total·p` — pure integer arithmetic, no
+    * ceil-division for engines to round differently. (q39 is the exact
+    * median; this is the sketch that replaces it at 100 TB.) */
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    val binW = 5.0
+    val bins = tbl(s, d, "events")
+      .select(col("event_type"), floor(col("value") / binW).cast("long").as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    val cum = bins
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("total", sum(col("c")).over(wAll))
+    def est(p: Int) =
+      (min(when(col("cum") * 100 >= col("total") * p, col("bin"))) * binW)
+        .as(s"p${p}_est")
+    cum.groupBy(col("event_type"))
+      .agg(max(col("total")).as("total"), est(50), est(90), est(99))
+      .orderBy("event_type")
+  }
+
+  private val q61Sql =
+    """WITH bins AS (
+      |  SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
+      |         count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, bin, c,
+      |         sum(c) OVER (PARTITION BY event_type ORDER BY bin
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |         sum(c) OVER (PARTITION BY event_type) AS total
+      |  FROM bins)
+      |SELECT event_type, CAST(max(total) AS BIGINT) AS total,
+      |       min(CASE WHEN cum*100 >= total*50 THEN bin END) * 5.0 AS p50_est,
+      |       min(CASE WHEN cum*100 >= total*90 THEN bin END) * 5.0 AS p90_est,
+      |       min(CASE WHEN cum*100 >= total*99 THEN bin END) * 5.0 AS p99_est
+      |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_histogram_quantiles" -> q61 _,
     "q56_sessionize" -> q56 _,
     "q54_corr_regr" -> q54 _,
     "q51_range_join" -> q51 _,
@@ -438,6 +483,7 @@ object Extras {
     "q45_having" -> q45 _)
 
   val oracles: Map[String, String] = Map(
+    "q61_histogram_quantiles" -> q61Sql,
     "q56_sessionize" -> q56Sql,
     "q54_corr_regr" -> q54Sql,
     "q51_range_join" -> q51Sql,
