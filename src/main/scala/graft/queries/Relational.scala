@@ -308,7 +308,87 @@ object Relational {
       |GROUP BY ROLLUP(event_type, bucket)
       |ORDER BY coalesce(event_type, '~'), coalesce(bucket, -1)""".stripMargin
 
+  /** q64: star-schema multiway join (the TPC-H Q5 shape) — revenue per
+    * (region, nation) where the supplier serves a customer of its own
+    * nation: lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈
+    * region. The 100 TB plan: nation/region are literally tiny and
+    * supplier/customer are dim-sized — all broadcast — so the ONLY
+    * shuffle-scale join is lineitem ⋈ orders on orderkey, and the
+    * aggregate on (r_name, n_name) is partial-aggregatable down to a
+    * handful of groups. Revenue summed exactly via decimal terms. */
+  private def q64(s: SparkSession, d: String): DataFrame = {
+    val li = tbl(s, d, "lineitem")
+    val o = tbl(s, d, "orders")
+    val c = tbl(s, d, "customer")
+    val su = tbl(s, d, "supplier")
+    val n = tbl(s, d, "nation")
+    val r = tbl(s, d, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val q64Sql =
+    """SELECT r_name, n_name,
+      |       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |         AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q65: pricing summary (the TPC-H Q1 shape) — per (returnflag,
+    * linestatus): quantity/price/discounted/charged sums and averages
+    * over lineitem. Pure partial-aggregatable scan-aggregate — THE
+    * canonical 100 TB query — with every sum decimal-exact and every
+    * average a single double division of exactly-agreed values. */
+  private def q65(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02")) // pushed to the scan; keeps ~54%
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax")))).cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_qty"),
+        (sum(dec(col("l_discount"))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q65Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      |       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+      |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+      |       CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_star_join_revenue" -> q64 _,
+    "q65_pricing_summary" -> q65 _,
     "q01_project_rename" -> q01 _,
     "q02_filter_eventtype" -> q02 _,
     "q03_conditional_side" -> q03 _,
@@ -327,6 +407,8 @@ object Relational {
     "q16_rollup_stats" -> q16 _)
 
   val oracles: Map[String, String] = Map(
+    "q64_star_join_revenue" -> q64Sql,
+    "q65_pricing_summary" -> q65Sql,
     "q01_project_rename" -> q01Sql,
     "q02_filter_eventtype" -> q02Sql,
     "q03_conditional_side" -> q03Sql,
