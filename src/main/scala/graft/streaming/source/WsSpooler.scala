@@ -1,0 +1,114 @@
+package graft.streaming.source
+
+import java.net.URI
+import java.net.http.{HttpClient, WebSocket}
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.concurrent.CompletionStage
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+
+import scala.jdk.CollectionConverters._
+
+/** Live websocket ingestion — the reference's ws subscribe loop
+  * (`binance_etl/etls/base.py:26,47-60`: one socket per stream,
+  * on_message → process) re-expressed for Spark's execution model.
+  *
+  * A push socket cannot BE a Spark scan, so the live path splits at
+  * the same seam production pipelines use (ws → durable buffer →
+  * engine): WsSpooler is the tiny ingestion daemon that turns the push
+  * stream into micro-batch files, and the existing streaming sources
+  * ([[FileReplaySource]] / [[Dsv2ReplaySource]]) consume them — the
+  * whole downstream pipeline (parse, validate, book-sync, sinks) is
+  * IDENTICAL for live and replay, which is what makes the replay tests
+  * meaningful for the live path.
+  *
+  * Mechanics: complete text frames (partial frames are reassembled per
+  * the websocket protocol) buffer in memory and flush every
+  * `flushEvery` messages — the reference's count-based batching,
+  * `config.json:10` batch_size — as sequentially-numbered jsonl files,
+  * written to a hidden temp name and ATOMICALLY renamed so the file
+  * stream source never observes a partial file. `stop()` flushes the
+  * remainder.
+  *
+  * The binance endpoint itself (`wss://stream.binance.com:9443/ws/...`,
+  * subscribe paths `spot_trades_etl.py:20` / `spot_depth_etl.py:25`)
+  * is unreachable from this environment (zero egress) — the spooler is
+  * exercised against an in-process websocket server in WsSpoolerSpec,
+  * which drives the SAME client code path end-to-end into the trades
+  * pipeline.
+  */
+final class WsSpooler(
+    uri: URI,
+    spoolDir: Path,
+    flushEvery: Int = 1000) {
+
+  private val buf = new scala.collection.mutable.ArrayBuffer[String]
+  private val fileSeq = new AtomicLong(0)
+  private val nSpooled = new AtomicLong(0)
+  private val err = new AtomicReference[Throwable]
+  @volatile private var ws: WebSocket = _
+
+  private object Listener extends WebSocket.Listener {
+    private val partial = new java.lang.StringBuilder
+    override def onText(w: WebSocket, data: CharSequence,
+        last: Boolean): CompletionStage[_] = {
+      partial.append(data)
+      if (last) {
+        onMessage(partial.toString)
+        partial.setLength(0)
+      }
+      w.request(1)
+      null
+    }
+    override def onError(w: WebSocket, error: Throwable): Unit =
+      err.set(error)
+  }
+
+  private def onMessage(m: String): Unit = synchronized {
+    buf += m
+    nSpooled.incrementAndGet()
+    if (buf.size >= flushEvery) flush()
+  }
+
+  /** Writes buffered messages as the next spool file (atomic rename —
+    * a `.`-prefixed temp name is also invisible to Spark's file
+    * listing, a second line of defense). */
+  def flush(): Unit = synchronized {
+    if (buf.nonEmpty) {
+      val n = fileSeq.getAndIncrement()
+      val tmp = spoolDir.resolve(f".spool-$n%08d.tmp")
+      val dst = spoolDir.resolve(f"spool-$n%08d.jsonl")
+      Files.write(tmp, buf.asJava)
+      Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+      buf.clear()
+    }
+  }
+
+  /** Messages received so far (spooled or still buffered). */
+  def messagesReceived: Long = nSpooled.get()
+
+  /** First transport error, if any. */
+  def failure: Option[Throwable] = Option(err.get())
+
+  def start(): WsSpooler = {
+    Files.createDirectories(spoolDir)
+    ws = HttpClient.newHttpClient().newWebSocketBuilder()
+      .buildAsync(uri, Listener).join()
+    this
+  }
+
+  def stop(): Unit = {
+    if (ws != null)
+      try ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")
+        .join()
+      catch { case _: Throwable => () }
+    flush()
+  }
+}
+
+object WsSpooler {
+  /** The reference's live subscribe URI for a spot trade stream
+    * (`spot_trades_etl.py:20`); depth: `spot_depth_etl.py:25`.
+    * Unreachable in this environment — documented for completeness. */
+  def binanceSpotUri(symbol: String, eventType: String): URI =
+    URI.create(s"wss://stream.binance.com:9443/ws/${symbol.toLowerCase}@$eventType")
+}
