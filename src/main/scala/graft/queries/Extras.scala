@@ -466,7 +466,63 @@ object Extras {
       |       min(CASE WHEN cum*100 >= total*99 THEN bin END) * 5.0 AS p99_est
       |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q66: time-RANGE window frame — trailing 7-day activity per user
+    * at every event (the frame is bounded by the ORDER-BY VALUE, not a
+    * row count — the window surface q19/q44's ROWS frames don't
+    * cover). Peers at the same timestamp are all in-frame by
+    * definition, so results are tie-order independent; the sum is
+    * decimal-exact. One (user, ms) sort shuffle, like q56. */
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ms")
+      .rangeBetween(-7L * 86400000L, 0L)
+    tbl(s, d, "events")
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("trailing_n", count(lit(1)).over(w))
+      .withColumn("trailing_sum", sum(dec(col("value"))).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("ms"),
+        col("trailing_n"), col("trailing_sum"))
+      .orderBy("event_id")
+  }
+
+  private val q66Sql =
+    """SELECT event_id, user_id, ms,
+      |       count(*) OVER w AS trailing_n,
+      |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE) AS trailing_sum
+      |FROM (SELECT event_id, user_id, epoch_ms(ts) AS ms, value FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ms
+      |             RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** q67: GROUPING SETS — the generalization rollup (q16) and cube
+    * (q41) are special cases of: per-type totals, per-bucket totals,
+    * and the grand total in ONE pass (Spark plans a single Expand +
+    * aggregate, not three scans), with grouping_id disambiguating the
+    * null-vs-aggregated levels. */
+  private def q67(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "events")
+      .withColumn("bucket", (col("user_id") % 10).cast("long"))
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("bucket")), Seq()),
+        col("event_type"), col("bucket"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total"))
+      .select(col("gid"), col("event_type"), col("bucket"), col("n"), col("total"))
+      .orderBy(col("gid"),
+        coalesce(col("event_type"), lit("~")),
+        coalesce(col("bucket"), lit(-1L)))
+
+  private val q67Sql =
+    """SELECT CAST(GROUPING(event_type, bucket) AS BIGINT) AS gid,
+      |       event_type, bucket, count(*) AS n,
+      |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total
+      |FROM (SELECT event_type, CAST(user_id % 10 AS BIGINT) AS bucket, value FROM events)
+      |GROUP BY GROUPING SETS ((event_type), (bucket), ())
+      |ORDER BY gid, coalesce(event_type, '~'), coalesce(bucket, -1)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_range_frame" -> q66 _,
+    "q67_grouping_sets" -> q67 _,
     "q61_histogram_quantiles" -> q61 _,
     "q56_sessionize" -> q56 _,
     "q54_corr_regr" -> q54 _,
@@ -483,6 +539,8 @@ object Extras {
     "q45_having" -> q45 _)
 
   val oracles: Map[String, String] = Map(
+    "q66_range_frame" -> q66Sql,
+    "q67_grouping_sets" -> q67Sql,
     "q61_histogram_quantiles" -> q61Sql,
     "q56_sessionize" -> q56Sql,
     "q54_corr_regr" -> q54Sql,

@@ -90,6 +90,43 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join at runtime (the third skew lever)") {
+    import spark.implicits._
+    // One key holds ~100k rows, the rest hold 1 — the shape that melts
+    // a single reducer without mitigation. Thresholds are lowered so
+    // the test's 100k-row partition counts as "skewed" at test scale.
+    val conf = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "100KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(100000)
+        .select(when(col("id") < 95000, lit(0L)).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val right = spark.range(5000).select(col("id").as("k2"), col("id").as("r"))
+      val joined = left.join(right, col("k") === col("k2"))
+      joined.write.mode("overwrite").format("noop").save()
+      // count() executes its own QueryExecution; re-run and inspect it
+      val df = left.join(right, col("k") === col("k2"))
+      df.collect()
+      val plan = (df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).toString
+      assert(plan.contains("skew="),
+        s"AQE should mark the join skewed and split the hot partition:\n$plan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("keySkewProfile surfaces the hottest keys first") {
     val prof = Scale.keySkewProfile(
       T.tbl(spark, sfDir, "events"), col("event_type"), topN = 3).collect()
