@@ -31,7 +31,12 @@ object Bench {
     catch { case _: Throwable => "" }
 
   private def jsonStr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ") + "\""
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }.mkString("\"", "", "\"")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,7 +70,13 @@ object Bench {
     val loadAfter = loadAvg()
     val qs = results.map { case (k, v) => jsonStr(k) + ":" + v.getOrElse(-1.0) }
       .mkString("{", ",", "}")
-    val total = results.values.flatten.sum
+    // A query with ANY failure (warmup or timed run) is suspect: its
+    // time is excluded from the headline total — per the protocol in
+    // BASELINE.md, an error can only make the bench fail loudly, never
+    // shift the number quietly. Per-query times stay reported above.
+    val total = results.collect {
+      case (k, Some(t)) if !errors.contains(k) => t
+    }.sum
     val errJson = errors.map { case (k, v) => s"""{"query":${jsonStr(k)},"error":${jsonStr(v)}}""" }
       .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"errors":$errJson,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")

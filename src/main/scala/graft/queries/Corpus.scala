@@ -141,8 +141,8 @@ object Corpus {
       |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
       |cap AS (
       |  SELECT greatest(${Dedup.HotShingleDfFloor},
-      |                  CAST(floor(count(DISTINCT doc_id) * ${Dedup.HotShingleDfFraction}) AS BIGINT)) AS cap
-      |  FROM sh),
+      |                  CAST(floor(count(*) * ${Dedup.HotShingleDfFraction}) AS BIGINT)) AS cap
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
       |shc AS (
       |  SELECT doc_id, shingle FROM sh, cap
       |  QUALIFY count(*) OVER (PARTITION BY shingle) <= cap),

@@ -67,11 +67,23 @@ object Dedup {
   private[queries] val HotShingleDfFraction = 0.001
   private[queries] val HotShingleDfFloor = 1000L
 
+  private def capFromCount(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    greatest(lit(HotShingleDfFloor), floor(n * HotShingleDfFraction))
+
   /** The cap as a lazy 1-row scalar off the shingle frame itself (like
     * q46's corpus-size N: a broadcast cross join, no driver action). */
   private[queries] def hotShingleCap(sh: DataFrame): DataFrame =
-    sh.agg(greatest(lit(HotShingleDfFloor),
-      floor(countDistinct(col("doc_id")) * HotShingleDfFraction)).as("cap"))
+    sh.agg(capFromCount(countDistinct(col("doc_id"))).as("cap"))
+
+  /** Same cap WITHOUT re-exploding the corpus: every ≥3-token doc
+    * emits ≥1 shingle, so counting qualifying docs on a plain
+    * documents scan equals countDistinct(doc_id) over the shingle
+    * frame — and saves a full second shingling pass in q25/q48 (the
+    * oracle cap CTE counts the same way). */
+  private def hotShingleCapDocs(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .agg(capFromCount(count(lit(1))).as("cap"))
 
   /** Near-duplicate pairs (da < db) with exact 3-gram Jaccard ≥ 0.2 —
     * the q25 computation, shared with q48's cluster resolution.
@@ -102,10 +114,8 @@ object Dedup {
       .filter(col("jaccard") >= 0.2)
   }
 
-  private[queries] def nearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
-    nearDupPairsFrom(sh, hotShingleCap(sh))
-  }
+  private[queries] def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    nearDupPairsFrom(shingles(s, d), hotShingleCapDocs(s, d))
 
   /** q25: near-duplicate documents by exact 3-gram shingle Jaccard
     * (the verifiable form of MinHash dedup at test scale — the MinHash
@@ -124,8 +134,8 @@ object Dedup {
       |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
       |cap AS (
       |  SELECT greatest($HotShingleDfFloor,
-      |                  CAST(floor(count(DISTINCT doc_id) * $HotShingleDfFraction) AS BIGINT)) AS cap
-      |  FROM sh),
+      |                  CAST(floor(count(*) * $HotShingleDfFraction) AS BIGINT)) AS cap
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
       |shc AS (
       |  SELECT doc_id, shingle FROM sh, cap
       |  QUALIFY count(*) OVER (PARTITION BY shingle) <= cap),

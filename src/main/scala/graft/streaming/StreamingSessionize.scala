@@ -18,18 +18,25 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   *    passes it — the no-more-events proof — and flushes the session.
   *
   * session_id is a per-user running counter in state, so ids match the
-  * batch operator's running-sum-of-breaks numbering as long as
-  * sessions close in event-time order (guaranteed per user: a session
-  * only closes when a later event, or the watermark, has moved past
-  * its whole gap window).
+  * batch operator's running-sum-of-breaks numbering when the ordering
+  * contract below holds.
   *
   * Scale posture: state per user is O(1) (one open-session accumulator
   * + counter + timer), keyed state partitions by user hash, and every
   * emitted row leaves state behind — the operator's footprint is
-  * (active users) × O(1), independent of stream history. Ordering
-  * contract: per-user event-time order up to the watermark delay (the
-  * standard ingestion contract); same-batch disorder is sorted, events
-  * later than the watermark allows are the source's responsibility.
+  * (active users) × O(1), independent of stream history.
+  *
+  * Ordering contract (the price of O(1) state): same-USER events must
+  * arrive in event-time order ACROSS batches; disorder within a batch
+  * is sorted here. A same-user event that arrives out of order across
+  * batches — older than the currently-open session — is merged into
+  * that open session (or arrival-closes it), which can differ from
+  * the batch assignment even when the global watermark would have
+  * admitted the event. Exact parity under cross-batch disorder needs
+  * the buffer-until-watermark design (events held in ListState, all
+  * closes timer-driven) at O(gap-window) state per user; this
+  * operator deliberately trades that for the O(1) common case, like
+  * the reference's single-reader per-stream loop.
   *
   * Requires the RocksDB state store provider (named state + timers),
   * like [[BookSynchronizerTws]]/[[StreamingDedupTws]].

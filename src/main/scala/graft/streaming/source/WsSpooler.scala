@@ -45,6 +45,7 @@ final class WsSpooler(
   private val fileSeq = new AtomicLong(0)
   private val nSpooled = new AtomicLong(0)
   private val err = new AtomicReference[Throwable]
+  private val closed = new java.util.concurrent.CompletableFuture[Unit]
   @volatile private var ws: WebSocket = _
 
   private object Listener extends WebSocket.Listener {
@@ -59,8 +60,15 @@ final class WsSpooler(
       w.request(1)
       null
     }
-    override def onError(w: WebSocket, error: Throwable): Unit =
+    override def onClose(w: WebSocket, statusCode: Int,
+        reason: String): CompletionStage[_] = {
+      closed.complete(())
+      null
+    }
+    override def onError(w: WebSocket, error: Throwable): Unit = {
       err.set(error)
+      closed.complete(())
+    }
   }
 
   private def onMessage(m: String): Unit = synchronized {
@@ -96,11 +104,18 @@ final class WsSpooler(
     this
   }
 
+  /** Closes the socket and flushes the remainder. The final flush
+    * happens only after the close HANDSHAKE completes (onClose /
+    * onError), not merely after the outbound close frame is sent —
+    * frames already in flight on the delivery thread would otherwise
+    * land in `buf` after the flush and be silently stranded. */
   def stop(): Unit = {
-    if (ws != null)
-      try ws.sendClose(WebSocket.NORMAL_CLOSURE, "done")
-        .join()
+    if (ws != null) {
+      try ws.sendClose(WebSocket.NORMAL_CLOSURE, "done").join()
       catch { case _: Throwable => () }
+      try closed.get(10, java.util.concurrent.TimeUnit.SECONDS)
+      catch { case _: Throwable => () }
+    }
     flush()
   }
 }

@@ -108,9 +108,8 @@ class ScaleSpec extends SparkSpec {
         .select(when(col("id") < 95000, lit(0L)).otherwise(col("id")).as("k"),
           col("id").as("payload"))
       val right = spark.range(5000).select(col("id").as("k2"), col("id").as("r"))
-      val joined = left.join(right, col("k") === col("k2"))
-      joined.write.mode("overwrite").format("noop").save()
-      // count() executes its own QueryExecution; re-run and inspect it
+      // collect() so the frame's OWN QueryExecution runs — AQE's
+      // runtime skew decision only exists in the executed plan
       val df = left.join(right, col("k") === col("k2"))
       df.collect()
       val plan = (df.queryExecution.executedPlan match {
