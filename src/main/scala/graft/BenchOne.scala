@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Micro-bench for ONE query: `tools/run.sh graft.BenchOne <query_id>
+  * [runs]` — same session config and noop-sink execution as
+  * [[Bench]], prints every run's seconds plus the minimum. For
+  * bisecting a single query's regression without paying for the full
+  * inventory. */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val runs = if (args.length > 1) args(1).toInt else 5
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    Bench.exec(fn(spark, "/root/testdata/sf0.001")) // warmup
+    val times = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      Bench.exec(fn(spark, sfDir))
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(s"$name runs=${times.map(t => f"$t%.2f").mkString(",")} min=${f"${times.min}%.2f"}")
+    spark.stop()
+  }
+}
