@@ -12,17 +12,11 @@ object BenchOne {
     val name = args(0)
     val runs = if (args.length > 1) args(1).toInt else 5
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Bench.session()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
-    Bench.exec(fn(spark, "/root/testdata/sf0.001")) // warmup
+    try Bench.exec(fn(spark, Bench.WarmupDir))
+    catch { case t: Throwable => println(s"warmup failed: ${t.toString.take(200)}") }
     val times = (1 to runs).map { _ =>
       val t0 = System.nanoTime()
       Bench.exec(fn(spark, sfDir))

@@ -44,8 +44,10 @@ object Multimodal {
     * [[graft.multimodal.MultimodalPipeline]]) consumes this manifest
     * partitioned by task_bucket, so decode work spreads uniformly
     * regardless of media-length skew — one long video cannot pin an
-    * executor, because its frames hash across all buckets. Row-local
-    * explode, no shuffle until the consumer repartitions. */
+    * executor, because its frames hash across all buckets. Manifest
+    * generation is a row-local explode; the final ORDER BY (one sort
+    * shuffle) exists for oracle parity only — a decode consumer
+    * repartitions by task_bucket instead of sorting. */
   private def q68(s: SparkSession, d: String): DataFrame =
     tbl(s, d, "documents")
       .select(col("doc_id").as("media_id"),

@@ -40,7 +40,7 @@ object StreamingJoin {
         col("user_id") === col("p_user") &&
           col("purchase_t") >= col("click_t") &&
           col("purchase_t") <= col("click_t") +
-            expr(s"INTERVAL ${windowMs / 1000} SECONDS"))
+            expr(s"INTERVAL $windowMs MILLISECONDS"))
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         (col("purchase_ms") - col("click_ms")).as("delay_ms"))
   }
