@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-shape proofs for the round-3 queries — the invariants PLANS.md
+  * claims, asserted against EXECUTED post-AQE plans (where runtime
+  * join selection actually shows up), extending the
+  * DedupScaleSpec/ScaleSpec discipline to the new inventory. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planString(df: DataFrame): String = {
+    df.collect()
+    (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+  }
+
+  test("q64 star join: every dim joins broadcast-hash, fact never cartesians") {
+    val plan = planString(SparkEntry.queries("q64_star_join_revenue")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"star join must be equi-joins:\n$plan")
+    // orders/customer/supplier/nation/region all broadcast at test sf —
+    // the fact side is never shuffled for a join.
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 5,
+      s"expected all 5 dims broadcast-hash joined:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no dim should fall back to a shuffle join at test sf:\n$plan")
+  }
+
+  test("q65 pricing summary: the shipdate filter reaches the parquet scan") {
+    val plan = planString(SparkEntry.queries("q65_pricing_summary")(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate predicate must be pushed to the scan:\n$plan")
+  }
+
+  test("q58 decontamination: eval semijoin broadcasts, corpus never shuffles on shingle") {
+    val plan = planString(SparkEntry.queries("q58_decontaminate")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the eval shingle set must broadcast:\n$plan")
+    // The ONLY shingle-keyed exchange allowed is the EVAL side's
+    // distinct (small by design); the corpus side must reach the join
+    // as the broadcast probe side, never shuffled on shingle.
+    assert(!plan.contains("SortMergeJoin") &&
+      "hashpartitioning\\(shingle".r.findAllIn(plan).size <= 1,
+      s"corpus side must not shuffle on shingle (eval distinct only):\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"no pair blowup:\n$plan")
+  }
+
+  test("q60/q63: corpus-scan queries add no corpus shuffle beyond the contract") {
+    // q60: broadcast of per-stratum counts; the corpus side's only
+    // exchange is the final oracle-parity sort.
+    val p60 = planString(SparkEntry.queries("q60_stratified_sample")(spark, sfDir))
+    assert(p60.contains("BroadcastHashJoin") && !p60.contains("SortMergeJoin"),
+      s"per-stratum counts must broadcast:\n$p60")
+    // q63: exactly the per-stratum window's hash partitioning on lang
+    // (plus the final sort) — no global single-partition window.
+    val p63 = planString(SparkEntry.queries("q63_shard_pack")(spark, sfDir))
+    assert(p63.contains("hashpartitioning(lang"),
+      s"shard packing must window per-stratum:\n$p63")
+    assert(!"SinglePartition".r.findFirstIn(
+        p63.replaceAll("rangepartitioning[^)]*\\)", "")).isDefined,
+      s"no global single-partition pass:\n$p63")
+  }
+}
