@@ -63,6 +63,50 @@ object Scale {
     df.withColumn("p_date", to_date(col(tsCol)))
       .write.partitionBy("p_date").mode("overwrite").parquet(path)
 
+  /** Connected components with POINTER JUMPING — the O(log diameter)
+    * replacement for plain min-label propagation (q48's loop, which is
+    * O(diameter) rounds and fine for shallow near-dup cliques but not
+    * for chain-shaped graphs at scale). Each round does two joins:
+    * neighbor-min propagation, then the shortcut label(u) ←
+    * label(label(u)) (path halving), so a 10⁶-long chain converges in
+    * ~20 rounds instead of 10⁶ iterations. Labels are component
+    * minima, matching q48's convention. Throws if not converged
+    * within maxRounds — silent wrong answers are worse than a loud
+    * bound. Input: (src, dst) edge frame, either direction. */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = und.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("node"), least(col("node"), col("nmin")).as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val emin = und.join(labels, und("dst") === labels("node"))
+        .groupBy(und("src").as("pn")).agg(min(col("label")).as("emin"))
+      val propagated = labels
+        .join(emin, labels("node") === emin("pn"), "left")
+        .select(col("node"), col("label").as("prevLabel"),
+          least(col("label"), coalesce(col("emin"), col("label"))).as("label"))
+      val lu = propagated.select(col("node").as("jn"), col("label").as("jl"))
+      // checkpoint first, count on materialized partitions (one
+      // execution of the round's joins — same discipline as q48)
+      val jumped = propagated
+        .join(lu, propagated("label") === lu("jn"), "left")
+        .select(col("node"), col("prevLabel"),
+          coalesce(col("jl"), col("label")).as("label"))
+        .localCheckpoint()
+      changed = jumped.filter(col("label") =!= col("prevLabel")).count()
+      labels = jumped.select("node", "label")
+      round += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds")
+    labels
+  }
+
   /** Rough per-key frequency profile — the diagnostic that decides
     * between broadcast / salt / AQE-skew-join for a key column. */
   def keySkewProfile(df: DataFrame, key: Column, topN: Int = 10): DataFrame =

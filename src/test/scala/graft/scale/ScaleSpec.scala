@@ -126,6 +126,38 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("pointer-jumping CC: logarithmic rounds on a chain, exact on random graphs") {
+    import spark.implicits._
+    // A 200-node chain has diameter 199: plain min-label propagation
+    // needs ~199 iterations; pointer jumping must finish in ≤ 12
+    // rounds (2^12 ≫ 199 with path halving) or the bound throws.
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("src", "dst")
+    val chainLabels = Scale.connectedComponents(chain, maxRounds = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(chainLabels.size == 200 && chainLabels.values.forall(_ == 0L))
+
+    // Random multi-component graph vs a driver-side union-find oracle.
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val got = Scale.connectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    // union-find roots are component minima here because larger roots
+    // always point at smaller ones
+    assert(got == expected, s"CC mismatch: ${got.toSet.diff(expected.toSet)}")
+  }
+
   test("keySkewProfile surfaces the hottest keys first") {
     val prof = Scale.keySkewProfile(
       T.tbl(spark, sfDir, "events"), col("event_type"), topN = 3).collect()
