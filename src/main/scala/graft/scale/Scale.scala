@@ -70,12 +70,18 @@ object Scale {
     * neighbor-min propagation, then the shortcut label(u) ←
     * label(label(u)) (path halving), so a 10⁶-long chain converges in
     * ~20 rounds instead of 10⁶ iterations. Labels are component
-    * minima, matching q48's convention. Throws if not converged
-    * within maxRounds — silent wrong answers are worse than a loud
+    * minima, matching q48's convention. Throws if convergence is not
+    * CONFIRMED within maxRounds — the last round must observe zero
+    * changes, so a graph needing k productive rounds needs
+    * maxRounds ≥ k+1; silent wrong answers are worse than a loud
     * bound. Input: (src, dst) edge frame, either direction. */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    // Materialized ONCE: the caller's edge plan may be arbitrarily
+    // expensive (q48's escape-hatch use feeds the near-dup join here)
+    // and must not re-execute every round.
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     var labels = und.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("nmin"))
       .select(col("node"), least(col("node"), col("nmin")).as("label"))
@@ -85,13 +91,16 @@ object Scale {
     while (changed > 0 && round < maxRounds) {
       val emin = und.join(labels, und("dst") === labels("node"))
         .groupBy(und("src").as("pn")).agg(min(col("label")).as("emin"))
+      // Checkpoint BEFORE the jump self-join: both sides of that join
+      // read `propagated`, which would otherwise execute its join
+      // twice (ReuseExchange dedupes shuffles, not the operators
+      // above them) — and before the count, same discipline as q48.
       val propagated = labels
         .join(emin, labels("node") === emin("pn"), "left")
         .select(col("node"), col("label").as("prevLabel"),
           least(col("label"), coalesce(col("emin"), col("label"))).as("label"))
+        .localCheckpoint()
       val lu = propagated.select(col("node").as("jn"), col("label").as("jl"))
-      // checkpoint first, count on materialized partitions (one
-      // execution of the round's joins — same discipline as q48)
       val jumped = propagated
         .join(lu, propagated("label") === lu("jn"), "left")
         .select(col("node"), col("prevLabel"),

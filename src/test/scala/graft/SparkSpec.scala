@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for suites (one per suite via lazy val). */
@@ -14,4 +16,33 @@ trait SparkSpec extends AnyFunSuite {
     .getOrCreate()
 
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE) physical plan of an EXECUTED frame — the frame's
+    * own QueryExecution must be run (collect), because a write plans a
+    * separate QueryExecution and AQE's runtime decisions (stage reuse,
+    * join selection, skew splits) only exist in the executed one. The
+    * ONE definition of this idiom, shared by every plan-asserting
+    * suite. */
+  def executedPlan(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  def planString(df: DataFrame): String = executedPlan(df).toString
+
+  /** All nodes of an executed plan INCLUDING query-stage interiors:
+    * AQE wraps materialized stages (and, in Spark 4, the whole result)
+    * in leaf QueryStageExec nodes, so a plain `plan.collect` stops at
+    * the first stage boundary and silently misses the real operators. */
+  def allPlanNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val inner = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allPlanNodes(q.plan)
+      case _ => Seq.empty
+    }
+    p +: (p.children.flatMap(allPlanNodes) ++ inner)
+  }
 }

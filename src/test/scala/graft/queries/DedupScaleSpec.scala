@@ -1,8 +1,6 @@
 package graft.queries
 
 import graft.{SparkSpec, SparkEntry}
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 
 /** Scale-shape proofs for the dedup/similarity family: the blocked
@@ -12,19 +10,6 @@ import org.apache.spark.sql.functions._
   * hot-shingle frequency cap must bound the exact-Jaccard self-join's
   * fan-out without changing results below the cap. */
 class DedupScaleSpec extends SparkSpec {
-
-  /** Final (post-AQE) physical plan string of an EXECUTED frame — the
-    * frame's own QueryExecution must be run (collect), because a write
-    * plans a separate QueryExecution and AQE's runtime decisions
-    * (stage reuse, join selection) only exist in the executed one. */
-  private def planString(df: DataFrame): String = {
-    df.collect()
-    val p = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    p.toString
-  }
 
   test("hot-shingle cap: a stop-phrase shared by every doc stops driving pairs") {
     import spark.implicits._

@@ -1,22 +1,12 @@
 package graft.queries
 
 import graft.{SparkEntry, SparkSpec}
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** Plan-shape proofs for the round-3 queries — the invariants PLANS.md
   * claims, asserted against EXECUTED post-AQE plans (where runtime
   * join selection actually shows up), extending the
   * DedupScaleSpec/ScaleSpec discipline to the new inventory. */
 class PlanShapeSpec extends SparkSpec {
-
-  private def planString(df: DataFrame): String = {
-    df.collect()
-    (df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }).toString
-  }
 
   test("q64 star join: every dim joins broadcast-hash, fact never cartesians") {
     val plan = planString(SparkEntry.queries("q64_star_join_revenue")(spark, sfDir))

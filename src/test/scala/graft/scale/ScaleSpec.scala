@@ -2,22 +2,17 @@ package graft.scale
 
 import graft.SparkSpec
 import graft.T
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 
 /** Plan-level proofs for the scale utilities: salting preserves join
   * semantics; bucketing removes the join shuffle entirely. */
 class ScaleSpec extends SparkSpec {
 
-  private def countShuffles(plan: SparkPlan): Int = {
-    val normalized = plan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    normalized.collect { case _: ShuffleExchangeExec => 1 }.sum
-  }
+  private def countShuffles(df: DataFrame): Int =
+    allPlanNodes(executedPlan(df))
+      .count(_.isInstanceOf[ShuffleExchangeExec])
 
   test("saltedJoin returns exactly the rows of the plain join") {
     val orders = T.tbl(spark, sfDir, "orders")
@@ -44,12 +39,10 @@ class ScaleSpec extends SparkSpec {
       val unbucketed = orders.join(customer,
         orders("o_custkey") === customer("c_custkey"))
       val bucketed = ob.join(cb, ob("o_custkey") === cb("c_custkey"))
-      bucketed.count() // materialize (resolves AQE final plan)
-      unbucketed.count()
 
-      assert(countShuffles(unbucketed.queryExecution.executedPlan) >= 2,
+      assert(countShuffles(unbucketed) >= 2,
         "plain sort-merge join should shuffle both sides")
-      assert(countShuffles(bucketed.queryExecution.executedPlan) == 0,
+      assert(countShuffles(bucketed) == 0,
         "bucketed join must be shuffle-free")
       assert(bucketed.count() == unbucketed.count())
     } finally {
@@ -108,14 +101,7 @@ class ScaleSpec extends SparkSpec {
         .select(when(col("id") < 95000, lit(0L)).otherwise(col("id")).as("k"),
           col("id").as("payload"))
       val right = spark.range(5000).select(col("id").as("k2"), col("id").as("r"))
-      // collect() so the frame's OWN QueryExecution runs — AQE's
-      // runtime skew decision only exists in the executed plan
-      val df = left.join(right, col("k") === col("k2"))
-      df.collect()
-      val plan = (df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
-      }).toString
+      val plan = planString(left.join(right, col("k") === col("k2")))
       assert(plan.contains("skew="),
         s"AQE should mark the join skewed and split the hot partition:\n$plan")
     } finally {
