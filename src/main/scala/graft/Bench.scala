@@ -87,7 +87,19 @@ object Bench {
     }.sum
     val errJson = errors.map { case (k, v) => s"""{"query":${jsonStr(k)},"error":${jsonStr(v)}}""" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"errors":$errJson,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"errors":$errJson,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
+    // Capture pipelines have twice truncated this artifact (tail-clipped
+    // stdout losing the headline). Defend it two ways: (a) persist the full
+    // JSON to a file, (b) print a compact total-only line LAST so even a
+    // truncated tail keeps the headline number.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case t: Throwable => System.err.println(s"bench_out write failed: $t") }
+    println(full)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$runs,"nqueries":${results.size},"nerrors":${errors.size},"out":${jsonStr(outFile)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
