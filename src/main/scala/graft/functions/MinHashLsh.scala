@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   *
   * Scheme: 3-gram token shingles → portable md5-prefix hash →
   * 16 minhashes mh_i = min((h·(2i+1) + 7919·i + 13) mod 4294967311)
-  * → 4 bands of 4, each band signature the '-'-joined minhash values.
-  * Pure integer arithmetic on the portable hash ⇒ bit-identical in the
-  * DuckDB oracle.
+  * → NumHashes/rowsPerBand bands (default 4×4; batch q28 derives
+  * rowsPerBand from the corpus count), each band signature the
+  * '-'-joined minhash values. Pure integer arithmetic on the portable
+  * hash ⇒ bit-identical in the DuckDB oracle.
   *
   * Scale design (100 TB posture): the whole signature computation is
   * row-local — nested higher-order functions over the per-document
@@ -50,6 +51,16 @@ object MinHashLsh {
     * computed row-locally (docs with fewer than 3 tokens have no
     * shingles and are skipped, matching the batch shingle builder).
     *
+    * `rowsPerBand` (must divide [[NumHashes]]) sets the band
+    * structure: NumHashes/rowsPerBand bands of rowsPerBand minhashes.
+    * More rows per band = stricter candidates = smaller LSH buckets —
+    * batch q28 DERIVES it from the corpus count (fixed-width bands
+    * make Σ bucket² candidate cost quadratic in the corpus), while
+    * streaming keeps the default: an unbounded stream has no corpus
+    * count, and its keyed dedup state depends on a stable scheme. It
+    * is a Column so the scalar can arrive via a broadcast cross-join
+    * (no driver-side count action).
+    *
     * Parallelism contract: this builder adds NO exchange (the
     * streaming dedup path must stay shuffle-free ahead of its keyed
     * state). The signature compute is CPU-bound per row, so BATCH
@@ -57,7 +68,8 @@ object MinHashLsh {
     * their own `repartition` before calling (q28/q55 do), or the
     * whole build serializes on one core; at real scale the scan has
     * many splits and no repartition is needed. */
-  def bandSignatures(docs: DataFrame): DataFrame =
+  def bandSignatures(docs: DataFrame,
+      rowsPerBand: Column = lit(RowsPerBand)): DataFrame =
     // The whole signature — md5 per shingle, 16-minhash fold, band
     // strings — is ONE expression, so nothing is ever re-evaluated:
     // the md5s are the aggregate's input (evaluated once), the 16
@@ -72,7 +84,8 @@ object MinHashLsh {
     // repartition for parallelism; the streaming path stays
     // exchange-free ahead of its keyed state.
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), split(col("text"), " ").as("t"),
+        rowsPerBand.cast("int").as("__r"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
         posexplode(aggregate(
@@ -81,9 +94,10 @@ object MinHashLsh {
           (acc, h) => zip_with(acc, sequence(lit(0), lit(NumHashes - 1)),
             (a, i) => least(a,
               (h * (lit(2L) * i + 1L) + lit(7919L) * i + 13L) % P)),
-          acc => transform(sequence(lit(0), lit(Bands - 1)), b =>
-            concat_ws("-", transform(
-              slice(acc, b * RowsPerBand + 1, lit(RowsPerBand)),
+          acc => transform(
+            sequence(lit(0), (lit(NumHashes) / col("__r")).cast("int") - 1),
+            b => concat_ws("-", transform(
+              slice(acc, b * col("__r") + 1, col("__r")),
               x => x.cast("string"))))))
           .as(Seq("band", "sig")))
 }

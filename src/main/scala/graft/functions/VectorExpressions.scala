@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the similarity hot path.
   *
@@ -16,22 +16,33 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * straight codegen'd loop over the two ArrayData buffers: same
   * left-to-right summation order (bit-identical results, so the
   * DuckDB oracles are unaffected), no allocation.
+  *
+  * Two typed modes, selected by the input element type:
+  * array<double> → double (the cosine hot path), and array<bigint> →
+  * bigint — the EXACT fold the k-means chain scores with (overflow at
+  * 2^63 instead of silent double rounding past 2^53; see
+  * `queries.Similarity.qvecs`).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def elemType: Option[DataType] = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => Some(DoubleType)
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => Some(LongType)
+    case _ => None
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(left, right).forall(e => e.dataType match {
-      case ArrayType(DoubleType, _) => true
-      case _ => false
-    })) TypeCheckResult.TypeCheckSuccess
+    if (elemType.isDefined) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"dot_product expects two array<double> arguments, " +
+      s"dot_product expects two array<double> or two array<bigint> arguments, " +
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
-  override def dataType: DataType = DoubleType
+  override def dataType: DataType = elemType.getOrElse(DoubleType)
   override def prettyName: String = "dot_product"
 
   override def nullable: Boolean = true
+
+  private def isLong: Boolean = elemType.contains(LongType)
 
   /** Null semantics mirror the `aggregate(zip_with(a,b,_*_),0d,_+_)`
     * fold this expression replaces: a null element or a length
@@ -41,14 +52,24 @@ case class DotProduct(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     val n = a.numElements()
     if (b.numElements() != n) return null
-    var s = 0.0
     var i = 0
-    while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
-      s += a.getDouble(i) * b.getDouble(i)
-      i += 1
+    if (isLong) {
+      var s = 0L
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        s += a.getLong(i) * b.getLong(i)
+        i += 1
+      }
+      s
+    } else {
+      var s = 0.0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        s += a.getDouble(i) * b.getDouble(i)
+        i += 1
+      }
+      s
     }
-    s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -56,9 +77,11 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val (jt, zero, getter) =
+        if (isLong) ("long", "0L", "getLong") else ("double", "0.0", "getDouble")
       s"""
          |int $n = $a.numElements();
-         |double $s = 0.0;
+         |$jt $s = $zero;
          |if ($b.numElements() != $n) {
          |  ${ev.isNull} = true;
          |} else {
@@ -66,7 +89,7 @@ case class DotProduct(left: Expression, right: Expression)
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
          |      ${ev.isNull} = true;
          |    } else {
-         |      $s += $a.getDouble($i) * $b.getDouble($i);
+         |      $s += $a.$getter($i) * $b.$getter($i);
          |    }
          |  }
          |}

@@ -80,51 +80,20 @@ object Corpus {
     Dedup.nearDupPairs(s, d).select(col("da"), col("db"))
 
   /** q48: near-dup cluster resolution — connected components over the
-    * near-dup pair graph by iterative min-label propagation (the
-    * scalable CC pattern: one shuffle join per iteration, iterations
-    * bounded by cluster diameter — near-dup clusters are shallow),
-    * then the canonical keep/drop decision: min doc_id represents the
-    * cluster. */
+    * near-dup pair graph, then the canonical keep/drop decision: min
+    * doc_id represents the cluster.
+    *
+    * The CC itself is [[graft.scale.Scale.connectedComponents]] —
+    * pointer-jumping min-label propagation, O(log diameter) rounds,
+    * one implementation shared with the scale suite (it is exact vs a
+    * union-find oracle and bounded-round on chain graphs in
+    * ScaleSpec). Near-dup cliques are shallow, so this converges in
+    * 2-3 rounds here; the same code survives a chain-shaped graph at
+    * 100 TB without an O(diameter) blowup. */
   private def q48(s: SparkSession, d: String): DataFrame = {
-    val p = pairs(s, d).cache()
-    val edges = p.select(col("da").as("src"), col("db").as("dst"))
-      .unionByName(p.select(col("db").as("src"), col("da").as("dst")))
-      .cache()
-    val nodes = edges.select(col("src").as("node")).distinct()
-    var labels = nodes.withColumn("label", col("node"))
-    var changed = 1L
-    var iter = 0
-    val maxIter = 50
-    // Per-iteration cost discipline: the propagation join executes
-    // exactly ONCE per iteration — the localCheckpoint materializes it
-    // WITH both label columns, and the convergence count then runs as
-    // a cheap scan of the checkpointed partitions instead of
-    // re-executing the join (counting the lazy frame would run the
-    // join twice per iteration). Checking every iteration keeps the
-    // iteration count minimal — an extra propagation pass costs far
-    // more than the post-checkpoint count. (Measured: this beats both
-    // count-the-lazy-frame and check-every-3rd-iteration variants.)
-    while (changed > 0 && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("node"))
-        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
-      val updated = labels
-        .join(neighborMin, labels("node") === neighborMin("src"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("newLabel"),
-          col("label"))
-        .localCheckpoint()
-      iter += 1
-      changed = updated.filter(col("newLabel") =!= col("label")).count()
-      labels = updated.select(col("node"), col("newLabel").as("label"))
-    }
-    p.unpersist()
-    edges.unpersist()
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connected components did not converge in $maxIter iterations — " +
-          "component diameter exceeds the bound; raise maxIter")
-    labels
+    val p = pairs(s, d)
+    graft.scale.Scale
+      .connectedComponents(p.select(col("da").as("src"), col("db").as("dst")))
       .select(col("node").as("doc_id"), col("label").as("cluster"),
         (col("node") === col("label")).as("is_representative"))
       .orderBy("cluster", "doc_id")

@@ -154,8 +154,9 @@ object Dedup {
     * of q25: 16 hash functions
     * mh_i = min((h·(2i+1) + 7919·i + 13) mod 4294967311) over the
     * document's 3-gram shingle set (unigram sets are useless here —
-    * the tiny shared vocab makes every pair collide), banded 4×4; a
-    * candidate pair shares at least one full band signature. Pure
+    * the tiny shared vocab makes every pair collide), banded by the
+    * corpus-derived rows-per-band (4×4 at test scale, 2×8 past 8k
+    * docs); a candidate pair shares at least one full band signature. Pure
     * integer arithmetic on the portable hash ⇒ bit-identical in
     * DuckDB.
     *
@@ -165,15 +166,23 @@ object Dedup {
     * only shuffle in the whole query is candidate generation itself,
     * the (band, sig) equality self-join. */
   private def q28(s: SparkSession, d: String): DataFrame = {
-    // Input repartition: the test corpus is one parquet split, which
-    // would serialize the CPU-bound signature build on one core (at
-    // real scale the scan has many splits and this is a no-op-sized
-    // shuffle). Then repartition on the join keys BEFORE the
-    // self-join: both sides share one canonicalized exchange
-    // (ReuseExchange), so the signature build runs ONCE, not once per
-    // join side — and the (band, sig) equality join is co-partitioned.
+    // Input spread is GATED (T.spread): only a single-split test scan
+    // is repartitioned for parallelism; a real-scale scan with many
+    // splits passes through untouched — no corpus-wide shuffle. Then
+    // repartition on the join keys BEFORE the self-join: both sides
+    // share one canonicalized exchange (ReuseExchange), so the
+    // signature build runs ONCE, not once per join side — and the
+    // (band, sig) equality join is co-partitioned.
+    //
+    // Band structure derives from the corpus count (broadcast scalar,
+    // no driver action): 4×4 up to 8k docs, 2×8 beyond — stricter
+    // bands keep LSH buckets (and the Σ bucket² candidate join)
+    // bounded as the corpus grows. The oracle derives the same split.
+    val nDocs = tbl(s, d, "documents").groupBy()
+      .agg(count(lit(1)).as("n_corpus"))
     val sigs = MinHashLsh.bandSignatures(
-        tbl(s, d, "documents").repartition(col("doc_id")))
+        withScalar(spread(tbl(s, d, "documents"), col("doc_id")), nDocs),
+        lit(4) + when(col("n_corpus") > 8000, 4).otherwise(0))
       .repartition(col("band"), col("sig"))
     val a = sigs.select(col("doc_id").as("da"), col("band"), col("sig"))
     val b = sigs.select(col("doc_id").as("db"), col("band").as("band_b"),
@@ -197,9 +206,11 @@ object Dedup {
       |mh AS (
       |  SELECT doc_id, i, min((h*(2*i+1) + 7919*i + 13) % 4294967311) AS mh
       |  FROM h CROSS JOIN generate_series(0,15) AS g(i) GROUP BY doc_id, i),
+      |bw AS (
+      |  SELECT CASE WHEN count(*) > 8000 THEN 8 ELSE 4 END AS r FROM documents),
       |sigs AS (
-      |  SELECT doc_id, i//4 AS band, string_agg(mh::VARCHAR, '-' ORDER BY i) AS sig
-      |  FROM mh GROUP BY doc_id, i//4)
+      |  SELECT doc_id, i//r AS band, string_agg(mh::VARCHAR, '-' ORDER BY i) AS sig
+      |  FROM mh, bw GROUP BY doc_id, i//r)
       |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       |FROM sigs a JOIN sigs b
       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id

@@ -49,10 +49,12 @@ object Pipeline {
     // work is the pipeline's dominant CPU cost and must not be spent
     // on documents stages 1-2 already dropped (the oracle filters
     // before hashing too).
+    // gauge = the raw scan: the survivor join upstream would make
+    // `.rdd` on the input itself execute AQE stages (see T.spread).
     val sigs = MinHashLsh.bandSignatures(
-        tbl(s, d, "documents")
-          .join(exactKept.select(col("doc_id")), Seq("doc_id"))
-          .repartition(col("doc_id")))
+        spread(tbl(s, d, "documents")
+          .join(exactKept.select(col("doc_id")), Seq("doc_id")),
+          col("doc_id"), gauge = tbl(s, d, "documents")))
       .repartition(col("band"), col("sig"))
     val dropped = sigs.select(col("doc_id").as("da"), col("band"), col("sig"))
       .join(sigs.select(col("doc_id").as("db"), col("band").as("band_b"),

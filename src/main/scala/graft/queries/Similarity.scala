@@ -83,20 +83,33 @@ object Similarity {
 
   // ---- deterministic k-means (Lloyd's) for the IVF family ----------
 
+  /** Exact BIGINT dot product of two long-array columns by NAME — the
+    * scoring primitive of the k-means chain, dispatched to the typed
+    * codegen'd [[graft.functions.DotProduct]] (its array<bigint> mode;
+    * an `aggregate` HOF fold gives identical values and measured
+    * within noise here — the chain's dots run against ≤8 broadcast
+    * centroids — but the codegen path avoids the HOF's per-row
+    * intermediate array and is the same primitive the double hot path
+    * uses). Long arithmetic is exact to 2^63, so centroid self-dots
+    * stay exact up to ~4e5 rows/cluster (vs ~1e4 for the
+    * double-mantissa bound an earlier formulation had); overflow
+    * beyond that is a loud wrap, not silent rounding. */
+  private def ldot(a: String, b: String): Column = expr(s"dot_product($a, $b)")
+
   /** Vectors with an integer-quantized copy `q` (floor(x·1000), stored
-    * as integer-VALUED doubles) and its norm `qn`. Everything the
-    * k-means chain computes from `q` — element-wise centroid sums and
-    * dot products — is a sum of integers, which IEEE doubles represent
-    * EXACTLY (no rounding) as long as magnitudes stay below 2^53, so
-    * both engines get bit-identical centroids and assignment scores
-    * regardless of summation order. With |x| ≲ 1 the centroid
-    * self-dot stays exact up to cluster sizes of ~1e4; beyond that
-    * (real 100 TB) swap the scoring folds to BIGINT `aggregate` HOFs —
-    * the plan shape is unchanged. */
+    * as BIGINT) and its norm `qn`. Everything the k-means chain
+    * computes from `q` — element-wise centroid sums and dot products —
+    * is pure BIGINT arithmetic ([[ldot]]), exact regardless of
+    * summation order, so both engines get bit-identical centroids and
+    * assignment scores. (The oracle folds the same integers in
+    * doubles, which is also exact at oracle scales — every addend is
+    * an integer and every partial sum < 2^53.) Only the final
+    * cosine's divide is IEEE — a deterministic operation on two
+    * exactly-agreed values. */
   private def qvecs(s: SparkSession, d: String): DataFrame =
     vecs(s, d)
-      .withColumn("q", transform(col("v"), x => floor(x * 1000).cast("double")))
-      .withColumn("qn", sqrt(expr("dot_product(q, q)")))
+      .withColumn("q", transform(col("v"), x => floor(x * 1000).cast("long")))
+      .withColumn("qn", sqrt(ldot("q", "q").cast("double")))
 
   /** Assign each vector to its `keep` highest-cosine centroids (ties →
     * lower cid). Cosine against the UN-normalized centroid sum-vector:
@@ -106,7 +119,8 @@ object Similarity {
   private def assignTo(v: DataFrame, c: DataFrame, keep: Int): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
     v.join(broadcast(c), lit(true))
-      .withColumn("ccos", round(expr("dot_product(q, cs)") / (col("qn") * col("cn")), 6))
+      .withColumn("ccos",
+        round(ldot("q", "cs").cast("double") / (col("qn") * col("cn")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= keep)
       .drop("ccos", "rn", "cs", "cn")
@@ -122,7 +136,7 @@ object Similarity {
       .groupBy("cid")
       .agg(transform(array_sort(collect_list(struct(col("d"), col("sd")))),
         x => x.getField("sd")).as("cs"))
-      .withColumn("cn", sqrt(expr("dot_product(cs, cs)")))
+      .withColumn("cn", sqrt(ldot("cs", "cs").cast("double")))
 
   /** Two deterministic Lloyd's iterations from the vec_id < 8 seeds:
     * (vec_id, v, nrm, q, qn) × learned centroids (cid, cs, cn). */
@@ -261,9 +275,10 @@ object Similarity {
       |ORDER BY va, vb""".stripMargin
 
   /** q53: random-hyperplane LSH ANN — the OTHER classic ANN bucketing
-    * (complements q31's IVF): 16 deterministic pseudo-random integer
+    * (complements q31's IVF): deterministic pseudo-random integer
     * hyperplanes w[j][d] = phash("j:d") % 1001 − 500 give each vector
-    * a 16-bit sign signature; candidates share an 8-bit signature
+    * a sign signature of 2·bits planes (bits derived from corpus
+    * size, see [[lshTopK]]); candidates share a bits-wide signature
     * band; probes (vec_id % 50 = 0) take top-5 cosine among
     * candidates.
     *
@@ -275,29 +290,52 @@ object Similarity {
     * Scale shape: signatures row-local (no shuffle), candidate
     * generation a (band, value) equality join — same posture as q28's
     * LSH. */
+  /** Band-width ladder cap: 2 bands × ≤14 bits ⇒ up to 28 hyperplanes
+    * are defined; a given corpus only evaluates the 2·bits it uses. */
+  private val LshMaxBits = 14
+  private val LshPlanes = 2 * LshMaxBits
+
   /** Shared LSH top-k machinery for q53 (sampled probes) and q57 (all
     * vectors). `probeFilter = None` is the full-corpus shape: both
     * join sides are the SAME banded frame, pre-partitioned on
     * (b, bv) so the signature build runs once and the self-join
-    * reuses one exchange (the q28 pattern). */
+    * reuses one exchange (the q28 pattern).
+    *
+    * Band width is DERIVED from the corpus size (the q60 broadcast-
+    * scalar pattern — no driver-side action): expected bucket size is
+    * n/2^bits per band value, so fixed-width bands make the Σ bucket²
+    * pair join grow QUADRATICALLY with the corpus; widening bits with
+    * n keeps buckets bounded and the join ~linear. The width is a pure
+    * integer threshold ladder (8 bits, +2 at n>2000, >8000, >32000 —
+    * extend the ladder to extend the range), not float log2, so the
+    * oracle derives the identical width with CASE WHEN. */
   private def lshTopK(s: SparkSession, d: String,
       probeFilter: Option[Column]): DataFrame = {
-    val planes: Seq[Seq[Long]] = (0 to 15).map(j =>
+    val planes: Seq[Seq[Long]] = (0 until LshPlanes).map(j =>
       (1 to 64).map(dd => (phashDriver(s"$j:$dd") % 1001L) - 500L))
     val wLit = typedlit(planes)
-    val v = vecs(s, d)
-      .repartition(col("vec_id")) // parallelism off the single scan split
-      .withColumn("q", transform(col("v"), x => floor(x * 1000).cast("long")))
+    val nCorpus = vecs(s, d).groupBy().agg(count(lit(1)).as("n_corpus"))
+    val v = withScalar(
+      spread(vecs(s, d), col("vec_id")) // gated: test-split spread only
+        .withColumn("q", transform(col("v"), x => floor(x * 1000).cast("long"))),
+      nCorpus)
+      .withColumn("bits",
+        lit(8) + when(col("n_corpus") > 2000, 2).otherwise(0)
+               + when(col("n_corpus") > 8000, 2).otherwise(0)
+               + when(col("n_corpus") > 32000, 2).otherwise(0))
+    // Only the 2·bits planes in use are evaluated (sequence bound is a
+    // column), so a small corpus pays for 16 plane dots, not 28.
     val sig = v.withColumn("sg",
-      aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, j) =>
+      aggregate(sequence(lit(0), lit(2) * col("bits") - 1), lit(0L), (acc, j) =>
         acc + when(
           aggregate(zip_with(col("q"), element_at(wLit, j + 1),
             (x, w) => x * w), lit(0L), (a, b) => a + b) > 0,
           pow(lit(2.0), j).cast("long")).otherwise(0L)))
     val banded0 = sig
-      .select(col("vec_id"), col("v"), col("nrm"), col("sg"),
+      .select(col("vec_id"), col("v"), col("nrm"), col("sg"), col("bits"),
         explode(sequence(lit(0), lit(1))).as("b"))
-      .withColumn("bv", expr("shiftright(sg, b * 8) & 255"))
+      .withColumn("bv",
+        expr("shiftright(sg, b * bits) & (shiftleft(CAST(1 AS BIGINT), bits) - 1)"))
     // All-vectors case: co-partition once on the join keys so the
     // identical probe/member subtrees collapse to a ReusedExchange.
     val banded =
@@ -330,9 +368,9 @@ object Similarity {
     * scale: EVERY vector retrieves its top-5 cosine neighbors among
     * its (band, value) LSH candidates. Same signature scheme as q53;
     * the pair join stays an equality join whose fan-out is Σ bucket²
-    * over the band-value buckets, never n². At real corpus sizes the
-    * band width grows with log n (wider signatures → smaller buckets);
-    * the 2×8-bit banding here matches q53 so the two stay one scheme.
+    * over the band-value buckets, never n². Band width grows with the
+    * corpus (the [[lshTopK]] ladder: wider signatures → smaller
+    * buckets), and the scheme is shared with q53 so the two stay one.
     * Approximate by design: vectors sharing no band with anything
     * (or fewer than 5 candidates) emit fewer rows — q26 remains the
     * exactness baseline. */
@@ -346,10 +384,15 @@ object Similarity {
       |qv AS (SELECT vec_id,
       |              list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
       |       FROM v),
+      |bw AS (
+      |  SELECT 8 + CASE WHEN count(*) > 2000 THEN 2 ELSE 0 END
+      |           + CASE WHEN count(*) > 8000 THEN 2 ELSE 0 END
+      |           + CASE WHEN count(*) > 32000 THEN 2 ELSE 0 END AS bits
+      |  FROM embeddings),
       |planes AS (
       |  SELECT j, d,
       |         ((('0x' || substr(md5(j || ':' || d), 1, 8))::BIGINT % 1001) - 500) AS w
-      |  FROM generate_series(0, 15) g(j), generate_series(1, 64) gd(d)),
+      |  FROM generate_series(0, ${LshPlanes - 1}) g(j), generate_series(1, 64) gd(d)),
       |comp AS (
       |  SELECT vec_id, j, sum(qd * w) AS s
       |  FROM (SELECT vec_id, unnest(q) AS qd, generate_subscripts(q, 1) AS d
@@ -359,10 +402,10 @@ object Similarity {
       |sig AS (
       |  SELECT vec_id,
       |         sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS sg
-      |  FROM comp GROUP BY 1),
+      |  FROM comp, bw WHERE j < 2 * bits GROUP BY 1),
       |banded AS (
-      |  SELECT vec_id, b, (sg >> (8 * b)) & 255 AS bv
-      |  FROM sig, generate_series(0, 1) gb(b)),
+      |  SELECT vec_id, b, (sg >> (b * bits)) & ((1::BIGINT << bits) - 1) AS bv
+      |  FROM sig, generate_series(0, 1) gb(b), bw),
       |cand AS (
       |  SELECT DISTINCT q.vec_id AS qid, m.vec_id AS mid
       |  FROM banded q JOIN banded m
