@@ -144,6 +144,41 @@ class ScaleSpec extends SparkSpec {
     assert(got == expected, s"CC mismatch: ${got.toSet.diff(expected.toSet)}")
   }
 
+  test("spill discipline: q52 completes memory-starved by spilling, not OOM") {
+    // A fresh JVM (SparkSpec's session pins this JVM's heap and
+    // memory manager, so starvation must be a subprocess): 512 MB
+    // heap, spark.memory.fraction=0.2 (~64 MB execution+storage), and
+    // force-spill thresholds low enough that every shuffle write and
+    // sort in q52's Lloyd's-assign/pair-join/window chain exercises
+    // its EXTERNAL (spillable) implementation. Done = exit 0 (spill,
+    // not OOM) with nonzero spilled bytes reported by task metrics.
+    val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar")
+      .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED")
+    val cmd = Seq("java") ++ addOpens ++ Seq(
+      "-Xmx512m",
+      "-Dspark.memory.fraction=0.2",
+      "-Dspark.shuffle.spill.numElementsForceSpillThreshold=200",
+      "-Dspark.sql.windowExec.buffer.spill.threshold=200",
+      "-Dspark.ui.enabled=false",
+      "-cp", "target/scala-2.13/classes:/opt/spark/jars/*",
+      "graft.scale.SpillProbe", "q52_embed_neardup_blocked",
+      "/root/testdata/sf0.01")
+    val out = new StringBuilder
+    val logger = scala.sys.process.ProcessLogger(
+      l => out.synchronized { out.append(l).append('\n') },
+      l => out.synchronized { out.append(l).append('\n') })
+    val code = scala.sys.process.Process(cmd).!(logger)
+    val text = out.toString
+    assert(code == 0, s"SpillProbe must complete (no OOM), exit=$code:\n" +
+      text.linesIterator.toSeq.takeRight(30).mkString("\n"))
+    val spilled = "spilled=(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toLong)
+    assert(spilled.exists(_ > 0),
+      s"expected nonzero spill under starvation, got $spilled")
+  }
+
   test("keySkewProfile surfaces the hottest keys first") {
     val prof = Scale.keySkewProfile(
       T.tbl(spark, sfDir, "events"), col("event_type"), topN = 3).collect()

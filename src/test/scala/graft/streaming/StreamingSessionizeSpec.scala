@@ -136,4 +136,70 @@ class StreamingSessionizeSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  /** The exact (buffer-until-watermark) variant closes the default's
+    * documented cross-batch disorder gap. Fixture (gap 30 min,
+    * watermark delay 40 min): batch 1 delivers t0 then t0+50m — the
+    * O(1) default immediately arrival-closes {t0} as a session; batch
+    * 2 delivers t0+20m, which stitches all three events into ONE batch
+    * session (every gap ≤ 30 min) — an assignment the default can no
+    * longer produce, but the exact variant must. */
+  test("exact variant matches batch q56 under cross-batch out-of-order events") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val b1 = Seq(
+        (1L, 101L, t0, "view"),
+        (1L, 102L, t0 + 50 * 60 * 1000, "purchase"))
+      // older than user 1's open session, admitted by the 40m watermark
+      val b2 = Seq((1L, 103L, t0 + 20 * 60 * 1000, "click"))
+      val sentinelB = Seq((999L, 901L, t0 + 10L * 60 * 60 * 1000, "view"))
+
+      val dir = Files.createTempDirectory("sessx_in")
+      val ckpt = Files.createTempDirectory("sessx_ckpt")
+      val collected = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[(Long, Long, Long, Long, Long, Long)]()
+
+      writeEvents(dir, "b1.jsonl", b1)
+      val stream = spark.readStream.schema(schema).json(dir.toString)
+      val q = StreamingSessionize(stream, GapMs, "40 minutes", exact = true)
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select("user_id", "session_id", "start_ms", "end_ms",
+              "n_events", "n_purchases")
+            .collect().foreach(r => collected.add((r.getLong(0), r.getLong(1),
+              r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        }
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try {
+        def ingested: Long = q.recentProgress.map(_.numInputRows).sum
+        def awaitIngest(n: Long): Unit = {
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (ingested < n && System.nanoTime() < deadline) Thread.sleep(100)
+          assert(ingested >= n, s"timed out waiting for $n input rows (got $ingested)")
+        }
+        awaitIngest(b1.size.toLong)
+        // nothing may close yet: the only provable prefix is {t0}
+        // (wm = t0+10m), whose session stays open pending t0+20m
+        assert(collected.isEmpty,
+          s"exact variant must not close before the watermark proves it, got $collected")
+        writeEvents(dir, "b2.jsonl", b2)
+        awaitIngest((b1.size + b2.size).toLong)
+        writeEvents(dir, "b3.jsonl", sentinelB)
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (collected.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      } finally q.stop()
+
+      val expected = batchSessions(b1 ++ b2)
+      assert(collected.asScala.toSet == expected,
+        s"exact stream sessions must equal batch q56 sessions:\n" +
+          s"got      ${collected.asScala.toSet}\nexpected $expected")
+      // the fixture really is the divergence case: one stitched session
+      assert(expected == Set((1L, 1L, t0, t0 + 50 * 60 * 1000, 3L, 1L)))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
