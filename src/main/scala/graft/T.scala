@@ -100,7 +100,13 @@ object T {
     * literal: a literal key gets constant-folded (`1 = 1` → true) and
     * the join re-planned as a nested loop; an attribute-derived key is
     * not foldable, so the equality survives to physical planning.
-    * `hash` never returns null, so no row is dropped. */
+    * `hash` never returns null, so no row is dropped.
+    *
+    * This is THE way to attach a 1-row scalar. The one deliberate
+    * BNLJ exemption left in the inventory is the k-means centroid
+    * assignment (`Similarity.assignTo`): a ≤8-row broadcast really is
+    * a bounded cross join, and its plans assert that bound explicitly
+    * rather than disguise the shape. */
   def withScalar(df: DataFrame, scalar: DataFrame): DataFrame = {
     def k(f: DataFrame) =
       f.withColumn("__k", pmod(hash(col(f.columns.head)), lit(1)))

@@ -26,7 +26,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private def elemType: Option[DataType] = (left.dataType, right.dataType) match {
+  // lazy: child dataTypes are unresolved at construction; cached so
+  // interpreted eval doesn't re-pattern-match per row
+  private lazy val elemType: Option[DataType] = (left.dataType, right.dataType) match {
     case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => Some(DoubleType)
     case (ArrayType(LongType, _), ArrayType(LongType, _)) => Some(LongType)
     case _ => None
@@ -42,7 +44,7 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def nullable: Boolean = true
 
-  private def isLong: Boolean = elemType.contains(LongType)
+  private lazy val isLong: Boolean = elemType.contains(LongType)
 
   /** Null semantics mirror the `aggregate(zip_with(a,b,_*_),0d,_+_)`
     * fold this expression replaces: a null element or a length

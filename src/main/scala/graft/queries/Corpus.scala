@@ -27,9 +27,8 @@ object Corpus {
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("tok").asc)
-    tf.join(docLen, Seq("doc_id"))
-      .join(broadcast(df), Seq("tok"))
-      .crossJoin(broadcast(n))
+    withScalar(tf.join(docLen, Seq("doc_id"))
+      .join(broadcast(df), Seq("tok")), n)
       .withColumn("tfidf",
         round((col("tf").cast("double") / col("len").cast("double")) *
           log((col("n").cast("double") + 1.0) / (col("df").cast("double") + 1.0)), 6))

@@ -71,7 +71,8 @@ object Dedup {
     greatest(lit(HotShingleDfFloor), floor(n * HotShingleDfFraction))
 
   /** The cap as a lazy 1-row scalar off the shingle frame itself (like
-    * q46's corpus-size N: a broadcast cross join, no driver action). */
+    * q46's corpus-size N: attached via T.withScalar's broadcast hash
+    * join, no driver action). */
   private[queries] def hotShingleCap(sh: DataFrame): DataFrame =
     sh.agg(capFromCount(countDistinct(col("doc_id"))).as("cap"))
 
@@ -93,8 +94,7 @@ object Dedup {
     // Cap is applied BEFORE set sizes are computed, so jaccard stays a
     // true Jaccard over the capped shingle universe (intersections and
     // unions count the same shingle set).
-    val capped = sh
-      .crossJoin(broadcast(capDf))
+    val capped = withScalar(sh, capDf)
       .withColumn("df",
         count(lit(1)).over(Window.partitionBy("shingle")))
       .filter(col("df") <= col("cap"))

@@ -51,10 +51,18 @@ object Pipeline {
     // before hashing too).
     // gauge = the raw scan: the survivor join upstream would make
     // `.rdd` on the input itself execute AQE stages (see T.spread).
+    // Band structure derives from the FULL corpus count exactly like
+    // q28 (one scheme; survivors are a subset, so 0.1% of the band
+    // choice's input is noise either way), mirrored in the oracle.
+    val nDocs = tbl(s, d, "documents").groupBy()
+      .agg(count(lit(1)).as("n_corpus"))
     val sigs = MinHashLsh.bandSignatures(
-        spread(tbl(s, d, "documents")
-          .join(exactKept.select(col("doc_id")), Seq("doc_id")),
-          col("doc_id"), gauge = tbl(s, d, "documents")))
+        withScalar(
+          spread(tbl(s, d, "documents")
+            .join(exactKept.select(col("doc_id")), Seq("doc_id")),
+            col("doc_id"), gauge = tbl(s, d, "documents")),
+          nDocs),
+        lit(4) + when(col("n_corpus") > 8000, 4).otherwise(0))
       .repartition(col("band"), col("sig"))
     val dropped = sigs.select(col("doc_id").as("da"), col("band"), col("sig"))
       .join(sigs.select(col("doc_id").as("db"), col("band").as("band_b"),
@@ -108,9 +116,11 @@ object Pipeline {
       |mh AS (
       |  SELECT doc_id, i, min((h*(2*i+1) + 7919*i + 13) % 4294967311) AS mh
       |  FROM h CROSS JOIN generate_series(0,15) AS g(i) GROUP BY doc_id, i),
+      |bw AS (
+      |  SELECT CASE WHEN count(*) > 8000 THEN 8 ELSE 4 END AS r FROM documents),
       |sigs AS (
-      |  SELECT doc_id, i//4 AS band, string_agg(mh::VARCHAR, '-' ORDER BY i) AS sig
-      |  FROM mh GROUP BY doc_id, i//4),
+      |  SELECT doc_id, i//r AS band, string_agg(mh::VARCHAR, '-' ORDER BY i) AS sig
+      |  FROM mh, bw GROUP BY doc_id, i//r),
       |dropped AS (
       |  SELECT DISTINCT b.doc_id
       |  FROM sigs a JOIN sigs b

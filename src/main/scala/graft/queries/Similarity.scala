@@ -285,8 +285,9 @@ object Similarity {
     * Exactness design: vectors are quantized (floor(v·1000), exact in
     * both engines) so the plane projections are pure BIGINT sums —
     * sign bits cannot flip on float summation order. The weight table
-    * is a 16×64 literal baked driver-side with the same md5 formula
-    * the oracle computes in SQL, so signatures are bit-identical.
+    * is a LshPlanes×64 literal baked driver-side with the same md5
+    * formula the oracle computes in SQL, so signatures are
+    * bit-identical.
     * Scale shape: signatures row-local (no shuffle), candidate
     * generation a (band, value) equality join — same posture as q28's
     * LSH. */

@@ -37,10 +37,19 @@ object SpillProbe {
       }
     })
     graft.Bench.exec(graft.SparkEntry.queries(name)(spark, sfDir))
-    // the listener bus is async — give queued task-end events a
-    // moment to drain before reading the counter
+    // The listener bus is async and this JVM is deliberately starved,
+    // so a GC pause can stall dispatch well past a naive settle check.
+    // All tasks HAVE ended (exec is synchronous); wait until the
+    // counter is stable across three consecutive 1 s reads, capped at
+    // 60 s — under-reporting here would flake the spill assertion.
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
     var last = -1L
-    while (spilled.get() != last) { last = spilled.get(); Thread.sleep(500) }
+    var stable = 0
+    while (stable < 3 && System.nanoTime() < deadline) {
+      val now = spilled.get()
+      if (now == last) stable += 1 else { stable = 0; last = now }
+      Thread.sleep(1000)
+    }
     println(s"SPILL_PROBE ok spilled=${spilled.get()}")
     spark.stop()
   }

@@ -57,6 +57,35 @@ object StreamingSessionize {
   case class OpenSession(start_ms: Long, end_ms: Long, n_events: Long,
       n_purchases: Long)
 
+  /** One gap-fold step — THE session semantics, shared by both
+    * processors and mirroring batch q56's lag/break chain: an event
+    * beyond the gap closes the open session (via `closeFn`) and opens
+    * a fresh one; within the gap it merges. A change here is the ONLY
+    * place session composition can change for either processor. */
+  private def foldEvent(cur: Option[OpenSession], e: SessEvent, gapMs: Long,
+      closeFn: OpenSession => SessionOut):
+      (Option[OpenSession], Option[SessionOut]) = {
+    val p = if (e.event_type == "purchase") 1L else 0L
+    cur match {
+      case Some(o) if e.ts_ms - o.end_ms > gapMs =>
+        (Some(OpenSession(e.ts_ms, e.ts_ms, 1L, p)), Some(closeFn(o)))
+      case Some(o) =>
+        (Some(OpenSession(o.start_ms, math.max(o.end_ms, e.ts_ms),
+          o.n_events + 1L, o.n_purchases + p)), None)
+      case None =>
+        (Some(OpenSession(e.ts_ms, e.ts_ms, 1L, p)), None)
+    }
+  }
+
+  /** Close with the per-user running counter in `seq` — q56's session
+    * numbering, shared by both processors. */
+  private def closeSession(seq: ValueState[Long], key: Long,
+      o: OpenSession): SessionOut = {
+    val id = (if (seq.exists()) seq.get() else 0L) + 1L
+    seq.update(id)
+    SessionOut(key, id, o.start_ms, o.end_ms, o.n_events, o.n_purchases)
+  }
+
   class SessionProcessor(gapMs: Long)
       extends StatefulProcessor[Long, SessEvent, SessionOut] {
 
@@ -71,29 +100,15 @@ object StreamingSessionize {
       timer = getHandle.getValueState[Long]("timer", Encoders.scalaLong, TTLConfig.NONE)
     }
 
-    private def close(key: Long, o: OpenSession): SessionOut = {
-      val id = (if (seq.exists()) seq.get() else 0L) + 1L
-      seq.update(id)
-      SessionOut(key, id, o.start_ms, o.end_ms, o.n_events, o.n_purchases)
-    }
-
     override def handleInputRows(key: Long, rows: Iterator[SessEvent],
         timerValues: TimerValues): Iterator[SessionOut] = {
       val sorted = rows.toVector.sortBy(e => (e.ts_ms, e.event_id))
       var out = Vector.empty[SessionOut]
       var cur = if (open.exists()) Option(open.get()) else None
       sorted.foreach { e =>
-        val p = if (e.event_type == "purchase") 1L else 0L
-        cur = cur match {
-          case Some(o) if e.ts_ms - o.end_ms > gapMs =>
-            out :+= close(key, o) // arrival close
-            Some(OpenSession(e.ts_ms, e.ts_ms, 1L, p))
-          case Some(o) =>
-            Some(OpenSession(o.start_ms, math.max(o.end_ms, e.ts_ms),
-              o.n_events + 1L, o.n_purchases + p))
-          case None =>
-            Some(OpenSession(e.ts_ms, e.ts_ms, 1L, p))
-        }
+        val (c2, closed) = foldEvent(cur, e, gapMs, closeSession(seq, key, _))
+        closed.foreach(out :+= _) // arrival close
+        cur = c2
       }
       cur.foreach { o =>
         open.update(o)
@@ -118,7 +133,7 @@ object StreamingSessionize {
         val o = open.get()
         open.clear()
         timer.clear()
-        Iterator.single(close(key, o))
+        Iterator.single(closeSession(seq, key, o))
       } else Iterator.empty
     }
   }
@@ -160,34 +175,20 @@ object StreamingSessionize {
         Encoders.product[SessEvent], TTLConfig.NONE)
     }
 
-    private def close(key: Long, o: OpenSession): SessionOut = {
-      val id = (if (seq.exists()) seq.get() else 0L) + 1L
-      seq.update(id)
-      SessionOut(key, id, o.start_ms, o.end_ms, o.n_events, o.n_purchases)
-    }
-
     private def advance(key: Long, wmMs: Long): Iterator[SessionOut] = {
       val (ripe, hold) = buf.get().toVector.partition(_.ts_ms <= wmMs)
       var out = Vector.empty[SessionOut]
       var cur = if (open.exists()) Option(open.get()) else None
       ripe.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
-        val p = if (e.event_type == "purchase") 1L else 0L
-        cur = cur match {
-          case Some(o) if e.ts_ms - o.end_ms > gapMs =>
-            out :+= close(key, o)
-            Some(OpenSession(e.ts_ms, e.ts_ms, 1L, p))
-          case Some(o) =>
-            Some(OpenSession(o.start_ms, math.max(o.end_ms, e.ts_ms),
-              o.n_events + 1L, o.n_purchases + p))
-          case None =>
-            Some(OpenSession(e.ts_ms, e.ts_ms, 1L, p))
-        }
+        val (c2, closed) = foldEvent(cur, e, gapMs, closeSession(seq, key, _))
+        closed.foreach(out :+= _)
+        cur = c2
       }
       // watermark-proven quiet close: nothing can land in
       // (end, end + gap] anymore — held events all have ts > wm
       cur match {
         case Some(o) if wmMs >= o.end_ms + gapMs =>
-          out :+= close(key, o)
+          out :+= closeSession(seq, key, o)
           cur = None
         case _ => ()
       }
