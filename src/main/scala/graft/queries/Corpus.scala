@@ -98,8 +98,12 @@ object Corpus {
       .orderBy("cluster", "doc_id")
   }
 
-  private val q48Sql =
-    s"""WITH RECURSIVE t AS (
+  /** The near-dup-pair + transitive-reachability CTE chain (q25's
+    * capped exact-Jaccard pairs → recursive closure), shared by the
+    * q48 and q70 oracles. Defines CTEs `t` (tokens with position)
+    * through `reach` (node n reaches node m). */
+  private val ccCtes =
+    s"""t AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
       |         generate_subscripts(string_split(text,' '),1) AS ord FROM documents),
       |sh AS (
@@ -128,10 +132,60 @@ object Corpus {
       |reach AS (
       |  SELECT src AS n, src AS m FROM edges
       |  UNION
-      |  SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src)
+      |  SELECT r.n, e.dst FROM reach r JOIN edges e ON r.m = e.src)""".stripMargin
+
+  private val q48Sql =
+    s"""WITH RECURSIVE $ccCtes
       |SELECT n AS doc_id, min(m) AS cluster,
       |       n = min(m) AS is_representative
       |FROM reach GROUP BY n ORDER BY cluster, doc_id""".stripMargin
+
+  /** q70: quality-aware cluster keep — the curation decision q48's
+    * min-doc_id convention approximates: per near-dup cluster, keep
+    * the member with the HIGHEST q33 quality score (ties → lower
+    * doc_id). Composes the CC labels with the quality operator — one
+    * extra broadcast-sized join and a per-cluster window on top of
+    * q48's plan, nothing new shuffles the corpus. */
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    val cc = graft.scale.Scale
+      .connectedComponents(
+        pairs(s, d).select(col("da").as("src"), col("db").as("dst")))
+      .select(col("node").as("doc_id"), col("label").as("cluster"))
+    val quality = TextAnalysis.q33(s, d).select(col("doc_id"), col("quality"))
+    val wBest = Window.partitionBy("cluster")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    cc.join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(wBest))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster")))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("kept_doc_id"),
+        col("quality").as("kept_quality"), col("n_members"))
+      .orderBy("cluster")
+  }
+
+  private val q70Sql =
+    s"""WITH RECURSIVE $ccCtes,
+      |labels AS (SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n),
+      |st AS (
+      |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
+      |         sum(CASE WHEN tok IN ('the','a','and','of','to','in') THEN 1 ELSE 0 END) AS n_stop
+      |  FROM t GROUP BY doc_id),
+      |qual AS (
+      |  SELECT doc_id,
+      |         round(0.4 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+      |             + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+      |             + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) AS quality
+      |  FROM st),
+      |m AS (
+      |  SELECT l.cluster, l.doc_id, q.quality,
+      |         row_number() OVER (PARTITION BY l.cluster
+      |                            ORDER BY q.quality DESC, l.doc_id ASC) AS rn,
+      |         count(*) OVER (PARTITION BY l.cluster) AS n_members
+      |  FROM labels l JOIN qual q ON l.doc_id = q.doc_id)
+      |SELECT cluster, doc_id AS kept_doc_id, quality AS kept_quality,
+      |       CAST(n_members AS BIGINT) AS n_members
+      |FROM m WHERE rn = 1 ORDER BY cluster""".stripMargin
 
   /** q49: KMV distinct-count sketch (custom typed Aggregator UDAF) —
     * estimated distinct 3-gram shingles per language vs the exact
@@ -217,12 +271,14 @@ object Corpus {
     "q46_tfidf" -> q46 _,
     "q47_hash_sample" -> q47 _,
     "q48_dedup_clusters" -> q48 _,
-    "q49_kmv_sketch" -> q49 _)
+    "q49_kmv_sketch" -> q49 _,
+    "q70_cluster_keep_best" -> q70 _)
 
   val oracles: Map[String, String] = Map(
     "q62_ngram_counts" -> q62Sql,
     "q46_tfidf" -> q46Sql,
     "q47_hash_sample" -> q47Sql,
     "q48_dedup_clusters" -> q48Sql,
-    "q49_kmv_sketch" -> q49Sql)
+    "q49_kmv_sketch" -> q49Sql,
+    "q70_cluster_keep_best" -> q70Sql)
 }

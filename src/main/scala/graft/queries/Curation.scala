@@ -161,15 +161,55 @@ object Curation {
       |       CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id
       |FROM packed ORDER BY doc_id""".stripMargin
 
+  /** q71: fixed-window chunking — training-example construction: each
+    * document's token stream is cut into non-overlapping 32-token
+    * windows (the fixed-context packing step before tokenization);
+    * a trailing partial window survives only with ≥ 8 tokens. Fully
+    * row-local (one transform + posexplode, no shuffle, no state):
+    * the 100 TB shape — chunking parallelizes per document and the
+    * output is immediately shard-packable (q63). */
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    val chunkLen = 32
+    val minTail = 8
+    tbl(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("t")) - 1) / chunkLen).cast("int")),
+          i => slice(col("t"), i * chunkLen + 1, lit(chunkLen))))
+          .as(Seq("chunk_idx", "chunk")))
+      .withColumn("n_chunk_tokens", size(col("chunk")).cast("long"))
+      .filter(col("n_chunk_tokens") >= minTail)
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("n_chunk_tokens"), array_join(col("chunk"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val q71Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ix AS (
+      |  SELECT doc_id, t, unnest(range(0, (len(t) - 1) // 32 + 1)) AS chunk_idx
+      |  FROM t),
+      |c AS (
+      |  SELECT doc_id, chunk_idx,
+      |         t[(chunk_idx*32+1):(chunk_idx*32+32)] AS chunk
+      |  FROM ix)
+      |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+      |       array_to_string(chunk, ' ') AS chunk_text
+      |FROM c WHERE len(chunk) >= 8
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_shard_pack" -> q63 _,
     "q58_decontaminate" -> q58 _,
     "q59_pii_pseudonymize" -> q59 _,
-    "q60_stratified_sample" -> q60 _)
+    "q60_stratified_sample" -> q60 _,
+    "q71_chunk_windows" -> q71 _)
 
   val oracles: Map[String, String] = Map(
     "q63_shard_pack" -> q63Sql,
     "q58_decontaminate" -> q58Sql,
     "q59_pii_pseudonymize" -> q59Sql,
-    "q60_stratified_sample" -> q60Sql)
+    "q60_stratified_sample" -> q60Sql,
+    "q71_chunk_windows" -> q71Sql)
 }

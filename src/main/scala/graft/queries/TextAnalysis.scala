@@ -118,6 +118,66 @@ object TextAnalysis {
       |           + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) AS quality
       |FROM st ORDER BY doc_id""".stripMargin
 
+  /** q69: repetition-ratio quality signals (the Gopher/Dolma-style
+    * repetition filters a curation pipeline gates on): per document,
+    * the most-frequent-token fraction (ties → lexicographically
+    * smallest token) and the duplicate-bigram fraction, plus the
+    * composed `repetitive` gate on the ROUNDED values (so the boolean
+    * is bit-deterministic cross-engine). All per-document aggregation
+    * — partial-aggregatable groupBys keyed by doc_id, embarrassingly
+    * parallel at 100 TB. */
+  private def q69(s: SparkSession, d: String): DataFrame = {
+    val t = tbl(s, d, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("ord", "tok")))
+    val wOrd = Window.partitionBy("doc_id").orderBy("ord")
+    val bs = t.withColumn("nxt", lead(col("tok"), 1).over(wOrd))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bg")).as("n_distinct_bigrams"))
+    val wTop = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("tok").asc)
+    val top = t.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("tok").as("top_tok"), col("cnt").as("top_cnt"))
+    val nt = t.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    nt.join(top, Seq("doc_id")).join(bs, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("top_tok"),
+        round(col("top_cnt").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("top_token_frac"),
+        round(lit(1.0) - col("n_distinct_bigrams").cast("double") /
+          col("n_bigrams").cast("double"), 6).as("dup_bigram_frac"))
+      .withColumn("repetitive",
+        col("top_token_frac") > 0.2 || col("dup_bigram_frac") > 0.5)
+      .orderBy("doc_id")
+  }
+
+  private val q69Sql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |                  generate_subscripts(string_split(text,' '),1) AS ord FROM documents),
+      |nt AS (SELECT doc_id, count(*) AS n_tokens FROM t GROUP BY 1),
+      |tc AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+      |top AS (
+      |  SELECT doc_id, tok AS top_tok, cnt AS top_cnt FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                                 ORDER BY cnt DESC, tok ASC) AS rn FROM tc)
+      |  WHERE rn = 1),
+      |bg AS (SELECT doc_id, tok || ' ' || lead(tok) OVER w AS bg
+      |       FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      |       QUALIFY lead(tok) OVER w IS NOT NULL),
+      |bs AS (SELECT doc_id, count(*) AS n_bigrams,
+      |              count(DISTINCT bg) AS n_distinct_bigrams FROM bg GROUP BY 1),
+      |f AS (
+      |  SELECT nt.doc_id, nt.n_tokens, top_tok,
+      |         round(CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+      |           AS top_token_frac,
+      |         round(1.0 - CAST(n_distinct_bigrams AS DOUBLE)
+      |                   / CAST(n_bigrams AS DOUBLE), 6) AS dup_bigram_frac
+      |  FROM nt JOIN top USING (doc_id) JOIN bs USING (doc_id))
+      |SELECT doc_id, n_tokens, top_tok, top_token_frac, dup_bigram_frac,
+      |       (top_token_frac > 0.2 OR dup_bigram_frac > 0.5) AS repetitive
+      |FROM f ORDER BY doc_id""".stripMargin
+
   /** q34: token counting — whitespace tokens, regex word/digit tokens,
     * and a BPE-ish chars/4 proxy. */
   private def q34(s: SparkSession, d: String): DataFrame =
@@ -174,12 +234,14 @@ object TextAnalysis {
     "q32_langid" -> q32 _,
     "q33_quality_score" -> q33 _,
     "q34_token_count" -> q34 _,
-    "q35_fingerprint" -> q35 _)
+    "q35_fingerprint" -> q35 _,
+    "q69_repetition_ratio" -> q69 _)
 
   val oracles: Map[String, String] = Map(
     "q27_text_stats" -> q27Sql,
     "q32_langid" -> q32Sql,
     "q33_quality_score" -> q33Sql,
     "q34_token_count" -> q34Sql,
-    "q35_fingerprint" -> q35Sql)
+    "q35_fingerprint" -> q35Sql,
+    "q69_repetition_ratio" -> q69Sql)
 }

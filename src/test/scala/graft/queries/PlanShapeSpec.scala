@@ -55,4 +55,11 @@ class PlanShapeSpec extends SparkSpec {
         p63.replaceAll("rangepartitioning[^)]*\\)", "")).isDefined,
       s"no global single-partition pass:\n$p63")
   }
+
+  test("q71 chunk windows: row-local explode, only the oracle-parity sort shuffles") {
+    val plan = planString(SparkEntry.queries("q71_chunk_windows")(spark, sfDir))
+    assert(!plan.contains("Join"), s"chunking must not join:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"chunking is row-local — the final rangepartitioning sort is the only exchange:\n$plan")
+  }
 }
