@@ -151,7 +151,16 @@ object Corpus {
       .connectedComponents(
         pairs(s, d).select(col("da").as("src"), col("db").as("dst")))
       .select(col("node").as("doc_id"), col("label").as("cluster"))
-    val quality = TextAnalysis.q33(s, d).select(col("doc_id"), col("quality"))
+    // Quality only for cluster MEMBERS (a per-document score, so the
+    // subset is exact): near-dup members are a sliver of the corpus at
+    // scale — tokenizing everything to rank a few would dominate the
+    // query. `cc` is checkpoint-backed (Scale.connectedComponents), so
+    // its second use here re-reads materialized partitions, not the
+    // pair-join lineage.
+    val quality = TextAnalysis.q33Frame(
+        tbl(s, d, "documents")
+          .join(cc.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), col("quality"))
     val wBest = Window.partitionBy("cluster")
       .orderBy(col("quality").desc, col("doc_id").asc)
     cc.join(quality, Seq("doc_id"))

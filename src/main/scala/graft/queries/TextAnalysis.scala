@@ -83,8 +83,15 @@ object TextAnalysis {
     * stopword ratio, composed into one rounded score. The double
     * expression tree is written identically in the oracle so every op
     * is the same IEEE op. */
-  private[queries] def q33(s: SparkSession, d: String): DataFrame = {
-    val perTok = tbl(s, d, "documents")
+  private[queries] def q33(s: SparkSession, d: String): DataFrame =
+    q33Frame(tbl(s, d, "documents"))
+
+  /** The q33 score over an arbitrary (doc_id, text) frame — the score
+    * is purely per-document, so callers that only need a SUBSET
+    * (q70's cluster members) pre-filter and pay the tokenize+aggregate
+    * cost for that subset alone. */
+  private[queries] def q33Frame(docs: DataFrame): DataFrame = {
+    val perTok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val st = perTok.groupBy("doc_id").agg(
       count(lit(1)).as("n_tokens"),
