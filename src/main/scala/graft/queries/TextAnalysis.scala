@@ -130,30 +130,43 @@ object TextAnalysis {
     * the most-frequent-token fraction (ties → lexicographically
     * smallest token) and the duplicate-bigram fraction, plus the
     * composed `repetitive` gate on the ROUNDED values (so the boolean
-    * is bit-deterministic cross-engine). All per-document aggregation
-    * — partial-aggregatable groupBys keyed by doc_id, embarrassingly
-    * parallel at 100 TB. */
+    * is bit-deterministic cross-engine). Every signal is a function of
+    * ONE document's token array, so the whole query is row-local array
+    * HOFs over a single scan — no explode, no join, no per-doc window;
+    * the only exchange is the output-parity sort. Docs with < 2 tokens
+    * have no bigram signal and are excluded (mirrors the oracle's
+    * inner join against the bigram CTE). */
   private def q69(s: SparkSession, d: String): DataFrame = {
-    val t = tbl(s, d, "documents")
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("ord", "tok")))
-    val wOrd = Window.partitionBy("doc_id").orderBy("ord")
-    val bs = t.withColumn("nxt", lead(col("tok"), 1).over(wOrd))
-      .filter(col("nxt").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bg"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        countDistinct(col("bg")).as("n_distinct_bigrams"))
-    val wTop = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("tok").asc)
-    val top = t.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("tok").as("top_tok"), col("cnt").as("top_cnt"))
-    val nt = t.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
-    nt.join(top, Seq("doc_id")).join(bs, Seq("doc_id"))
-      .select(col("doc_id"), col("n_tokens"), col("top_tok"),
-        round(col("top_cnt").cast("double") / col("n_tokens").cast("double"), 6)
+    val toks = tbl(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    // Token mode in one pass over the SORTED array: equal tokens are
+    // contiguous runs, and strict > on the run length keeps the
+    // lexicographically smallest token on count ties (runs arrive in
+    // lex order). Initial run=0 makes the seed prev="" harmless even
+    // when a real "" token sorts first.
+    val mode = aggregate(
+      array_sort(col("t")),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit("").as("best"), lit(0L).as("best_run")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + lit(1L)).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          when(run > acc("best_run"), x).otherwise(acc("best")).as("best"),
+          when(run > acc("best_run"), run).otherwise(acc("best_run")).as("best_run"))
+      })
+    val bigrams = transform(sequence(lit(1), size(col("t")) - 1),
+      i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))
+    toks
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("m", mode)
+      .withColumn("bg", bigrams)
+      .select(col("doc_id"), col("n_tokens"),
+        col("m")("best").as("top_tok"),
+        round(col("m")("best_run").cast("double") / col("n_tokens").cast("double"), 6)
           .as("top_token_frac"),
-        round(lit(1.0) - col("n_distinct_bigrams").cast("double") /
-          col("n_bigrams").cast("double"), 6).as("dup_bigram_frac"))
+        round(lit(1.0) - size(array_distinct(col("bg"))).cast("double") /
+          size(col("bg")).cast("double"), 6).as("dup_bigram_frac"))
       .withColumn("repetitive",
         col("top_token_frac") > 0.2 || col("dup_bigram_frac") > 0.5)
       .orderBy("doc_id")

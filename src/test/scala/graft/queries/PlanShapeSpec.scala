@@ -56,6 +56,15 @@ class PlanShapeSpec extends SparkSpec {
       s"no global single-partition pass:\n$p63")
   }
 
+  test("q69 repetition ratio: row-local array HOFs, no join, no hash shuffle") {
+    val plan = planString(SparkEntry.queries("q69_repetition_ratio")(spark, sfDir))
+    assert(!plan.contains("Join"), s"repetition signals must not join:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"per-document signals are row-local — only the output sort exchanges:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"array HOFs, not explode — no row blowup:\n$plan")
+  }
+
   test("q71 chunk windows: row-local explode, only the oracle-parity sort shuffles") {
     val plan = planString(SparkEntry.queries("q71_chunk_windows")(spark, sfDir))
     assert(!plan.contains("Join"), s"chunking must not join:\n$plan")
