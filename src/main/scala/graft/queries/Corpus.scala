@@ -55,6 +55,51 @@ object Corpus {
       |  FROM scored)
       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  /** q75: unigram-LM surprisal — the CCNet-style perplexity-filter
+    * signal with a unigram model: each document's mean token surprisal
+    * −Σ tf·ln(cnt_tok/N) / len under the corpus's own unigram
+    * distribution (high = off-distribution text, low = boilerplate).
+    *
+    * Scale shape: the vocabulary frame (tok, corpus count) is tiny
+    * next to the corpus — it BROADCASTS onto the per-doc tf frame
+    * (q46's df pattern), and the per-doc fold is a partial-aggregatable
+    * groupBy(doc_id). Each term is rounded to 6dp and summed as
+    * DECIMAL(18,6) so the per-doc sum is exact and order-independent
+    * — a naive double Σ would differ in low bits between Spark's
+    * partial-agg order and DuckDB's sequential order. */
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    val toks = tbl(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val n = toks.agg(count(lit(1)).cast("double").as("nn"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    withScalar(tf.join(broadcast(vocab), Seq("tok")), n)
+      .select(col("doc_id"), col("tf"),
+        dec(round(col("tf").cast("double") *
+          -log(col("cnt").cast("double") / col("nn")), 6)).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("term")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("mean_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  private val q75Sql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM toks),
+      |vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT doc_id, tf,
+      |         ${decSql("round(CAST(tf AS DOUBLE) * -ln(CAST(cnt AS DOUBLE) / nn), 6)")} AS term
+      |  FROM tf JOIN vocab USING (tok) CROSS JOIN n)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |       round(CAST(sum(term) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6)
+      |         AS mean_surprisal
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q47: deterministic hash sampling — the reproducible substitute
     * for random sampling in data pipelines: a ~10% sample selected by
     * portable hash mod, stable across engines, runs, and partitioning. */
@@ -281,7 +326,8 @@ object Corpus {
     "q47_hash_sample" -> q47 _,
     "q48_dedup_clusters" -> q48 _,
     "q49_kmv_sketch" -> q49 _,
-    "q70_cluster_keep_best" -> q70 _)
+    "q70_cluster_keep_best" -> q70 _,
+    "q75_unigram_surprisal" -> q75 _)
 
   val oracles: Map[String, String] = Map(
     "q62_ngram_counts" -> q62Sql,
@@ -289,5 +335,6 @@ object Corpus {
     "q47_hash_sample" -> q47Sql,
     "q48_dedup_clusters" -> q48Sql,
     "q49_kmv_sketch" -> q49Sql,
-    "q70_cluster_keep_best" -> q70Sql)
+    "q70_cluster_keep_best" -> q70Sql,
+    "q75_unigram_surprisal" -> q75Sql)
 }

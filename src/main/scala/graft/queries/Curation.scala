@@ -199,17 +199,115 @@ object Curation {
       |FROM c WHERE len(chunk) >= 8
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** q72: span-level exact dedup — the C4/Dolma paragraph-dedup shape
+    * over fixed 8-token windows (whole-document exact dedup is vacuous
+    * on this corpus — no two texts are identical — but near-dup docs
+    * share many spans: 135 duplicated span groups at sf0.01). For each
+    * span text occurring more than once, emit the keeper (first
+    * occurrence in (doc_id, chunk_idx) order) and the copy count.
+    *
+    * Scale shape: row-local chunking (q71's transform) → ONE
+    * partial-aggregatable groupBy on the span text. The keeper argmin
+    * is packed into a single BIGINT (doc_id·10⁵ + idx, idx < 10⁵ by
+    * construction) so first-occurrence selection is a plain `min` —
+    * map-side combinable, no per-span sort window anywhere. */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val spanLen = 8
+    tbl(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("t")) - 1) / spanLen).cast("int")),
+          i => slice(col("t"), i * spanLen + 1, lit(spanLen))))
+          .as(Seq("ci", "span")))
+      .filter(size(col("span")) === spanLen)
+      .select(col("doc_id"), col("ci"), array_join(col("span"), " ").as("span"))
+      .groupBy(col("span"))
+      .agg(min(col("doc_id") * 100000L + col("ci")).as("kept_key"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(md5(col("span")).as("span_hash"),
+        expr("kept_key div 100000").as("kept_doc_id"),
+        pmod(col("kept_key"), lit(100000L)).as("kept_chunk_idx"),
+        col("n_copies"))
+      .orderBy("span_hash")
+  }
+
+  private val q72Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ix AS (
+      |  SELECT doc_id, t, unnest(range(0, (len(t) - 1) // 8 + 1)) AS ci
+      |  FROM t),
+      |c AS (
+      |  SELECT doc_id, ci, array_to_string(t[(ci*8+1):(ci*8+8)], ' ') AS span
+      |  FROM ix WHERE len(t[(ci*8+1):(ci*8+8)]) = 8),
+      |g AS (
+      |  SELECT span, min(doc_id * 100000 + ci) AS kept_key,
+      |         count(*) AS n_copies
+      |  FROM c GROUP BY span)
+      |SELECT md5(span) AS span_hash,
+      |       kept_key // 100000 AS kept_doc_id,
+      |       kept_key % 100000 AS kept_chunk_idx, n_copies
+      |FROM g WHERE n_copies > 1 ORDER BY span_hash""".stripMargin
+
+  /** q74: deterministic training-order shuffle — the reproducible
+    * substitute for a global random shuffle before sharding: each doc
+    * is assigned a shard by a salted portable hash and a position
+    * within its shard by a SECOND independent salted hash, so the
+    * training order is pseudo-random yet bit-stable across engines,
+    * runs, and partitionings.
+    *
+    * Scale shape: the corpus exchanges ONCE on shard_id and each shard
+    * sorts locally — there is no global sort. The shard count derives
+    * from a corpus-count broadcast scalar (⌈n/64⌉, floor 8; the q60
+    * pattern) so shards stay ~64 docs at any scale instead of a fixed
+    * count becoming a 100 TB straggler. */
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    val docs = tbl(s, d, "documents").select(col("doc_id"))
+    val n = docs.agg(greatest(lit(8L),
+      ceil(count(lit(1)).cast("double") / 64.0).cast("long")).as("n_shards"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard_id").orderBy(col("ord_key"), col("doc_id"))
+    withScalar(docs, n)
+      .withColumn("shard_id",
+        pmod(phash(concat(lit("shard:"), col("doc_id").cast("string"))),
+          col("n_shards")))
+      .withColumn("ord_key",
+        phash(concat(lit("ord:"), col("doc_id").cast("string"))))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard_id"), col("pos"))
+      .orderBy("shard_id", "pos")
+  }
+
+  private val q74Sql =
+    s"""WITH n AS (
+      |  SELECT greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS n_shards
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |         ${phashSql("'shard:' || doc_id")} % n_shards AS shard_id,
+      |         ${phashSql("'ord:' || doc_id")} AS ord_key
+      |  FROM documents CROSS JOIN n)
+      |SELECT doc_id, shard_id,
+      |       CAST(row_number() OVER (PARTITION BY shard_id
+      |              ORDER BY ord_key, doc_id) AS BIGINT) AS pos
+      |FROM s ORDER BY shard_id, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_shard_pack" -> q63 _,
     "q58_decontaminate" -> q58 _,
     "q59_pii_pseudonymize" -> q59 _,
     "q60_stratified_sample" -> q60 _,
-    "q71_chunk_windows" -> q71 _)
+    "q71_chunk_windows" -> q71 _,
+    "q72_span_dedup" -> q72 _,
+    "q74_shuffle_shard" -> q74 _)
 
   val oracles: Map[String, String] = Map(
     "q63_shard_pack" -> q63Sql,
     "q58_decontaminate" -> q58Sql,
     "q59_pii_pseudonymize" -> q59Sql,
     "q60_stratified_sample" -> q60Sql,
-    "q71_chunk_windows" -> q71Sql)
+    "q71_chunk_windows" -> q71Sql,
+    "q72_span_dedup" -> q72Sql,
+    "q74_shuffle_shard" -> q74Sql)
 }

@@ -198,6 +198,41 @@ object TextAnalysis {
       |       (top_token_frac > 0.2 OR dup_bigram_frac > 0.5) AS repetitive
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** q73: domain-mixture table — per (source, lang) doc counts, token
+    * totals, and each cell's share of the global corpus: the table a
+    * training run samples against when re-weighting domains. The
+    * grouped frame is tiny (sources × langs), so the global-share
+    * window runs over at most that many rows — a single-partition
+    * window over the AGGREGATED table, not the corpus (the corpus-side
+    * work is one partial-aggregatable groupBy). Shares are one IEEE
+    * division of exactly-agreed BIGINTs, rounded 6dp. */
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    val g = tbl(s, d, "documents")
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    val w = Window.partitionBy()
+    g.select(col("source"), col("lang"), col("n_docs"), col("total_tokens"),
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(w).cast("double"), 6).as("doc_share"),
+        round(col("total_tokens").cast("double") /
+          sum(col("total_tokens")).over(w).cast("double"), 6).as("token_share"))
+      .orderBy("source", "lang")
+  }
+
+  private val q73Sql =
+    """WITH g AS (
+      |  SELECT source, lang, count(*) AS n_docs,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source, lang, n_docs, total_tokens,
+      |       round(CAST(n_docs AS DOUBLE)
+      |           / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS doc_share,
+      |       round(CAST(total_tokens AS DOUBLE)
+      |           / CAST(sum(total_tokens) OVER () AS DOUBLE), 6) AS token_share
+      |FROM g ORDER BY source, lang""".stripMargin
+
   /** q34: token counting — whitespace tokens, regex word/digit tokens,
     * and a BPE-ish chars/4 proxy. */
   private def q34(s: SparkSession, d: String): DataFrame =
@@ -255,7 +290,8 @@ object TextAnalysis {
     "q33_quality_score" -> q33 _,
     "q34_token_count" -> q34 _,
     "q35_fingerprint" -> q35 _,
-    "q69_repetition_ratio" -> q69 _)
+    "q69_repetition_ratio" -> q69 _,
+    "q73_source_mixture" -> q73 _)
 
   val oracles: Map[String, String] = Map(
     "q27_text_stats" -> q27Sql,
@@ -263,5 +299,6 @@ object TextAnalysis {
     "q33_quality_score" -> q33Sql,
     "q34_token_count" -> q34Sql,
     "q35_fingerprint" -> q35Sql,
-    "q69_repetition_ratio" -> q69Sql)
+    "q69_repetition_ratio" -> q69Sql,
+    "q73_source_mixture" -> q73Sql)
 }

@@ -71,4 +71,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning"),
       s"chunking is row-local — the final rangepartitioning sort is the only exchange:\n$plan")
   }
+
+  test("q72 span dedup: one partial-agg groupBy on span, no join, no per-span sort window") {
+    val plan = planString(SparkEntry.queries("q72_span_dedup")(spark, sfDir))
+    assert(!plan.contains("Join"), s"span dedup is a pure groupBy:\n$plan")
+    assert(!plan.contains("Window"),
+      s"keeper argmin is a packed-BIGINT min, not a sort window:\n$plan")
+    assert("hashpartitioning\\(span".r.findAllIn(plan).size == 1,
+      s"exactly the span groupBy exchange:\n$plan")
+  }
+
+  test("q73 source mixture: corpus side is one partial agg; the global window sees only the grouped table") {
+    val plan = planString(SparkEntry.queries("q73_source_mixture")(spark, sfDir))
+    assert(!plan.contains("Join"), s"mixture table needs no join:\n$plan")
+    // The single-partition exchange must sit ABOVE the aggregate
+    // (grouped rows = sources × langs), never below it on the corpus.
+    val idxAgg = plan.indexOf("HashAggregate")
+    val idxSingle = plan.indexOf("SinglePartition")
+    assert(idxSingle >= 0 && idxAgg >= 0 && idxSingle < idxAgg,
+      s"global-share window must run over the aggregated table only:\n$plan")
+  }
+
+  test("q74 shuffle shard: scalar broadcasts, one shard exchange, no global sort before positions") {
+    val plan = planString(SparkEntry.queries("q74_shuffle_shard")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the shard-count scalar attaches by broadcast hash join:\n$plan")
+    assert("hashpartitioning\\(shard_id".r.findAllIn(plan).size == 1,
+      s"positions are per-shard local sorts off ONE shard exchange:\n$plan")
+  }
+
+  test("q75 unigram surprisal: vocabulary broadcasts onto tf, no shuffle join on tok") {
+    val plan = planString(SparkEntry.queries("q75_unigram_surprisal")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab must broadcast (q46's df pattern):\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the corpus-sized tf frame must never shuffle for a join:\n$plan")
+  }
 }
