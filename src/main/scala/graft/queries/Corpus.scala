@@ -100,6 +100,46 @@ object Corpus {
       |         AS mean_surprisal
       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q77: per-document token entropy — the Gopher-style information
+    * signal (near-zero entropy = degenerate repetition, high = diverse
+    * vocabulary): H = ln(n) − Σ c·ln(c)/n over the document's own
+    * token counts. Same discipline as q75: per-(doc, tok) counts are
+    * exact BIGINTs, each c·ln(c) term is rounded then DECIMAL-summed
+    * so the per-doc fold is order-independent, and the final H is one
+    * IEEE expression over exactly-agreed inputs. Two chained
+    * partial-aggregatable groupBys — no join at all. */
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    tbl(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("tf"),
+        dec(round(col("tf").cast("double") * log(col("tf").cast("double")), 6))
+          .as("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(col("term")).as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(log(col("n_tokens").cast("double")) -
+          col("s").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("token_entropy"))
+      .orderBy("doc_id")
+  }
+
+  private val q77Sql =
+    s"""WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT doc_id, tf,
+      |         ${decSql("round(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE)), 6)")} AS term
+      |  FROM tf)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |       count(*) AS n_distinct,
+      |       round(ln(CAST(sum(tf) AS DOUBLE))
+      |           - CAST(sum(term) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6)
+      |         AS token_entropy
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q47: deterministic hash sampling — the reproducible substitute
     * for random sampling in data pipelines: a ~10% sample selected by
     * portable hash mod, stable across engines, runs, and partitioning. */
@@ -327,7 +367,8 @@ object Corpus {
     "q48_dedup_clusters" -> q48 _,
     "q49_kmv_sketch" -> q49 _,
     "q70_cluster_keep_best" -> q70 _,
-    "q75_unigram_surprisal" -> q75 _)
+    "q75_unigram_surprisal" -> q75 _,
+    "q77_token_entropy" -> q77 _)
 
   val oracles: Map[String, String] = Map(
     "q62_ngram_counts" -> q62Sql,
@@ -336,5 +377,6 @@ object Corpus {
     "q48_dedup_clusters" -> q48Sql,
     "q49_kmv_sketch" -> q49Sql,
     "q70_cluster_keep_best" -> q70Sql,
-    "q75_unigram_surprisal" -> q75Sql)
+    "q75_unigram_surprisal" -> q75Sql,
+    "q77_token_entropy" -> q77Sql)
 }

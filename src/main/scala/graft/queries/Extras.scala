@@ -422,6 +422,56 @@ object Extras {
       |         AS BIGINT) AS n_purchases
       |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
 
+  /** q78: conversion funnel — per user, the first 'view', the first
+    * 'click' STRICTLY AFTER that view, and the first 'purchase'
+    * strictly after that click (the classic ordered-funnel semantics:
+    * a click before any view doesn't count). Three chained MIN-CASE
+    * windows over the SAME unordered user partition — one
+    * hashpartitioning(user_id) exchange feeds all three WindowExecs,
+    * then a per-user groupBy collapses to one row. No join, no sort
+    * beyond the window's partition sort — q56's single-shuffle
+    * sessionization discipline applied to funnel analysis. */
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    tbl(s, d, "events")
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("tms"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("tms"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("tms") > col("t_view"),
+          col("tms"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("tms") > col("t_click"),
+          col("tms"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("t_view")).as("t_view_ms"),
+        min(col("t_click")).as("t_click_ms"),
+        min(col("t_purchase")).as("t_purchase_ms"))
+      .withColumn("converted", col("t_purchase_ms").isNotNull)
+      .orderBy("user_id")
+  }
+
+  private val q78Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
+      |v AS (
+      |  SELECT *, min(CASE WHEN event_type = 'view' THEN tms END)
+      |              OVER (PARTITION BY user_id) AS t_view FROM e),
+      |c AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND tms > t_view
+      |                     THEN tms END)
+      |              OVER (PARTITION BY user_id) AS t_click FROM v),
+      |p AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND tms > t_click
+      |                     THEN tms END)
+      |              OVER (PARTITION BY user_id) AS t_purchase FROM c)
+      |SELECT user_id,
+      |       CAST(min(t_view) AS BIGINT) AS t_view_ms,
+      |       CAST(min(t_click) AS BIGINT) AS t_click_ms,
+      |       CAST(min(t_purchase) AS BIGINT) AS t_purchase_ms,
+      |       (min(t_purchase) IS NOT NULL) AS converted
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** q61: histogram quantile sketch — the partial-aggregatable
     * quantile shape at scale: per event type, values land in fixed
     * 5-wide bins (shuffle volume = #bins per group, independent of row
@@ -525,6 +575,7 @@ object Extras {
     "q67_grouping_sets" -> q67 _,
     "q61_histogram_quantiles" -> q61 _,
     "q56_sessionize" -> q56 _,
+    "q78_event_funnel" -> q78 _,
     "q54_corr_regr" -> q54 _,
     "q51_range_join" -> q51 _,
     "q50_scalar_fns" -> q50 _,
@@ -543,6 +594,7 @@ object Extras {
     "q67_grouping_sets" -> q67Sql,
     "q61_histogram_quantiles" -> q61Sql,
     "q56_sessionize" -> q56Sql,
+    "q78_event_funnel" -> q78Sql,
     "q54_corr_regr" -> q54Sql,
     "q51_range_join" -> q51Sql,
     "q50_scalar_fns" -> q50Sql,

@@ -426,13 +426,62 @@ object Similarity {
   private val q53Sql = lshSql("WHERE q.vec_id % 50 = 0")
   private val q57Sql = lshSql("")
 
+  /** q76: int8 scalar quantization — the storage-compression half of a
+    * 100 TB ANN index (IVF+SQ): each vector is encoded as 64 int8
+    * codes with a per-vector step (max|x|/127), and the per-dimension
+    * reconstruction MSE is reported. Fully row-local: the fold
+    * accumulates squared errors as micro-unit BIGINTs (round(t²·1e6))
+    * so the sum is exact and order-independent — decimal accumulators
+    * don't fit Spark's `aggregate` HOF (addition widens the precision
+    * away from the accumulator type), integers do. Vectors are cast
+    * float→double (exact) before any arithmetic so both engines run
+    * the identical IEEE tree. */
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    val v = tbl(s, d, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("mx") > 0.0)
+      .withColumn("step", col("mx") / 127.0)
+    def err(x: Column) = x - round(x / col("step")) * col("step")
+    v.select(col("vec_id"), size(col("v")).cast("long").as("n_dims"),
+        round(col("step"), 6).as("scale_step"),
+        array_join(transform(col("v"),
+          x => round(x / col("step")).cast("long").cast("string")), ",").as("codes"),
+        aggregate(col("v"), lit(0L),
+          (acc, x) => acc + round(err(x) * err(x) * 1000000.0).cast("long")).as("micro"))
+      .select(col("vec_id"), col("n_dims"), col("scale_step"), col("codes"),
+        round(col("micro").cast("double") / 1000000.0 /
+          col("n_dims").cast("double"), 6).as("mse"))
+      .orderBy("vec_id")
+  }
+
+  private val q76Sql =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
+      |q AS (SELECT vec_id, v, mx / 127.0 AS step FROM m WHERE mx > 0),
+      |t AS (
+      |  SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims, step,
+      |         array_to_string(list_transform(v,
+      |           x -> CAST(round(x / step) AS BIGINT)), ',') AS codes,
+      |         list_sum(list_transform(v,
+      |           x -> CAST(round((x - round(x / step) * step)
+      |                         * (x - round(x / step) * step)
+      |                         * 1000000.0) AS BIGINT))) AS micro
+      |  FROM q)
+      |SELECT vec_id, n_dims, round(step, 6) AS scale_step, codes,
+      |       round(CAST(micro AS DOUBLE) / 1000000.0
+      |           / CAST(n_dims AS DOUBLE), 6) AS mse
+      |FROM t ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_cosine_topk" -> q26 _,
     "q30_embed_neardup" -> q30 _,
     "q31_ann_ivf" -> q31 _,
     "q52_embed_neardup_blocked" -> q52 _,
     "q53_ann_lsh" -> q53 _,
-    "q57_ann_lsh_all" -> q57 _)
+    "q57_ann_lsh_all" -> q57 _,
+    "q76_embed_quantize" -> q76 _)
 
   val oracles: Map[String, String] = Map(
     "q26_cosine_topk" -> q26Sql,
@@ -440,5 +489,6 @@ object Similarity {
     "q31_ann_ivf" -> q31Sql,
     "q52_embed_neardup_blocked" -> q52Sql,
     "q53_ann_lsh" -> q53Sql,
-    "q57_ann_lsh_all" -> q57Sql)
+    "q57_ann_lsh_all" -> q57Sql,
+    "q76_embed_quantize" -> q76Sql)
 }

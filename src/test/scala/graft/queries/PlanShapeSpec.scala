@@ -100,6 +100,26 @@ class PlanShapeSpec extends SparkSpec {
       s"positions are per-shard local sorts off ONE shard exchange:\n$plan")
   }
 
+  test("q76 embed quantize: fully row-local — no join, no exchange but the output sort") {
+    val plan = planString(SparkEntry.queries("q76_embed_quantize")(spark, sfDir))
+    assert(!plan.contains("Join"), s"quantization is per-vector:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"codes + MSE fold are array HOFs — only the parity sort exchanges:\n$plan")
+  }
+
+  test("q77 token entropy: two chained partial aggs, no join") {
+    val plan = planString(SparkEntry.queries("q77_token_entropy")(spark, sfDir))
+    assert(!plan.contains("Join"), s"entropy needs no join:\n$plan")
+    assert(!plan.contains("Window"), s"entropy needs no window:\n$plan")
+  }
+
+  test("q78 event funnel: one user exchange feeds all three windows, no join") {
+    val plan = planString(SparkEntry.queries("q78_event_funnel")(spark, sfDir))
+    assert(!plan.contains("Join"), s"the funnel chains windows, not self-joins:\n$plan")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      s"all three MIN-CASE windows must reuse ONE user_id exchange:\n$plan")
+  }
+
   test("q75 unigram surprisal: vocabulary broadcasts onto tf, no shuffle join on tok") {
     val plan = planString(SparkEntry.queries("q75_unigram_surprisal")(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"),
