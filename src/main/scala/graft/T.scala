@@ -96,11 +96,18 @@ object T {
     * plan invariants (which guard against accidental all-pairs joins)
     * hold even for queries that consume a derived scalar.
     *
-    * The key is `pmod(hash(firstCol), 1)` — always 0 — rather than a
-    * literal: a literal key gets constant-folded (`1 = 1` → true) and
-    * the join re-planned as a nested loop; an attribute-derived key is
-    * not foldable, so the equality survives to physical planning.
-    * `hash` never returns null, so no row is dropped.
+    * The key is `coalesce(pmod(hash(firstCol), 1), 0)` — always 0 —
+    * rather than a literal: a literal key gets constant-folded
+    * (`1 = 1` → true) and the join re-planned as a nested loop; an
+    * attribute-derived key is not foldable, so the equality survives
+    * to physical planning. `hash` never returns null, so no row is
+    * dropped. The `coalesce(..., 0)` wrapper matters for PLANS, not
+    * values: bare `pmod` is nullable (division ops can return null),
+    * so the join would infer an `isnotnull(pmod(...))` filter and push
+    * it into the probe branch — breaking subtree canonicalization and
+    * therefore ReusedExchange wherever the probe subtree also feeds a
+    * derived aggregate (q75's one-scan tf→vocab→N chain). A
+    * non-nullable key makes the inferred filter fold away.
     *
     * This is THE way to attach a 1-row scalar. The one deliberate
     * BNLJ exemption left in the inventory is the k-means centroid
@@ -109,7 +116,8 @@ object T {
     * rather than disguise the shape. */
   def withScalar(df: DataFrame, scalar: DataFrame): DataFrame = {
     def k(f: DataFrame) =
-      f.withColumn("__k", pmod(hash(col(f.columns.head)), lit(1)))
+      f.withColumn("__k",
+        coalesce(pmod(hash(col(f.columns.head)), lit(1)), lit(0)))
     k(df).join(broadcast(k(scalar)), "__k").drop("__k")
   }
 }

@@ -68,11 +68,17 @@ object Corpus {
     * — a naive double Σ would differ in low bits between Spark's
     * partial-agg order and DuckDB's sequential order. */
   private def q75(s: SparkSession, d: String): DataFrame = {
-    val toks = tbl(s, d, "documents")
+    val tf = tbl(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val n = toks.agg(count(lit(1)).cast("double").as("nn"))
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    // vocab and N re-aggregate tf rather than re-deriving the exploded
+    // token frame: the three consumers share the identical (doc_id,
+    // tok) aggregate subtree, so at runtime the corpus is scanned and
+    // exploded ONCE and ReusedExchange feeds the derived aggregates
+    // (asserted in PlanShapeSpec) — the naive three-scan shape costs
+    // 3× the dominant explode at 100 TB.
+    val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+    val n = vocab.agg(sum(col("cnt")).cast("double").as("nn"))
     withScalar(tf.join(broadcast(vocab), Seq("tok")), n)
       .select(col("doc_id"), col("tf"),
         dec(round(col("tf").cast("double") *
@@ -88,9 +94,9 @@ object Corpus {
   private val q75Sql =
     s"""WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-      |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM toks),
-      |vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |vocab AS (SELECT tok, sum(tf) AS cnt FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS nn FROM vocab),
       |terms AS (
       |  SELECT doc_id, tf,
       |         ${decSql("round(CAST(tf AS DOUBLE) * -ln(CAST(cnt AS DOUBLE) / nn), 6)")} AS term
@@ -261,16 +267,7 @@ object Corpus {
   private val q70Sql =
     s"""WITH RECURSIVE $ccCtes,
       |labels AS (SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n),
-      |st AS (
-      |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
-      |         sum(CASE WHEN tok IN ('the','a','and','of','to','in') THEN 1 ELSE 0 END) AS n_stop
-      |  FROM t GROUP BY doc_id),
-      |qual AS (
-      |  SELECT doc_id,
-      |         round(0.4 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-      |             + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
-      |             + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) AS quality
-      |  FROM st),
+      |${TextAnalysis.qualitySqlCtes},
       |m AS (
       |  SELECT l.cluster, l.doc_id, q.quality,
       |         row_number() OVER (PARTITION BY l.cluster

@@ -161,6 +161,26 @@ object Curation {
       |       CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id
       |FROM packed ORDER BY doc_id""".stripMargin
 
+  /** Row-local fixed-window chunking of a token-array column into
+    * non-overlapping `len`-token windows, as (chunk_idx, chunk) pairs
+    * — ONE home for the boundary arithmetic, shared by q71 (32-token
+    * training windows) and q72 (8-token dedup spans). */
+  private def chunked(t: org.apache.spark.sql.Column, len: Int) =
+    posexplode(transform(
+      sequence(lit(0), floor((size(t) - 1) / len).cast("int")),
+      i => slice(t, i * len + 1, lit(len))))
+
+  /** The DuckDB twin of [[chunked]]: CTEs `t` → `c` (doc_id, ci,
+    * chunk list) over `documents`, windowed at `len` tokens. */
+  private def chunkCtes(len: Int) =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ix AS (
+      |  SELECT doc_id, t, unnest(range(0, (len(t) - 1) // $len + 1)) AS ci
+      |  FROM t),
+      |c AS (
+      |  SELECT doc_id, ci, t[(ci*$len+1):(ci*$len+$len)] AS chunk
+      |  FROM ix)""".stripMargin
+
   /** q71: fixed-window chunking — training-example construction: each
     * document's token stream is cut into non-overlapping 32-token
     * windows (the fixed-context packing step before tokenization);
@@ -169,15 +189,10 @@ object Curation {
     * the 100 TB shape — chunking parallelizes per document and the
     * output is immediately shard-packable (q63). */
   private def q71(s: SparkSession, d: String): DataFrame = {
-    val chunkLen = 32
     val minTail = 8
     tbl(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), floor((size(col("t")) - 1) / chunkLen).cast("int")),
-          i => slice(col("t"), i * chunkLen + 1, lit(chunkLen))))
-          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), chunked(col("t"), 32).as(Seq("chunk_idx", "chunk")))
       .withColumn("n_chunk_tokens", size(col("chunk")).cast("long"))
       .filter(col("n_chunk_tokens") >= minTail)
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
@@ -186,15 +201,8 @@ object Curation {
   }
 
   private val q71Sql =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |ix AS (
-      |  SELECT doc_id, t, unnest(range(0, (len(t) - 1) // 32 + 1)) AS chunk_idx
-      |  FROM t),
-      |c AS (
-      |  SELECT doc_id, chunk_idx,
-      |         t[(chunk_idx*32+1):(chunk_idx*32+32)] AS chunk
-      |  FROM ix)
-      |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+    s"""WITH ${chunkCtes(32)}
+      |SELECT doc_id, ci AS chunk_idx, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
       |       array_to_string(chunk, ' ') AS chunk_text
       |FROM c WHERE len(chunk) >= 8
       |ORDER BY doc_id, chunk_idx""".stripMargin
@@ -206,48 +214,39 @@ object Curation {
     * span text occurring more than once, emit the keeper (first
     * occurrence in (doc_id, chunk_idx) order) and the copy count.
     *
-    * Scale shape: row-local chunking (q71's transform) → ONE
-    * partial-aggregatable groupBy on the span text. The keeper argmin
-    * is packed into a single BIGINT (doc_id·10⁵ + idx, idx < 10⁵ by
-    * construction) so first-occurrence selection is a plain `min` —
-    * map-side combinable, no per-span sort window anywhere. */
+    * Scale shape: row-local chunking ([[chunked]], shared with q71) →
+    * ONE partial-aggregatable groupBy on the span text. The keeper
+    * argmin is `min(struct(doc_id, ci))` — struct min compares
+    * lexicographically by field order in BOTH engines, is map-side
+    * combinable, and carries no packing bound (an earlier packed
+    * doc_id·10⁵+ci BIGINT silently corrupted past 10⁵ chunks/doc). */
   private def q72(s: SparkSession, d: String): DataFrame = {
     val spanLen = 8
     tbl(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), floor((size(col("t")) - 1) / spanLen).cast("int")),
-          i => slice(col("t"), i * spanLen + 1, lit(spanLen))))
-          .as(Seq("ci", "span")))
+      .select(col("doc_id"), chunked(col("t"), spanLen).as(Seq("ci", "span")))
       .filter(size(col("span")) === spanLen)
       .select(col("doc_id"), col("ci"), array_join(col("span"), " ").as("span"))
       .groupBy(col("span"))
-      .agg(min(col("doc_id") * 100000L + col("ci")).as("kept_key"),
+      .agg(min(struct(col("doc_id"), col("ci"))).as("kept"),
         count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
       .select(md5(col("span")).as("span_hash"),
-        expr("kept_key div 100000").as("kept_doc_id"),
-        pmod(col("kept_key"), lit(100000L)).as("kept_chunk_idx"),
+        col("kept.doc_id").as("kept_doc_id"),
+        col("kept.ci").cast("long").as("kept_chunk_idx"),
         col("n_copies"))
       .orderBy("span_hash")
   }
 
   private val q72Sql =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |ix AS (
-      |  SELECT doc_id, t, unnest(range(0, (len(t) - 1) // 8 + 1)) AS ci
-      |  FROM t),
-      |c AS (
-      |  SELECT doc_id, ci, array_to_string(t[(ci*8+1):(ci*8+8)], ' ') AS span
-      |  FROM ix WHERE len(t[(ci*8+1):(ci*8+8)]) = 8),
+    s"""WITH ${chunkCtes(8)},
       |g AS (
-      |  SELECT span, min(doc_id * 100000 + ci) AS kept_key,
+      |  SELECT array_to_string(chunk, ' ') AS span,
+      |         min({'d': doc_id, 'c': ci}) AS kept,
       |         count(*) AS n_copies
-      |  FROM c GROUP BY span)
-      |SELECT md5(span) AS span_hash,
-      |       kept_key // 100000 AS kept_doc_id,
-      |       kept_key % 100000 AS kept_chunk_idx, n_copies
+      |  FROM c WHERE len(chunk) = 8 GROUP BY 1)
+      |SELECT md5(span) AS span_hash, kept.d AS kept_doc_id,
+      |       CAST(kept.c AS BIGINT) AS kept_chunk_idx, n_copies
       |FROM g WHERE n_copies > 1 ORDER BY span_hash""".stripMargin
 
   /** q74: deterministic training-order shuffle — the reproducible

@@ -109,21 +109,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  private val q33Sql =
-    s"""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
-      |st AS (
+  /** DuckDB CTE fragment computing the q33 quality score over an
+    * existing `t` (doc_id, tok) CTE — defines `st33` and `qual`
+    * (doc_id, n_tokens, n_distinct, ttr, avg_tok_len, stop_ratio,
+    * quality). ONE SQL home for the score formula, shared by the q33
+    * and q70 oracles — the Spark twin is [[q33Frame]], shared the same
+    * way. If the weights or the stopword list change, both oracles
+    * follow together. */
+  private[queries] val qualitySqlCtes =
+    """st33 AS (
       |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct,
       |         sum(length(tok)) AS tok_chars,
       |         sum(CASE WHEN tok IN ('the','a','and','of','to','in') THEN 1 ELSE 0 END) AS n_stop
-      |  FROM t GROUP BY doc_id)
-      |SELECT doc_id, n_tokens, n_distinct,
-      |       CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
-      |       CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_tok_len,
-      |       CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
-      |       round(0.4 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
-      |           + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
-      |           + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) AS quality
-      |FROM st ORDER BY doc_id""".stripMargin
+      |  FROM t GROUP BY doc_id),
+      |qual AS (
+      |  SELECT doc_id, n_tokens, n_distinct,
+      |         CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+      |         CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_tok_len,
+      |         CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+      |         round(0.4 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+      |             + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+      |             + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) AS quality
+      |  FROM st33)""".stripMargin
+
+  private val q33Sql =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      |$qualitySqlCtes
+      |SELECT doc_id, n_tokens, n_distinct, ttr, avg_tok_len, stop_ratio, quality
+      |FROM qual ORDER BY doc_id""".stripMargin
 
   /** q69: repetition-ratio quality signals (the Gopher/Dolma-style
     * repetition filters a curation pipeline gates on): per document,

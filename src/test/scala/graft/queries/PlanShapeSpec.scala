@@ -127,5 +127,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"the corpus-sized tf frame must never shuffle for a join:\n$plan")
+    // vocab and N re-aggregate the tf subtree: the corpus is scanned
+    // and exploded once, the derived aggregates ride ReusedExchange.
+    assert(plan.contains("ReusedExchange"),
+      s"vocab/N must reuse tf's exchange, not re-scan the corpus:\n$plan")
+    assert("Generate explode".r.findAllIn(plan).size <= 1,
+      s"exactly one explode pipeline over the corpus:\n$plan")
   }
 }
