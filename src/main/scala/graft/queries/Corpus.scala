@@ -278,6 +278,51 @@ object Corpus {
       |       CAST(n_members AS BIGINT) AS n_members
       |FROM m WHERE rn = 1 ORDER BY cluster""".stripMargin
 
+  /** q80: near-dup composition by source — for each source, how much
+    * of it participates in near-duplication: the "which domain is most
+    * duplicated" table that decides where dedup effort (and crawl
+    * trust) goes. A document is `dup` if it appears in ANY
+    * exact-Jaccard near-dup pair (q25's capped pairs) — membership,
+    * not clusters, so no CC pass is needed.
+    *
+    * Scale shape: the dup-membership frame is distinct pair endpoints
+    * (a sliver of the corpus); the semi-join keys on doc_id and the
+    * per-source rollup is a partial-aggregatable groupBy over the
+    * (doc_id, source) projection — the corpus text is read only by
+    * the shared pair computation. */
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    val p = pairs(s, d)
+    val dup = p.select(col("da").as("doc_id"))
+      .union(p.select(col("db").as("doc_id"))).distinct()
+    val docs = tbl(s, d, "documents").select(col("doc_id"), col("source"))
+    val per = docs.join(dup, Seq("doc_id"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dup"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(per, Seq("source"), "left")
+      .na.fill(0L, Seq("n_dup"))
+      .select(col("source"), col("n_docs"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_ratio"))
+      .orderBy("source")
+  }
+
+  private val q80Sql =
+    s"""WITH RECURSIVE $ccCtes,
+      |dup AS (
+      |  -- edges holds BOTH directions, so distinct src covers every
+      |  -- pair endpoint. Deliberately not `src UNION dst`: inside a
+      |  -- WITH RECURSIVE list DuckDB 1.0 gives a plain UNION between
+      |  -- CTE references UNION ALL semantics (no dedup).
+      |  SELECT DISTINCT src AS doc_id FROM edges),
+      |per AS (
+      |  SELECT source, count(*) AS n_dup
+      |  FROM documents JOIN dup USING (doc_id) GROUP BY source),
+      |tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+      |SELECT tot.source, n_docs, coalesce(n_dup, 0) AS n_dup,
+      |       round(CAST(coalesce(n_dup, 0) AS DOUBLE)
+      |           / CAST(n_docs AS DOUBLE), 6) AS dup_ratio
+      |FROM tot LEFT JOIN per USING (source) ORDER BY source""".stripMargin
+
   /** q49: KMV distinct-count sketch (custom typed Aggregator UDAF) —
     * estimated distinct 3-gram shingles per language vs the exact
     * count. KMV over the portable hash is deterministic (see
@@ -365,7 +410,8 @@ object Corpus {
     "q49_kmv_sketch" -> q49 _,
     "q70_cluster_keep_best" -> q70 _,
     "q75_unigram_surprisal" -> q75 _,
-    "q77_token_entropy" -> q77 _)
+    "q77_token_entropy" -> q77 _,
+    "q80_dup_by_source" -> q80 _)
 
   val oracles: Map[String, String] = Map(
     "q62_ngram_counts" -> q62Sql,
@@ -375,5 +421,6 @@ object Corpus {
     "q49_kmv_sketch" -> q49Sql,
     "q70_cluster_keep_best" -> q70Sql,
     "q75_unigram_surprisal" -> q75Sql,
-    "q77_token_entropy" -> q77Sql)
+    "q77_token_entropy" -> q77Sql,
+    "q80_dup_by_source" -> q80Sql)
 }

@@ -292,8 +292,62 @@ object Curation {
       |              ORDER BY ord_key, doc_id) AS BIGINT) AS pos
       |FROM s ORDER BY shard_id, pos""".stripMargin
 
+  /** q79: exact length-outlier gate — per language, the exact p05/p95
+    * token-count bounds (q39's middle-row selection generalized to
+    * arbitrary ranks: the value at row ⌈q·n⌉ of the (n_tokens, doc_id)
+    * order, pure BIGINT arithmetic), and the documents falling outside
+    * them — the length filter a curation pipeline applies before
+    * quality scoring.
+    *
+    * Scale shape: the sort window runs over the (doc_id, lang, count)
+    * frame — O(docs) rows, never the corpus text — partitioned per
+    * language; the bounds table (one row per language) broadcasts back
+    * onto the counts for the outlier test. q61 is the
+    * shuffle-volume-independent sketch path at 100 TB; this is its
+    * exact baseline, the q39↔q61 pairing generalized per group. */
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val toks = tbl(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val ranked = toks
+      .withColumn("rn", row_number().over(
+        w.partitionBy("lang").orderBy(col("n_tokens"), col("doc_id"))).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(w.partitionBy("lang")))
+    val bounds = ranked.groupBy(col("lang")).agg(
+      min(when(col("rn") === expr("(cnt * 5 + 99) div 100"), col("n_tokens")))
+        .as("lo"),
+      min(when(col("rn") === expr("(cnt * 95 + 99) div 100"), col("n_tokens")))
+        .as("hi"))
+    toks.join(broadcast(bounds), Seq("lang"))
+      .filter(col("n_tokens") < col("lo") || col("n_tokens") > col("hi"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("lo"), col("hi"))
+      .orderBy("doc_id")
+  }
+
+  private val q79Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+      |              ORDER BY n_tokens, doc_id) AS BIGINT) AS rn,
+      |         count(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM toks),
+      |b AS (
+      |  SELECT lang,
+      |         min(CASE WHEN rn = (cnt * 5 + 99) // 100 THEN n_tokens END) AS lo,
+      |         min(CASE WHEN rn = (cnt * 95 + 99) // 100 THEN n_tokens END) AS hi
+      |  FROM r GROUP BY lang)
+      |SELECT doc_id, lang, n_tokens, lo, hi
+      |FROM toks JOIN b USING (lang)
+      |WHERE n_tokens < lo OR n_tokens > hi
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_shard_pack" -> q63 _,
+    "q79_length_outliers" -> q79 _,
     "q58_decontaminate" -> q58 _,
     "q59_pii_pseudonymize" -> q59 _,
     "q60_stratified_sample" -> q60 _,
@@ -303,6 +357,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "q63_shard_pack" -> q63Sql,
+    "q79_length_outliers" -> q79Sql,
     "q58_decontaminate" -> q58Sql,
     "q59_pii_pseudonymize" -> q59Sql,
     "q60_stratified_sample" -> q60Sql,

@@ -120,6 +120,24 @@ class PlanShapeSpec extends SparkSpec {
       s"all three MIN-CASE windows must reuse ONE user_id exchange:\n$plan")
   }
 
+  test("q79 length outliers: per-lang bounds broadcast back, window sees only the counts frame") {
+    val plan = planString(SparkEntry.queries("q79_length_outliers")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"the one-row-per-lang bounds table must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"no pair blowup:\n$plan")
+  }
+
+  test("q80 dup-by-source: membership rollup adds no corpus shuffle beyond the pair build") {
+    val plan = planString(SparkEntry.queries("q80_dup_by_source")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"),
+      s"membership must stay keyed, never all-pairs:\n$plan")
+    // the per-source rollups are partial aggs on the (doc_id, source)
+    // projection — at most the semi-join + two source exchanges beyond
+    // the shared q25 pair computation.
+    assert(plan.contains("LeftSemi"), s"dup membership is a semi-join:\n$plan")
+  }
+
   test("q75 unigram surprisal: vocabulary broadcasts onto tf, no shuffle join on tok") {
     val plan = planString(SparkEntry.queries("q75_unigram_surprisal")(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"),
