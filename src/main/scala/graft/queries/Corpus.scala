@@ -189,11 +189,10 @@ object Corpus {
       .orderBy("cluster", "doc_id")
   }
 
-  /** The near-dup-pair + transitive-reachability CTE chain (q25's
-    * capped exact-Jaccard pairs → recursive closure), shared by the
-    * q48 and q70 oracles. Defines CTEs `t` (tokens with position)
-    * through `reach` (node n reaches node m). */
-  private val ccCtes =
+  /** The near-dup-pair CTE chain (q25's capped exact-Jaccard pairs),
+    * shared by the q48/q70/q80 oracles. Defines CTEs `t` (tokens with
+    * position) through `edges` (both directions of each pair). */
+  private val pairCtes =
     s"""t AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
       |         generate_subscripts(string_split(text,' '),1) AS ord FROM documents),
@@ -219,7 +218,12 @@ object Corpus {
       |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
       |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2),
       |edges AS (SELECT da AS src, db AS dst FROM prs
-      |          UNION ALL SELECT db, da FROM prs),
+      |          UNION ALL SELECT db, da FROM prs)""".stripMargin
+
+  /** [[pairCtes]] + the transitive-reachability closure, for the
+    * oracles that need clusters (q48/q70), not just pair membership. */
+  private val ccCtes =
+    s"""$pairCtes,
       |reach AS (
       |  SELECT src AS n, src AS m FROM edges
       |  UNION
@@ -291,9 +295,11 @@ object Corpus {
     * (doc_id, source) projection — the corpus text is read only by
     * the shared pair computation. */
   private def q80(s: SparkSession, d: String): DataFrame = {
-    val p = pairs(s, d)
-    val dup = p.select(col("da").as("doc_id"))
-      .union(p.select(col("db").as("doc_id"))).distinct()
+    // Endpoint extraction as one explode over the pairs frame — a
+    // union of two projections would plan the expensive pair-build
+    // subtree twice and depend on exchange reuse to dedupe it.
+    val dup = pairs(s, d)
+      .select(explode(array(col("da"), col("db"))).as("doc_id")).distinct()
     val docs = tbl(s, d, "documents").select(col("doc_id"), col("source"))
     val per = docs.join(dup, Seq("doc_id"), "left_semi")
       .groupBy(col("source")).agg(count(lit(1)).as("n_dup"))
@@ -307,7 +313,7 @@ object Corpus {
   }
 
   private val q80Sql =
-    s"""WITH RECURSIVE $ccCtes,
+    s"""WITH $pairCtes,
       |dup AS (
       |  -- edges holds BOTH directions, so distinct src covers every
       |  -- pair endpoint. Deliberately not `src UNION dst`: inside a

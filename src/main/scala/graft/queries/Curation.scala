@@ -319,7 +319,10 @@ object Curation {
         .as("lo"),
       min(when(col("rn") === expr("(cnt * 95 + 99) div 100"), col("n_tokens")))
         .as("hi"))
-    toks.join(broadcast(bounds), Seq("lang"))
+    // Probe from `ranked`, not a fresh `toks`: the probe then reuses
+    // the one lang exchange (and its scan+tokenize) instead of
+    // re-tokenizing the corpus a second time.
+    ranked.join(broadcast(bounds), Seq("lang"))
       .filter(col("n_tokens") < col("lo") || col("n_tokens") > col("hi"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("lo"), col("hi"))
       .orderBy("doc_id")

@@ -47,20 +47,24 @@ object StreamingFunnel {
   case class FunnelOut(user_id: Long, t_view_ms: Long, t_click_ms: Long,
       t_purchase_ms: Long)
 
-  /** Armed stage timestamps; -1 = unset (a sentinel keeps state three
-    * flat longs instead of nested Options). */
+  /** Armed stage timestamps; Long.MinValue = unset (a sentinel keeps
+    * state three flat longs instead of nested Options, and — unlike a
+    * -1 sentinel — cannot collide with legitimate pre-epoch negative
+    * timestamps; ts_ms == Long.MinValue itself is unrepresentable as
+    * an instant). */
   case class Stages(tView: Long, tClick: Long, tPurchase: Long)
 
-  private val Unset = Stages(-1L, -1L, -1L)
+  private val NoTs = Long.MinValue
+  private val Unset = Stages(NoTs, NoTs, NoTs)
 
   /** One fold step — THE funnel semantics (q78's strict ordering),
     * the only place stage qualification can change. */
   private[streaming] def foldEvent(s: Stages, e: FunnelEvent): Stages =
     e.event_type match {
-      case "view" if s.tView < 0 => s.copy(tView = e.ts_ms)
-      case "click" if s.tClick < 0 && s.tView >= 0 && e.ts_ms > s.tView =>
+      case "view" if s.tView == NoTs => s.copy(tView = e.ts_ms)
+      case "click" if s.tClick == NoTs && s.tView != NoTs && e.ts_ms > s.tView =>
         s.copy(tClick = e.ts_ms)
-      case "purchase" if s.tPurchase < 0 && s.tClick >= 0 && e.ts_ms > s.tClick =>
+      case "purchase" if s.tPurchase == NoTs && s.tClick != NoTs && e.ts_ms > s.tClick =>
         s.copy(tPurchase = e.ts_ms)
       case _ => s
     }
@@ -76,13 +80,13 @@ object StreamingFunnel {
     override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
         timerValues: TimerValues): Iterator[FunnelOut] = {
       val before = if (st.exists()) st.get() else Unset
-      if (before.tPurchase >= 0) return Iterator.empty // matched: frozen
+      if (before.tPurchase != NoTs) return Iterator.empty // matched: frozen
       var s = before
       rows.toVector.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
-        if (s.tPurchase < 0) s = foldEvent(s, e)
+        if (s.tPurchase == NoTs) s = foldEvent(s, e)
       }
       st.update(s)
-      if (s.tPurchase >= 0)
+      if (s.tPurchase != NoTs)
         Iterator.single(FunnelOut(key, s.tView, s.tClick, s.tPurchase))
       else Iterator.empty
     }

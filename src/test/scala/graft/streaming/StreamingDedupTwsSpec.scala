@@ -22,7 +22,7 @@ import scala.jdk.CollectionConverters._
   * polls until the step's input rows are ingested, and stops
   * explicitly.
   */
-class StreamingDedupTwsSpec extends SparkSpec {
+class StreamingDedupTwsSpec extends SparkSpec with StreamingSpecHarness {
 
   private def tmp(p: String): Path = Files.createTempDirectory(p)
   private val schema = new StructType()
@@ -56,27 +56,15 @@ class StreamingDedupTwsSpec extends SparkSpec {
       .option("checkpointLocation", ckpt.toString)
       .start()
     try {
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      def ingested: Long = q.recentProgress.map(_.numInputRows).sum
-      while (ingested < expectInput && System.nanoTime() < deadline)
-        Thread.sleep(100)
-      assert(ingested >= expectInput,
-        s"timed out waiting for $expectInput input rows (got $ingested)")
+      awaitIngest(q, expectInput)
       Thread.sleep(500) // grace: let the emitting batch commit to the sink
     } finally q.stop()
     import scala.jdk.CollectionConverters._
     collected.asScala.toSet
   }
 
-  private def withRocksDb[A](body: => A): A = {
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body
-    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-  }
-
   test("without ttl, tws dedup matches the fmgws operator's verdicts") {
-    withRocksDb {
+    withRocksDB {
       val dir = tmp("twsd1")
       val ckpt = tmp("ckpt1")
       writeDocs(dir, "b1.jsonl", Seq(1L -> base, 3L -> ("unrelated stream " +
@@ -91,7 +79,7 @@ class StreamingDedupTwsSpec extends SparkSpec {
   }
 
   test("keeper state expires after ttl: late duplicate becomes a fresh keeper") {
-    withRocksDb {
+    withRocksDB {
       val dir = tmp("twsd2")
       val ckpt = tmp("ckpt2")
       writeDocs(dir, "b1.jsonl", Seq(1L -> base))
@@ -106,7 +94,7 @@ class StreamingDedupTwsSpec extends SparkSpec {
   }
 
   test("within ttl, duplicates are still flagged") {
-    withRocksDb {
+    withRocksDB {
       val dir = tmp("twsd3")
       val ckpt = tmp("ckpt3")
       writeDocs(dir, "b1.jsonl", Seq(1L -> base))

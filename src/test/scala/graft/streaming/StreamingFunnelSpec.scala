@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path}
+import java.nio.file.Files
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
@@ -25,7 +25,7 @@ import scala.jdk.CollectionConverters._
   *   user 5: staged ACROSS batches (view | click, purchase) — converts,
   *           proving stage state survives batch boundaries
   */
-class StreamingFunnelSpec extends SparkSpec {
+class StreamingFunnelSpec extends SparkSpec with StreamingSpecHarness {
 
   private val t0 = 1700000000000L
   private val m = 60L * 1000
@@ -52,12 +52,6 @@ class StreamingFunnelSpec extends SparkSpec {
     (5L, 502L, t0 + 5 * m, "click"),
     (5L, 503L, t0 + 6 * m, "purchase"))
 
-  private def writeEvents(dir: Path, file: String,
-      es: Seq[(Long, Long, Long, String)]): Unit =
-    Files.write(dir.resolve(file), es.map { case (u, e, ts, et) =>
-      s"""{"user_id": $u, "event_id": $e, "ts_ms": $ts, "event_type": "$et"}"""
-    }.asJava)
-
   /** The q78 chain over an in-memory frame, filtered to converted
     * users — the batch truth the stream must match. */
   private def batchConverted(es: Seq[(Long, Long, Long, String)]): Set[(Long, Long, Long, Long)] = {
@@ -80,15 +74,13 @@ class StreamingFunnelSpec extends SparkSpec {
   }
 
   test("streaming funnel emits exactly the batch q78 converted rows") {
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDB {
       val dir = Files.createTempDirectory("funnel_in")
       val ckpt = Files.createTempDirectory("funnel_ckpt")
       val collected = java.util.concurrent.ConcurrentHashMap
         .newKeySet[(Long, Long, Long, Long)]()
 
-      writeEvents(dir, "b1.jsonl", batch1)
+      writeUserEvents(dir, "b1.jsonl", batch1)
       val stream = spark.readStream.schema(schema).json(dir.toString)
       val q = StreamingFunnel(stream, "1 second")
         .writeStream
@@ -101,27 +93,16 @@ class StreamingFunnelSpec extends SparkSpec {
         .option("checkpointLocation", ckpt.toString)
         .start()
       try {
-        def ingested: Long = q.recentProgress.map(_.numInputRows).sum
-        def awaitIngest(n: Long): Unit = {
-          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-          while (ingested < n && System.nanoTime() < deadline) Thread.sleep(100)
-          assert(ingested >= n, s"timed out waiting for $n input rows (got $ingested)")
-        }
-        def awaitConversions(n: Int): Unit = {
-          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-          while (collected.size < n && System.nanoTime() < deadline) Thread.sleep(100)
-        }
-
-        awaitIngest(batch1.size.toLong)
+        awaitIngest(q, batch1.size.toLong)
         // users 1 and 4 complete within batch 1; user 5 must NOT have
         // emitted yet (funnel half-armed across the batch boundary).
-        awaitConversions(2)
+        awaitCond()(collected.size >= 2)
         assert(!collected.asScala.exists(_._1 == 5L),
           s"user 5's funnel is still open, got $collected")
 
-        writeEvents(dir, "b2.jsonl", batch2)
-        awaitIngest((batch1.size + batch2.size).toLong)
-        awaitConversions(3)
+        writeUserEvents(dir, "b2.jsonl", batch2)
+        awaitIngest(q, (batch1.size + batch2.size).toLong)
+        awaitCond()(collected.size >= 3)
       } finally q.stop()
 
       val expected = batchConverted(batch1 ++ batch2)
@@ -130,8 +111,6 @@ class StreamingFunnelSpec extends SparkSpec {
           s"got      ${collected.asScala.toSet}\nexpected $expected")
       assert(!collected.asScala.exists(t => t._1 == 2L || t._1 == 3L),
         "users without a qualifying click→purchase chain must not emit")
-    } finally {
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
 }

@@ -25,7 +25,7 @@ import scala.jdk.CollectionConverters._
   * every open session's gap so the timers fire; the sentinel's own
   * session stays open and must NOT be emitted.
   */
-class StreamingSessionizeSpec extends SparkSpec {
+class StreamingSessionizeSpec extends SparkSpec with StreamingSpecHarness {
 
   private val GapMs = 30L * 60 * 1000
   private val t0 = 1700000000000L
@@ -43,12 +43,6 @@ class StreamingSessionizeSpec extends SparkSpec {
     (1L, 104L, t0 + 50 * 60 * 1000, "view"))
   private val sentinel = Seq(
     (999L, 901L, t0 + 10L * 60 * 60 * 1000, "view"))
-
-  private def writeEvents(dir: Path, file: String,
-      es: Seq[(Long, Long, Long, String)]): Unit =
-    Files.write(dir.resolve(file), es.map { case (u, e, ts, et) =>
-      s"""{"user_id": $u, "event_id": $e, "ts_ms": $ts, "event_type": "$et"}"""
-    }.asJava)
 
   /** The q56 chain (lag → break → running-sum → per-session agg) over
     * an in-memory frame — the batch truth the stream must match. */
@@ -71,15 +65,13 @@ class StreamingSessionizeSpec extends SparkSpec {
   }
 
   test("streaming sessions match batch q56 boundaries via both close paths") {
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDB {
       val dir = Files.createTempDirectory("sess_in")
       val ckpt = Files.createTempDirectory("sess_ckpt")
       val collected = java.util.concurrent.ConcurrentHashMap
         .newKeySet[(Long, Long, Long, Long, Long, Long)]()
 
-      writeEvents(dir, "b1.jsonl", batch1)
+      writeUserEvents(dir, "b1.jsonl", batch1)
       val stream = spark.readStream.schema(schema).json(dir.toString)
       val q = StreamingSessionize(stream, GapMs, "1 second")
         .writeStream
@@ -93,20 +85,9 @@ class StreamingSessionizeSpec extends SparkSpec {
         .option("checkpointLocation", ckpt.toString)
         .start()
       try {
-        def ingested: Long = q.recentProgress.map(_.numInputRows).sum
-        def awaitIngest(n: Long): Unit = {
-          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-          while (ingested < n && System.nanoTime() < deadline) Thread.sleep(100)
-          assert(ingested >= n, s"timed out waiting for $n input rows (got $ingested)")
-        }
-        def awaitSessions(n: Int): Unit = {
-          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-          while (collected.size < n && System.nanoTime() < deadline) Thread.sleep(100)
-        }
-
-        awaitIngest(batch1.size.toLong)
-        writeEvents(dir, "b2.jsonl", batch2)
-        awaitIngest((batch1.size + batch2.size).toLong)
+        awaitIngest(q, batch1.size.toLong)
+        writeUserEvents(dir, "b2.jsonl", batch2)
+        awaitIngest(q, (batch1.size + batch2.size).toLong)
         // user 1's first session closes on ARRIVAL of the t0+45m event.
         // batch2 also advances the watermark to t0+50m−1s, PAST user
         // 2's t0+35m timer — so user 2's session may close here too
@@ -114,7 +95,7 @@ class StreamingSessionizeSpec extends SparkSpec {
         // t0+80m) must NOT appear before the sentinel.
         val u1s1 = (1L, 1L, t0, t0 + 10 * 60 * 1000, 2L, 0L)
         val u2s1 = (2L, 1L, t0 + 5 * 60 * 1000, t0 + 5 * 60 * 1000, 1L, 1L)
-        awaitSessions(1)
+        awaitCond()(collected.size >= 1)
         assert(collected.asScala.contains(u1s1),
           s"arrival-close should emit user 1 session 1, got $collected")
         assert(collected.asScala.toSet.subsetOf(Set(u1s1, u2s1)),
@@ -122,8 +103,8 @@ class StreamingSessionizeSpec extends SparkSpec {
 
         // Sentinel pushes the watermark past every open gap → timers
         // fire for user 1 session 2 and user 2 session 1.
-        writeEvents(dir, "b3.jsonl", sentinel)
-        awaitSessions(3)
+        writeUserEvents(dir, "b3.jsonl", sentinel)
+        awaitCond()(collected.size >= 3)
       } finally q.stop()
 
       val expected = batchSessions(batch1 ++ batch2)
@@ -132,8 +113,6 @@ class StreamingSessionizeSpec extends SparkSpec {
           s"got      ${collected.asScala.toSet}\nexpected $expected")
       assert(!collected.asScala.exists(_._1 == 999L),
         "the sentinel's still-open session must not be emitted")
-    } finally {
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
 
@@ -145,9 +124,7 @@ class StreamingSessionizeSpec extends SparkSpec {
     * session (every gap ≤ 30 min) — an assignment the default can no
     * longer produce, but the exact variant must. */
   test("exact variant matches batch q56 under cross-batch out-of-order events") {
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDB {
       val b1 = Seq(
         (1L, 101L, t0, "view"),
         (1L, 102L, t0 + 50 * 60 * 1000, "purchase"))
@@ -160,7 +137,7 @@ class StreamingSessionizeSpec extends SparkSpec {
       val collected = java.util.concurrent.ConcurrentHashMap
         .newKeySet[(Long, Long, Long, Long, Long, Long)]()
 
-      writeEvents(dir, "b1.jsonl", b1)
+      writeUserEvents(dir, "b1.jsonl", b1)
       val stream = spark.readStream.schema(schema).json(dir.toString)
       val q = StreamingSessionize(stream, GapMs, "40 minutes", exact = true)
         .writeStream
@@ -174,22 +151,15 @@ class StreamingSessionizeSpec extends SparkSpec {
         .option("checkpointLocation", ckpt.toString)
         .start()
       try {
-        def ingested: Long = q.recentProgress.map(_.numInputRows).sum
-        def awaitIngest(n: Long): Unit = {
-          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-          while (ingested < n && System.nanoTime() < deadline) Thread.sleep(100)
-          assert(ingested >= n, s"timed out waiting for $n input rows (got $ingested)")
-        }
-        awaitIngest(b1.size.toLong)
+        awaitIngest(q, b1.size.toLong)
         // nothing may close yet: the only provable prefix is {t0}
         // (wm = t0+10m), whose session stays open pending t0+20m
         assert(collected.isEmpty,
           s"exact variant must not close before the watermark proves it, got $collected")
-        writeEvents(dir, "b2.jsonl", b2)
-        awaitIngest((b1.size + b2.size).toLong)
-        writeEvents(dir, "b3.jsonl", sentinelB)
-        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-        while (collected.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+        writeUserEvents(dir, "b2.jsonl", b2)
+        awaitIngest(q, (b1.size + b2.size).toLong)
+        writeUserEvents(dir, "b3.jsonl", sentinelB)
+        awaitCond()(!collected.isEmpty)
       } finally q.stop()
 
       val expected = batchSessions(b1 ++ b2)
@@ -198,8 +168,6 @@ class StreamingSessionizeSpec extends SparkSpec {
           s"got      ${collected.asScala.toSet}\nexpected $expected")
       // the fixture really is the divergence case: one stitched session
       assert(expected == Set((1L, 1L, t0, t0 + 50 * 60 * 1000, 3L, 1L)))
-    } finally {
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
 }
