@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, VectorFunctions}
+import graft.functions.{BloomFunctions, DotProduct, VectorFunctions}
 
 /** Library entry point for `spark.sql.extensions`: installs graft's
   * native Catalyst functions into every session built with
@@ -22,9 +22,22 @@ import graft.functions.{DotProduct, VectorFunctions}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       VectorFunctions.dotProductBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",
+        "bloom_agg"),
+      BloomFunctions.bloomAggBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
+        "bloom_might_contain"),
+      BloomFunctions.mightContainBuilder))
+  }
 }

@@ -47,6 +47,30 @@ object MinHashLsh {
         element_at(t, i + 1),
         element_at(t, i + 2))))
 
+  /** The 16-minhash fold over a hashed-shingle array — the ONE
+    * definition of the minhash recurrence, shared by
+    * [[bandSignatures]] (which slices the accumulator into band
+    * strings in its FINISH lambda) and [[minhashArray]] (which
+    * returns it raw for signature-agreement estimation, q88). */
+  private def mhFold(hashes: Column, finish: Column => Column): Column =
+    aggregate(
+      hashes,
+      array_repeat(lit(P), NumHashes),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(NumHashes - 1)),
+        (a, i) => least(a,
+          (h * (lit(2L) * i + 1L) + lit(7919L) * i + 13L) % P)),
+      finish)
+
+  /** (doc_id, text) → (doc_id, mh: array<bigint>) — the raw 16-minhash
+    * vector per document (same row-local, shuffle-free contract as
+    * [[bandSignatures]]; <3-token docs are skipped identically). */
+  def minhashArray(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        mhFold(hashAll(shingleArray(col("t"))), acc => acc).as("mh"))
+
   /** (doc_id, text) → (doc_id, band, sig) rows, one per band, all
     * computed row-locally (docs with fewer than 3 tokens have no
     * shingles and are skipped, matching the batch shingle builder).
@@ -88,12 +112,8 @@ object MinHashLsh {
         rowsPerBand.cast("int").as("__r"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
-        posexplode(aggregate(
+        posexplode(mhFold(
           hashAll(shingleArray(col("t"))),
-          array_repeat(lit(P), NumHashes),
-          (acc, h) => zip_with(acc, sequence(lit(0), lit(NumHashes - 1)),
-            (a, i) => least(a,
-              (h * (lit(2L) * i + 1L) + lit(7919L) * i + 13L) % P)),
           acc => transform(
             sequence(lit(0), (lit(NumHashes) / col("__r")).cast("int") - 1),
             b => concat_ws("-", transform(

@@ -348,7 +348,118 @@ object Curation {
       |WHERE n_tokens < lo OR n_tokens > hi
       |ORDER BY doc_id""".stripMargin
 
+  /** q84: bloom-gated exact decontamination — the long-n-gram
+    * (8-token) exact-match gate, the Dolma/SlimPajama contamination
+    * test that complements q58's 15%-overlap ratio: here ONE shared
+    * 8-gram with the eval split (`source = 'src0'`) flags the doc, and
+    * the output counts the matched grams.
+    *
+    * Mechanism (the 100 TB shape): eval 8-gram hashes fold into a
+    * fixed-size bloom filter (Spark's own `BloomFilterAggregate`,
+    * registered as `bloom_agg` — shuffle volume O(bits), not O(rows)),
+    * delivered to every corpus task through a scalar subquery; the
+    * codegen'd `bloom_might_contain` probe then discards ~all of the
+    * corpus's gram stream row-locally BEFORE the exact-confirm join
+    * against the (broadcast-size) eval hash set removes the bloom's
+    * false positives. The corpus side is scanned once and never
+    * shuffled; only bloom survivors reach the join. Correctness does
+    * not depend on the bloom (no-FN sketch + exact confirm), which is
+    * why a DuckDB oracle with no bloom at all verifies it hash-exact.
+    * SQL-phrased because Catalyst requires the bloom argument to be a
+    * scalar subquery or constant ([[graft.functions.BloomFunctions]]).
+    */
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    graft.functions.BloomFunctions.register(s)
+    // Gram hash = Horner fold (mod 2^31-1, base 1000003) over the 8
+    // PER-TOKEN portable hashes — each token is md5'd once, not once
+    // per gram it appears in (8-gram md5s over concatenated strings
+    // measured 10.5s at sf0.1; this is the same stream at ~1/8th the
+    // hash work). Exact integer arithmetic, replayed by the oracle.
+    val t = split(col("text"), " ")
+    tbl(s, d, "documents")
+      .filter(size(t) >= 8)
+      .select(col("doc_id"), col("source"),
+        transform(t, tok => phash(tok)).as("hh"))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("hh")) - 7),
+          i => aggregate(slice(col("hh"), i, lit(8)), lit(0L),
+            (acc, h) => (acc * 1000003L + h) % 2147483647L)))).as("h"))
+      .createOrReplaceTempView("q84_grams")
+    s.sql("""
+      WITH ev AS (SELECT DISTINCT h FROM q84_grams WHERE source = 'src0'),
+      bloom AS (SELECT bloom_agg(h, 1000000L, 8388608L) AS bf FROM ev),
+      cand AS (
+        SELECT doc_id, h FROM q84_grams
+        WHERE source <> 'src0'
+          AND bloom_might_contain((SELECT bf FROM bloom), h))
+      SELECT doc_id, count(*) AS n_hits
+      FROM cand JOIN ev USING (h)
+      GROUP BY doc_id ORDER BY doc_id""")
+  }
+
+  /** DuckDB twin of q84's Horner gram hash: lead(h, j) OVER w for
+    * j = 0..7 folded left with the same base/modulus. */
+  private val q84HornerSql: String =
+    (0 to 7).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+      s"((($acc) * 1000003 + lead(h, $j) OVER w) % 2147483647)"
+    }
+
+  private val q84Sql =
+    s"""WITH t AS (
+      |  SELECT doc_id, source, ${phashSql("unnest(string_split(text,' '))")} AS h,
+      |         generate_subscripts(string_split(text,' '),1) AS ord FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, source,
+      |         $q84HornerSql AS h
+      |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      |  QUALIFY lead(h,7) OVER w IS NOT NULL),
+      |ev AS (SELECT DISTINCT h FROM g WHERE source = 'src0')
+      |SELECT doc_id, count(*) AS n_hits
+      |FROM g JOIN ev USING (h)
+      |WHERE source <> 'src0'
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q87: domain cap — per source, keep the top-8 documents by q33
+    * quality (ties → lower doc_id): the MassiveText/Gopher "cap every
+    * domain's contribution" curation rule, here as quality-ranked
+    * keeps rather than random ones so the cap and the quality gate
+    * compose in one pass.
+    *
+    * Scale shape: the quality score aggregates per-doc (map-side
+    * combinable), the doc_id-keyed join back to (doc_id, source) rides
+    * the same hash keys, and the per-source ranking window touches the
+    * O(docs) scored rows, never text. Skewed sources (one giant
+    * domain) are the known hazard: the window's per-source sort is the
+    * q79 shape, and AQE's skew handling applies to the exchange ahead
+    * of it. */
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality").desc, col("doc_id").asc)
+    tbl(s, d, "documents").select(col("doc_id"), col("source"))
+      .join(TextAnalysis.q33Frame(tbl(s, d, "documents"))
+        .select(col("doc_id"), col("quality")), Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 8)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("quality"))
+      .orderBy("source", "rk")
+  }
+
+  private val q87Sql =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      |${TextAnalysis.qualitySqlCtes},
+      |r AS (
+      |  SELECT d.source, d.doc_id, q.quality,
+      |         row_number() OVER (PARTITION BY d.source
+      |                            ORDER BY q.quality DESC, d.doc_id ASC) AS rk
+      |  FROM documents d JOIN qual q USING (doc_id))
+      |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, quality
+      |FROM r WHERE rk <= 8 ORDER BY source, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_bloom_decontaminate" -> q84 _,
+    "q87_domain_cap" -> q87 _,
     "q63_shard_pack" -> q63 _,
     "q79_length_outliers" -> q79 _,
     "q58_decontaminate" -> q58 _,
@@ -359,6 +470,8 @@ object Curation {
     "q74_shuffle_shard" -> q74 _)
 
   val oracles: Map[String, String] = Map(
+    "q84_bloom_decontaminate" -> q84Sql,
+    "q87_domain_cap" -> q87Sql,
     "q63_shard_pack" -> q63Sql,
     "q79_length_outliers" -> q79Sql,
     "q58_decontaminate" -> q58Sql,

@@ -90,10 +90,14 @@ object Dedup {
     * the q25 computation, shared with q48's cluster resolution.
     * Injectable corpus + cap frame (1 row, `cap: bigint`) so the
     * blowup guard is unit-testable at any cap. */
-  private[queries] def nearDupPairsFrom(sh: DataFrame, capDf: DataFrame): DataFrame = {
-    // Cap is applied BEFORE set sizes are computed, so jaccard stays a
-    // true Jaccard over the capped shingle universe (intersections and
-    // unions count the same shingle set).
+  /** Shared pair-overlap core for the exact set-similarity family
+    * (q25 Jaccard, q83 containment): capped shingle self-join →
+    * per-pair intersection size `i` with both set sizes (na, nb)
+    * attached. The cap is applied BEFORE set sizes are computed, so
+    * every similarity derived from (i, na, nb) is a true measure over
+    * the capped shingle universe (intersections and sizes count the
+    * same shingle set). */
+  private[queries] def pairOverlaps(sh: DataFrame, capDf: DataFrame): DataFrame = {
     val capped = withScalar(sh, capDf)
       .withColumn("df",
         count(lit(1)).over(Window.partitionBy("shingle")))
@@ -108,11 +112,14 @@ object Dedup {
     inter
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+  }
+
+  private[queries] def nearDupPairsFrom(sh: DataFrame, capDf: DataFrame): DataFrame =
+    pairOverlaps(sh, capDf)
       .select(col("da"), col("db"),
         (col("i").cast("double") /
           (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
-  }
 
   private[queries] def nearDupPairs(s: SparkSession, d: String): DataFrame =
     nearDupPairsFrom(shingles(s, d), hotShingleCapDocs(s, d))
@@ -165,7 +172,12 @@ object Dedup {
     * streaming-dedup scheme, so batch and stream provably agree); the
     * only shuffle in the whole query is candidate generation itself,
     * the (band, sig) equality self-join. */
-  private def q28(s: SparkSession, d: String): DataFrame = {
+  private def q28(s: SparkSession, d: String): DataFrame =
+    lshCandidates(s, d).orderBy("da", "db")
+
+  /** q28's distinct LSH candidate pairs (da < db), unsorted — shared
+    * with q88's estimate-vs-exact audit. */
+  private[queries] def lshCandidates(s: SparkSession, d: String): DataFrame = {
     // Input spread is GATED (T.spread): only a single-split test scan
     // is repartitioned for parallelism; a real-scale scan with many
     // splits passes through untouched — no corpus-wide shuffle. Then
@@ -190,11 +202,14 @@ object Dedup {
     a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") &&
         col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
-      .orderBy("da", "db")
   }
 
-  private val q28Sql =
-    s"""WITH t AS (
+  /** The q28 signature chain as a CTE fragment (t → sh → h → mh → bw
+    * → sigs → cand) — ONE SQL home for the minhash recurrence and the
+    * corpus-derived banding, shared by the q28 and q88 oracles the way
+    * [[graft.functions.MinHashLsh]] is shared on the Spark side. */
+  private val lshCandidateCtes =
+    s"""t AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
       |         generate_subscripts(string_split(text,' '),1) AS ord FROM documents),
       |sh AS (
@@ -210,11 +225,15 @@ object Dedup {
       |  SELECT CASE WHEN count(*) > 8000 THEN 8 ELSE 4 END AS r FROM documents),
       |sigs AS (
       |  SELECT doc_id, i//r AS band, string_agg(mh::VARCHAR, '-' ORDER BY i) AS sig
-      |  FROM mh, bw GROUP BY doc_id, i//r)
-      |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-      |FROM sigs a JOIN sigs b
-      |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-      |ORDER BY da, db""".stripMargin
+      |  FROM mh, bw GROUP BY doc_id, i//r),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM sigs a JOIN sigs b
+      |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val q28Sql =
+    s"""WITH $lshCandidateCtes
+      |SELECT da, db FROM cand ORDER BY da, db""".stripMargin
 
   /** q29: SimHash near-dup — 32-bit term-frequency-weighted SimHash,
     * pairs at Hamming distance ≤ 3. The token hash is computed once
@@ -286,13 +305,137 @@ object Dedup {
       |WHERE bit_count(xor(a.sim, b.sim)) <= 3
       |ORDER BY da, db""".stripMargin
 
+  /** q83: containment near-dup — pairs where the SMALLER-side overlap
+    * |A∩B|/min-side ≥ 0.9 (both directional containments emitted).
+    * Catches what symmetric Jaccard (q25) structurally cannot: a short
+    * document embedded verbatim in a much longer one has containment
+    * ≈ 1 but Jaccard ≈ |A|/|B| → 0 — the quote/boilerplate-inclusion
+    * case every production dedup pass (SlimPajama, RefinedWeb) gates
+    * on separately. Same capped pair-overlap core as q25
+    * ([[pairOverlaps]]) — shingle-equality join, never all-pairs —
+    * so the scale posture is identical. */
+  private def q83(s: SparkSession, d: String): DataFrame =
+    pairOverlaps(shingles(s, d), hotShingleCapDocs(s, d))
+      .select(col("da"), col("db"),
+        round(col("i").cast("double") / col("na").cast("double"), 6).as("c_ab"),
+        round(col("i").cast("double") / col("nb").cast("double"), 6).as("c_ba"),
+        (col("i").cast("double") /
+          least(col("na"), col("nb")).cast("double")).as("cmax"))
+      .filter(col("cmax") >= 0.9)
+      .select(col("da"), col("db"), col("c_ab"), col("c_ba"))
+      .orderBy("da", "db")
+
+  private val q83Sql =
+    s"""WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS ord FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS shingle
+      |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+      |cap AS (
+      |  SELECT greatest($HotShingleDfFloor,
+      |                  CAST(floor(count(*) * $HotShingleDfFraction) AS BIGINT)) AS cap
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |shc AS (
+      |  SELECT doc_id, shingle FROM sh, cap
+      |  QUALIFY count(*) OVER (PARTITION BY shingle) <= cap),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da, db,
+      |       round(CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE), 6) AS c_ab,
+      |       round(CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE), 6) AS c_ba
+      |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |WHERE CAST(i AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.9
+      |ORDER BY da, db""".stripMargin
+
+  /** q88: sketch-accuracy audit — for every q28 LSH candidate pair,
+    * the MinHash ESTIMATE of Jaccard (fraction of the 16 minhash
+    * positions that agree — k/16 is exact in binary, so no rounding
+    * skew) next to the exact capped 3-gram Jaccard and the absolute
+    * error. This is the approximation-quality table a pipeline owner
+    * reads before trusting q28 at a new threshold — and because the
+    * whole minhash chain is deterministic integer arithmetic, even the
+    * ESTIMATE is oracle-verified bit-exact (the q49 KMV discipline
+    * applied to MinHash).
+    *
+    * Scale shape: candidates come from the shared banded join
+    * (Σ bucket², never n²); the raw 16-minhash vectors attach by two
+    * doc_id-keyed joins; the exact-Jaccard side reuses the capped
+    * pair-overlap core, LEFT-joined so a candidate with no capped
+    * shingle overlap (possible once the df cap bites at real scale)
+    * still reports, with jaccard 0. */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    val mh = MinHashLsh.minhashArray(
+      spread(tbl(s, d, "documents"), col("doc_id")))
+    val est = lshCandidates(s, d)
+      .join(mh.select(col("doc_id").as("da"), col("mh").as("mha")), Seq("da"))
+      .join(mh.select(col("doc_id").as("db"), col("mh").as("mhb")), Seq("db"))
+      .select(col("da"), col("db"),
+        (aggregate(
+          zip_with(col("mha"), col("mhb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") /
+          MinHashLsh.NumHashes).as("est"))
+    val exact = pairOverlaps(shingles(s, d), hotShingleCapDocs(s, d))
+      .select(col("da"), col("db"),
+        (col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double")).as("jac"))
+    est.join(exact, Seq("da", "db"), "left")
+      .select(col("da"), col("db"),
+        round(col("est"), 6).as("est_jaccard"),
+        round(coalesce(col("jac"), lit(0.0)), 6).as("jaccard"),
+        round(abs(col("est") - coalesce(col("jac"), lit(0.0))), 6).as("abs_err"))
+      .orderBy("da", "db")
+  }
+
+  private val q88Sql =
+    s"""WITH $lshCandidateCtes,
+      |cap AS (
+      |  SELECT greatest($HotShingleDfFloor,
+      |                  CAST(floor(count(*) * $HotShingleDfFraction) AS BIGINT)) AS cap
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |shc AS (
+      |  SELECT doc_id, shingle FROM sh, cap
+      |  QUALIFY count(*) OVER (PARTITION BY shingle) <= cap),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT da, db,
+      |         CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jac
+      |  FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id),
+      |est AS (
+      |  SELECT c.da, c.db,
+      |         sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 16.0 AS est
+      |  FROM cand c
+      |  JOIN mh a ON a.doc_id = c.da
+      |  JOIN mh b ON b.doc_id = c.db AND b.i = a.i
+      |  GROUP BY 1, 2)
+      |SELECT e.da, e.db,
+      |       round(e.est, 6) AS est_jaccard,
+      |       round(coalesce(j.jac, 0), 6) AS jaccard,
+      |       round(abs(e.est - coalesce(j.jac, 0)), 6) AS abs_err
+      |FROM est e LEFT JOIN j ON e.da = j.da AND e.db = j.db
+      |ORDER BY e.da, e.db""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_minhash_textdedup" -> q25 _,
     "q28_minhash_lsh" -> q28 _,
-    "q29_simhash_neardup" -> q29 _)
+    "q29_simhash_neardup" -> q29 _,
+    "q83_containment_dedup" -> q83 _,
+    "q88_minhash_estimate" -> q88 _)
 
   val oracles: Map[String, String] = Map(
     "q25_minhash_textdedup" -> q25Sql,
     "q28_minhash_lsh" -> q28Sql,
-    "q29_simhash_neardup" -> q29Sql)
+    "q29_simhash_neardup" -> q29Sql,
+    "q83_containment_dedup" -> q83Sql,
+    "q88_minhash_estimate" -> q88Sql)
 }

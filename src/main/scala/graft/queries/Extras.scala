@@ -74,6 +74,52 @@ object Extras {
       |         / (CAST(n AS DOUBLE) - 1.0)) AS stddev
       |FROM a ORDER BY event_type""".stripMargin
 
+  /** q82: z-score anomaly gate — events whose value sits ≥ 2.5 sample
+    * standard deviations from their event_type's mean (the monitoring
+    * outlier flag; complements q79's quantile gate with the parametric
+    * version). Statistics reuse q38's exact decimal-moment shape
+    * (identical sums ⇒ identical IEEE mean/std/z in both engines),
+    * then broadcast back onto the stream: per-type stats are O(types)
+    * rows, so the 100 TB side is scanned once and never shuffled —
+    * flagging is a row-local comparison against 5 broadcast rows. */
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    val e = tbl(s, d, "events")
+    val stats = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,4)")).as("sv"),
+        sum(col("value").cast("decimal(12,4)") *
+          col("value").cast("decimal(12,4)")).as("svv"))
+      .select(col("event_type"),
+        (col("sv").cast("double") / col("n").cast("double")).as("mean"),
+        sqrt((col("svv").cast("double") - col("sv").cast("double") *
+          col("sv").cast("double") / col("n").cast("double")) /
+          (col("n").cast("double") - 1.0)).as("std"))
+    e.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      .filter(abs(col("z")) >= 2.5)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 6).as("z"))
+      .orderBy("event_id")
+  }
+
+  private val q82Sql =
+    """WITH a AS (
+      |  SELECT event_type, count(*) AS n,
+      |         sum(CAST(value AS DECIMAL(12,4))) AS sv,
+      |         sum(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4))) AS svv
+      |  FROM events GROUP BY 1),
+      |s AS (
+      |  SELECT event_type,
+      |         CAST(CAST(sv AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |         sqrt((CAST(CAST(svv AS VARCHAR) AS DOUBLE) - CAST(CAST(sv AS VARCHAR) AS DOUBLE)
+      |            * CAST(CAST(sv AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+      |           / (CAST(n AS DOUBLE) - 1.0)) AS std
+      |  FROM a)
+      |SELECT event_id, event_type, value, round((value - mean) / std, 6) AS z
+      |FROM events JOIN s USING (event_type)
+      |WHERE abs((value - mean) / std) >= 2.5
+      |ORDER BY event_id""".stripMargin
+
   /** q39: exact median per group by explicit middle-row selection
     * (engine-native percentile_cont interpolation orders differ;
     * picking the middle one/two rows and averaging is deterministic). */
@@ -581,6 +627,7 @@ object Extras {
     "q50_scalar_fns" -> q50 _,
     "q37_outer_join_family" -> q37 _,
     "q38_stats_moments" -> q38 _,
+    "q82_zscore_anomaly" -> q82 _,
     "q39_median_exact" -> q39 _,
     "q40_pivot" -> q40 _,
     "q41_cube" -> q41 _,
@@ -600,6 +647,7 @@ object Extras {
     "q50_scalar_fns" -> q50Sql,
     "q37_outer_join_family" -> q37Sql,
     "q38_stats_moments" -> q38Sql,
+    "q82_zscore_anomaly" -> q82Sql,
     "q39_median_exact" -> q39Sql,
     "q40_pivot" -> q40Sql,
     "q41_cube" -> q41Sql,

@@ -474,7 +474,45 @@ object Similarity {
       |           / CAST(n_dims AS DOUBLE), 6) AS mse
       |FROM t ORDER BY vec_id""".stripMargin
 
+  /** q86: per-label centroids — the supervised sibling of q31's
+    * learned IVF centroids: mean embedding per class label, emitted
+    * as (label, dim) rows (exact decimal per-dim sums ÷ count, so the
+    * reduction is order-independent and DuckDB-replayable — the same
+    * discipline as the Lloyd's chain). The class-prototype table a
+    * retrieval/classification pipeline ships after embedding a corpus.
+    *
+    * Scale shape: posexplode fans each vector into 64 (label, dim)
+    * terms that partial-aggregate map-side down to labels×64 rows —
+    * shuffle volume is independent of corpus size, like q61. */
+  private def q86(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(dec(col("x").cast("double"))).as("sx"))
+      .select(col("label"), col("dim"), col("n_vecs"),
+        round(col("sx").cast("double") / col("n_vecs").cast("double"), 6)
+          .as("centroid"))
+      .orderBy("label", "dim")
+
+  private val q86Sql =
+    """WITH e AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |         generate_subscripts(embedding, 1) - 1 AS dim,
+      |         unnest(embedding) AS x
+      |  FROM embeddings),
+      |a AS (
+      |  SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n_vecs,
+      |         sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS sx
+      |  FROM e GROUP BY 1, 2)
+      |SELECT label, dim, n_vecs,
+      |       round(CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6)
+      |         AS centroid
+      |FROM a ORDER BY label, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_label_centroids" -> q86 _,
     "q26_cosine_topk" -> q26 _,
     "q30_embed_neardup" -> q30 _,
     "q31_ann_ivf" -> q31 _,
@@ -484,6 +522,7 @@ object Similarity {
     "q76_embed_quantize" -> q76 _)
 
   val oracles: Map[String, String] = Map(
+    "q86_label_centroids" -> q86Sql,
     "q26_cosine_topk" -> q26Sql,
     "q30_embed_neardup" -> q30Sql,
     "q31_ann_ivf" -> q31Sql,

@@ -297,7 +297,47 @@ object TextAnalysis {
       |       CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_same_fp
       |FROM fp ORDER BY doc_id""".stripMargin
 
+  /** q85: normalization audit — the text-cleaning pass every corpus
+    * goes through before hashing/dedup (lowercase → strip
+    * non-alphanumerics → collapse runs of spaces → trim), emitted as
+    * an audit row per document: canonical hash (the key an exact-dedup
+    * pass would group on — phash, so DuckDB replays it bit-exact),
+    * sizes before/after, and the removed-character ratio. Entirely
+    * row-local string work — no join, no shuffle beyond the output
+    * sort; at 100 TB this is the map-only pass that feeds q24-style
+    * canonical-key dedup. Both regexes are POSIX-class-free literal
+    * character classes, so Java and DuckDB RE2 semantics agree. */
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    tbl(s, d, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(canon).cast("long").as("n_chars_canon"),
+        size(split(canon, " ")).cast("long").as("n_toks_canon"),
+        phash(canon).as("canon_hash"),
+        round(lit(1.0) - length(canon).cast("double") /
+          length(col("text")).cast("double"), 6).as("removed_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val q85Sql =
+    s"""WITH n AS (
+      |  SELECT doc_id, text,
+      |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |                             ' +', ' ', 'g')) AS canon
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(text) AS BIGINT) AS n_chars_raw,
+      |       CAST(len(canon) AS BIGINT) AS n_chars_canon,
+      |       CAST(len(string_split(canon, ' ')) AS BIGINT) AS n_toks_canon,
+      |       ${phashSql("canon")} AS canon_hash,
+      |       round(1.0 - CAST(len(canon) AS DOUBLE) / CAST(len(text) AS DOUBLE), 6)
+      |         AS removed_ratio
+      |FROM n ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_normalize_audit" -> q85 _,
     "q27_text_stats" -> q27 _,
     "q32_langid" -> q32 _,
     "q33_quality_score" -> q33 _,
@@ -307,6 +347,7 @@ object TextAnalysis {
     "q73_source_mixture" -> q73 _)
 
   val oracles: Map[String, String] = Map(
+    "q85_normalize_audit" -> q85Sql,
     "q27_text_stats" -> q27Sql,
     "q32_langid" -> q32Sql,
     "q33_quality_score" -> q33Sql,

@@ -203,7 +203,58 @@ object TimeSeries {
       |  FROM events)
       |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
+  /** q81: TWAP — time-weighted average value per (event_type, day),
+    * each observation weighted by its holding time (milliseconds until
+    * the next event of the same type that day; the day's last
+    * observation carries no weight — the standard left-closed TWAP
+    * convention). The market-data summary VWAP (q18) doesn't cover:
+    * irregularly-spaced observations weighted by duration, not size.
+    *
+    * Scale shape: the lead() window and the groupBy share the same
+    * (event_type, day) keys, so the whole query costs ONE exchange —
+    * the window's sort-partition is already the aggregation's
+    * distribution. Weighted terms go through the decimal cast so the
+    * partial-agg fold is order-independent; each term is bounded by
+    * max_value · 86.4e6 ms ≈ 4e10 < decimal(18,6)'s 1e12 capacity,
+    * and the SUM widens to decimal(28,6) so it cannot overflow. */
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    val e = tbl(s, d, "events")
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("ts_ms", ms(col("ts")))
+    val w = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+    e.withColumn("gap_ms", lead(col("ts_ms"), 1).over(w) - col("ts_ms"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value") * col("gap_ms"))).as("vw"),
+        sum(col("gap_ms")).as("w"))
+      .filter(col("w") > 0)
+      .select(col("event_type"), ms(col("day")).as("day_ms"),
+        col("n_events"),
+        round(col("vw").cast("double") / col("w").cast("double"), 6)
+          .as("twap"))
+      .orderBy("event_type", "day_ms")
+  }
+
+  private val q81Sql =
+    """WITH g AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, value,
+      |         lead(epoch_ms(ts)) OVER (PARTITION BY event_type, date_trunc('day', ts)
+      |                                  ORDER BY epoch_ms(ts) ASC, event_id ASC)
+      |           - epoch_ms(ts) AS gap_ms
+      |  FROM events),
+      |a AS (
+      |  SELECT event_type, day, count(*) AS n_events,
+      |         sum(CAST(value * gap_ms AS DECIMAL(18,6))) AS vw,
+      |         sum(gap_ms) AS w
+      |  FROM g GROUP BY 1, 2)
+      |SELECT event_type, epoch_ms(CAST(day AS TIMESTAMP)) AS day_ms, n_events,
+      |       round(CAST(CAST(vw AS VARCHAR) AS DOUBLE) / CAST(w AS DOUBLE), 6) AS twap
+      |FROM a WHERE w > 0 ORDER BY event_type, day_ms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_twap" -> q81 _,
     "q17_tumbling_ohlcv" -> q17 _,
     "q18_vwap" -> q18 _,
     "q19_sliding_avg" -> q19 _,
@@ -214,6 +265,7 @@ object TimeSeries {
     "q24_dedup_exact" -> q24 _)
 
   val oracles: Map[String, String] = Map(
+    "q81_twap" -> q81Sql,
     "q17_tumbling_ohlcv" -> q17Sql,
     "q18_vwap" -> q18Sql,
     "q19_sliding_avg" -> q19Sql,

@@ -152,4 +152,84 @@ class PlanShapeSpec extends SparkSpec {
     assert("Generate explode".r.findAllIn(plan).size <= 1,
       s"exactly one explode pipeline over the corpus:\n$plan")
   }
+
+  test("q81 twap: window and aggregation share ONE (event_type, day) exchange") {
+    val plan = planString(SparkEntry.queries("q81_twap")(spark, sfDir))
+    assert(!plan.contains("Join"), s"twap is a window + groupBy, no join:\n$plan")
+    assert("hashpartitioning\\(event_type".r.findAllIn(plan).size == 1,
+      s"the lead() window's partitioning must satisfy the groupBy — one exchange:\n$plan")
+  }
+
+  test("q82 zscore: per-type stats broadcast back, events never shuffle for the join") {
+    val plan = planString(SparkEntry.queries("q82_zscore_anomaly")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"the O(types) stats frame must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"no pair blowup:\n$plan")
+  }
+
+  test("q83 containment: keyed shingle join only — no cartesian, no BNLJ") {
+    val plan = planString(SparkEntry.queries("q83_containment_dedup")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"containment pairs come from the shingle-equality join:\n$plan")
+  }
+
+  test("q84 bloom decontaminate: bloom builds as an object agg, confirm join broadcasts") {
+    val plan = planString(SparkEntry.queries("q84_bloom_decontaminate")(spark, sfDir))
+    assert(plan.contains("bloom_filter_agg"),
+      s"the eval grams must fold into Spark's bloom aggregate:\n$plan")
+    assert(plan.contains("might_contain"),
+      s"the corpus gram stream must be pre-gated by the bloom probe:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"the exact-confirm join against eval hashes must broadcast:\n$plan")
+    // The corpus side must never shuffle on the gram hash. Eval-side
+    // exchanges on h (its distinct + the bloom build) are fine — that
+    // side is benchmark-sized by design. Identify corpus-rooted
+    // exchanges by their subtree's pushed-down `source <> 'src0'`
+    // scan filter; they may only be the post-confirm doc_id partial
+    // agg and the parity sort — both over the matched sliver.
+    val df = SparkEntry.queries("q84_bloom_decontaminate")(spark, sfDir)
+    val exec = executedPlan(df)
+    val corpusExchanges = allPlanNodes(exec).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+          if allPlanNodes(e).exists(_.toString.contains("NOT (source")) =>
+        e.outputPartitioning.toString
+    }
+    assert(corpusExchanges.nonEmpty, s"corpus subtree not found in:\n$plan")
+    assert(corpusExchanges.forall(p =>
+        p.contains("doc_id") || p.contains("rangepartitioning")),
+      s"corpus-rooted exchanges must be post-confirm only, got: $corpusExchanges\n$plan")
+  }
+
+  test("q85 normalize audit: row-local string work, no join, no hash shuffle") {
+    val plan = planString(SparkEntry.queries("q85_normalize_audit")(spark, sfDir))
+    assert(!plan.contains("Join"), s"normalization is per-document:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"only the oracle-parity sort may exchange:\n$plan")
+  }
+
+  test("q86 label centroids: one partial-agg exchange of labels×dims rows, no join") {
+    val plan = planString(SparkEntry.queries("q86_label_centroids")(spark, sfDir))
+    assert(!plan.contains("Join"), s"centroids are a pure aggregation:\n$plan")
+    assert("hashpartitioning\\(label".r.findAllIn(plan).size == 1,
+      s"exactly the (label, dim) partial-agg exchange:\n$plan")
+    assert(plan.contains("partial_"),
+      s"per-dim sums must combine map-side:\n$plan")
+  }
+
+  test("q87 domain cap: ranking window sees scored rows off one source exchange") {
+    val plan = planString(SparkEntry.queries("q87_domain_cap")(spark, sfDir))
+    assert("hashpartitioning\\(source".r.findAllIn(plan).size == 1,
+      s"one per-source ranking exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"no pair blowup:\n$plan")
+  }
+
+  test("q88 minhash estimate: candidate-keyed joins only, no cartesian") {
+    val plan = planString(SparkEntry.queries("q88_minhash_estimate")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"estimate attaches by doc_id-keyed joins:\n$plan")
+  }
 }
