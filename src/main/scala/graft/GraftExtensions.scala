@@ -30,13 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(
-        "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         "bloom_agg"),
       BloomFunctions.bloomAggBuilder))
     ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(
-        "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "bloom_might_contain"),
       BloomFunctions.mightContainBuilder))
   }

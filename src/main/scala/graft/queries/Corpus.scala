@@ -193,26 +193,8 @@ object Corpus {
     * shared by the q48/q70/q80 oracles. Defines CTEs `t` (tokens with
     * position) through `edges` (both directions of each pair). */
   private val pairCtes =
-    s"""t AS (
-      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
-      |         generate_subscripts(string_split(text,' '),1) AS ord FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id,
-      |         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS shingle
-      |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
-      |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
-      |cap AS (
-      |  SELECT greatest(${Dedup.HotShingleDfFloor},
-      |                  CAST(floor(count(*) * ${Dedup.HotShingleDfFraction}) AS BIGINT)) AS cap
-      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-      |shc AS (
-      |  SELECT doc_id, shingle FROM sh, cap
-      |  QUALIFY count(*) OVER (PARTITION BY shingle) <= cap),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
-      |inter AS (
-      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-      |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
+    s"""${Dedup.tShCtes},
+      |${Dedup.cappedFromShCtes},
       |prs AS (
       |  SELECT da, db FROM inter
       |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id

@@ -86,10 +86,6 @@ object Dedup {
       .filter(size(split(col("text"), " ")) >= 3)
       .agg(capFromCount(count(lit(1))).as("cap"))
 
-  /** Near-duplicate pairs (da < db) with exact 3-gram Jaccard ≥ 0.2 —
-    * the q25 computation, shared with q48's cluster resolution.
-    * Injectable corpus + cap frame (1 row, `cap: bigint`) so the
-    * blowup guard is unit-testable at any cap. */
   /** Shared pair-overlap core for the exact set-similarity family
     * (q25 Jaccard, q83 containment): capped shingle self-join →
     * per-pair intersection size `i` with both set sizes (na, nb)
@@ -114,6 +110,10 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
   }
 
+  /** Near-duplicate pairs (da < db) with exact 3-gram Jaccard ≥ 0.2 —
+    * the q25 computation, shared with q48's cluster resolution.
+    * Injectable corpus + cap frame (1 row, `cap: bigint`) so the
+    * blowup guard is unit-testable at any cap. */
   private[queries] def nearDupPairsFrom(sh: DataFrame, capDf: DataFrame): DataFrame =
     pairOverlaps(sh, capDf)
       .select(col("da"), col("db"),
@@ -130,16 +130,26 @@ object Dedup {
   private def q25(s: SparkSession, d: String): DataFrame =
     nearDupPairs(s, d).orderBy("da", "db")
 
-  private val q25Sql =
-    s"""WITH t AS (
+  /** CTE fragment: the per-doc distinct 3-gram shingle frame
+    * (t → sh) — the oracle twin of [[shingles]]. ONE SQL home, shared
+    * by the capped-overlap chain below and [[lshCandidateCtes]]. */
+  private[queries] val tShCtes =
+    """t AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
       |         generate_subscripts(string_split(text,' '),1) AS ord FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id,
       |         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS shingle
       |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
-      |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
-      |cap AS (
+      |  QUALIFY lead(tok,2) OVER w IS NOT NULL)""".stripMargin
+
+  /** CTE fragment: the capped pair-overlap chain (cap → shc → sizes →
+    * inter) over an upstream `sh` — the oracle twin of
+    * [[pairOverlaps]]. Composes after [[tShCtes]] (q25/q83, Corpus's
+    * pair/CC oracles) or after [[lshCandidateCtes]] (q88), which
+    * define the same `t`/`sh`. */
+  private[queries] val cappedFromShCtes =
+    s"""cap AS (
       |  SELECT greatest($HotShingleDfFloor,
       |                  CAST(floor(count(*) * $HotShingleDfFraction) AS BIGINT)) AS cap
       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
@@ -150,7 +160,11 @@ object Dedup {
       |inter AS (
       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
       |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val q25Sql =
+    s"""WITH $tShCtes,
+      |$cappedFromShCtes
       |SELECT da, db,
       |       CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
       |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
@@ -209,14 +223,7 @@ object Dedup {
     * corpus-derived banding, shared by the q28 and q88 oracles the way
     * [[graft.functions.MinHashLsh]] is shared on the Spark side. */
   private val lshCandidateCtes =
-    s"""t AS (
-      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
-      |         generate_subscripts(string_split(text,' '),1) AS ord FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id,
-      |         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS shingle
-      |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
-      |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+    s"""$tShCtes,
       |h AS (SELECT doc_id, ${phashSql("shingle")} AS h FROM sh),
       |mh AS (
       |  SELECT doc_id, i, min((h*(2*i+1) + 7919*i + 13) % 4294967311) AS mh
@@ -317,8 +324,12 @@ object Dedup {
   private def q83(s: SparkSession, d: String): DataFrame =
     pairOverlaps(shingles(s, d), hotShingleCapDocs(s, d))
       .select(col("da"), col("db"),
-        round(col("i").cast("double") / col("na").cast("double"), 6).as("c_ab"),
-        round(col("i").cast("double") / col("nb").cast("double"), 6).as("c_ba"),
+        // Raw IEEE divisions, like q25's jaccard: both engines divide
+        // the same exactly-agreed integers, so the bits agree — a
+        // round(·, 6) here would ADD a failure mode (decimal half-tie
+        // values round differently across engines; q86 hit one).
+        (col("i").cast("double") / col("na").cast("double")).as("c_ab"),
+        (col("i").cast("double") / col("nb").cast("double")).as("c_ba"),
         (col("i").cast("double") /
           least(col("na"), col("nb")).cast("double")).as("cmax"))
       .filter(col("cmax") >= 0.9)
@@ -326,29 +337,11 @@ object Dedup {
       .orderBy("da", "db")
 
   private val q83Sql =
-    s"""WITH t AS (
-      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
-      |         generate_subscripts(string_split(text,' '),1) AS ord FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id,
-      |         tok || ' ' || lead(tok) OVER w || ' ' || lead(tok,2) OVER w AS shingle
-      |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
-      |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
-      |cap AS (
-      |  SELECT greatest($HotShingleDfFloor,
-      |                  CAST(floor(count(*) * $HotShingleDfFraction) AS BIGINT)) AS cap
-      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-      |shc AS (
-      |  SELECT doc_id, shingle FROM sh, cap
-      |  QUALIFY count(*) OVER (PARTITION BY shingle) <= cap),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
-      |inter AS (
-      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-      |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
+    s"""WITH $tShCtes,
+      |$cappedFromShCtes
       |SELECT da, db,
-      |       round(CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE), 6) AS c_ab,
-      |       round(CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE), 6) AS c_ba
+      |       CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) AS c_ab,
+      |       CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE) AS c_ba
       |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
       |WHERE CAST(i AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.9
       |ORDER BY da, db""".stripMargin
@@ -385,28 +378,20 @@ object Dedup {
       .select(col("da"), col("db"),
         (col("i").cast("double") /
           (col("na") + col("nb") - col("i")).cast("double")).as("jac"))
+    // Raw doubles throughout (see q83's rounding note): est is k/16 —
+    // exactly representable — and jaccard/abs_err are identical IEEE
+    // expression trees in both engines.
     est.join(exact, Seq("da", "db"), "left")
       .select(col("da"), col("db"),
-        round(col("est"), 6).as("est_jaccard"),
-        round(coalesce(col("jac"), lit(0.0)), 6).as("jaccard"),
-        round(abs(col("est") - coalesce(col("jac"), lit(0.0))), 6).as("abs_err"))
+        col("est").as("est_jaccard"),
+        coalesce(col("jac"), lit(0.0)).as("jaccard"),
+        abs(col("est") - coalesce(col("jac"), lit(0.0))).as("abs_err"))
       .orderBy("da", "db")
   }
 
   private val q88Sql =
     s"""WITH $lshCandidateCtes,
-      |cap AS (
-      |  SELECT greatest($HotShingleDfFloor,
-      |                  CAST(floor(count(*) * $HotShingleDfFraction) AS BIGINT)) AS cap
-      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-      |shc AS (
-      |  SELECT doc_id, shingle FROM sh, cap
-      |  QUALIFY count(*) OVER (PARTITION BY shingle) <= cap),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
-      |inter AS (
-      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-      |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
+      |$cappedFromShCtes,
       |j AS (
       |  SELECT da, db,
       |         CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jac
@@ -419,9 +404,9 @@ object Dedup {
       |  JOIN mh b ON b.doc_id = c.db AND b.i = a.i
       |  GROUP BY 1, 2)
       |SELECT e.da, e.db,
-      |       round(e.est, 6) AS est_jaccard,
-      |       round(coalesce(j.jac, 0), 6) AS jaccard,
-      |       round(abs(e.est - coalesce(j.jac, 0)), 6) AS abs_err
+      |       e.est AS est_jaccard,
+      |       coalesce(j.jac, 0) AS jaccard,
+      |       abs(e.est - coalesce(j.jac, 0)) AS abs_err
       |FROM est e LEFT JOIN j ON e.da = j.da AND e.db = j.db
       |ORDER BY e.da, e.db""".stripMargin
 

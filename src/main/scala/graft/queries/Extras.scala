@@ -97,8 +97,10 @@ object Extras {
     e.join(broadcast(stats), Seq("event_type"))
       .withColumn("z", (col("value") - col("mean")) / col("std"))
       .filter(abs(col("z")) >= 2.5)
-      .select(col("event_id"), col("event_type"), col("value"),
-        round(col("z"), 6).as("z"))
+      // z is emitted raw: both engines evaluate the identical IEEE
+      // tree over exactly-agreed decimal moments, and round(·, 6)
+      // would only add the cross-engine half-tie hazard q86 hit.
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
       .orderBy("event_id")
   }
 
@@ -115,7 +117,7 @@ object Extras {
       |            * CAST(CAST(sv AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
       |           / (CAST(n AS DOUBLE) - 1.0)) AS std
       |  FROM a)
-      |SELECT event_id, event_type, value, round((value - mean) / std, 6) AS z
+      |SELECT event_id, event_type, value, (value - mean) / std AS z
       |FROM events JOIN s USING (event_type)
       |WHERE abs((value - mean) / std) >= 2.5
       |ORDER BY event_id""".stripMargin

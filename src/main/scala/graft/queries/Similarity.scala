@@ -492,7 +492,12 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"),
         sum(dec(col("x").cast("double"))).as("sx"))
       .select(col("label"), col("dim"), col("n_vecs"),
-        round(col("sx").cast("double") / col("n_vecs").cast("double"), 6)
+        // Raw IEEE division of exactly-agreed values (q38's pattern).
+        // round(·, 6) here FAILED at sf0.1: decimal sums over a group
+        // whose count divides a power of ten can land exactly on a
+        // half-tie at the 7th decimal, and Spark/DuckDB round such
+        // doubles in opposite directions (0.003213 vs 0.003214).
+        (col("sx").cast("double") / col("n_vecs").cast("double"))
           .as("centroid"))
       .orderBy("label", "dim")
 
@@ -507,8 +512,7 @@ object Similarity {
       |         sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS sx
       |  FROM e GROUP BY 1, 2)
       |SELECT label, dim, n_vecs,
-      |       round(CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n_vecs AS DOUBLE), 6)
-      |         AS centroid
+      |       CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS centroid
       |FROM a ORDER BY label, dim""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -232,8 +232,10 @@ object TimeSeries {
       .filter(col("w") > 0)
       .select(col("event_type"), ms(col("day")).as("day_ms"),
         col("n_events"),
-        round(col("vw").cast("double") / col("w").cast("double"), 6)
-          .as("twap"))
+        // Raw IEEE division of exactly-agreed values — round(·, 6) on
+        // a rational quotient risks the cross-engine decimal half-tie
+        // q86 hit at sf0.1 (T.scala's ratio convention).
+        (col("vw").cast("double") / col("w").cast("double")).as("twap"))
       .orderBy("event_type", "day_ms")
   }
 
@@ -250,7 +252,7 @@ object TimeSeries {
       |         sum(gap_ms) AS w
       |  FROM g GROUP BY 1, 2)
       |SELECT event_type, epoch_ms(CAST(day AS TIMESTAMP)) AS day_ms, n_events,
-      |       round(CAST(CAST(vw AS VARCHAR) AS DOUBLE) / CAST(w AS DOUBLE), 6) AS twap
+      |       CAST(CAST(vw AS VARCHAR) AS DOUBLE) / CAST(w AS DOUBLE) AS twap
       |FROM a WHERE w > 0 ORDER BY event_type, day_ms""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
