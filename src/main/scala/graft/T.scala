@@ -18,7 +18,19 @@ import org.apache.spark.sql.functions._
   *    Naive double sums would differ in low bits between Spark's
   *    partial-aggregation order and DuckDB's sequential order.
   *  - Ratios/averages are computed as a single IEEE double division of
-  *    two exactly-agreed values (decimal-sum cast to double / count).
+  *    two exactly-agreed values (decimal-sum cast to double / count)
+  *    and emitted RAW. Never round(·, 6) a rational ratio: IEEE makes
+  *    +,-,*,/,sqrt correctly-rounded, so identical trees agree
+  *    bit-for-bit, while rounding ADDS a failure mode — a ratio whose
+  *    exact value sits on a decimal half-tie (common when counts
+  *    divide powers of ten) rounds in opposite directions across
+  *    engines (q86 at sf0.1: 0.003213 vs 0.003214). The converse rule:
+  *    log/exp/pow are NOT correctly-rounded (JVM vs libm differ by
+  *    1 ulp), so any tree containing them MUST round — per-term
+  *    round+decimal-sum when the result is aggregated (q75/q77 terms),
+  *    round(·, 6) on output otherwise (q46 tfidf, cosines). A log
+  *    factor never lands exactly on a rounding boundary, so the
+  *    half-tie hazard does not apply there.
   *  - Every query ends with a total ORDER BY on non-null key columns
   *    (mirrored in the oracle SQL) so row order agrees even if the
   *    driver's compare is order-sensitive. Sort keys are never nullable

@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
 object Corpus {
 
   /** q46: TF-IDF — top-3 terms per document by tf·idf. idf uses
-    * ln((N+1)/(df+1)) on exactly-agreed integer inputs; the double
-    * log/division tree is identical in both engines and the final
-    * score is rounded to 6dp. */
+    * ln((N+1)/(df+1)) on exactly-agreed integer inputs, rounded 6dp —
+    * the round is REQUIRED here: IEEE mandates correctly-rounded
+    * division/sqrt but NOT log, and JVM Math.log vs DuckDB libm differ
+    * by 1 ulp on some inputs (83 diffs at sf0.01 when emitted raw).
+    * The half-tie hazard that bans rounding on rational ratios (q86)
+    * does not apply: a log factor never lands exactly on a decimal
+    * boundary. */
   private def q46(s: SparkSession, d: String): DataFrame = {
     val toks = tbl(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -86,7 +90,7 @@ object Corpus {
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"), sum(col("term")).as("s"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("s").cast("double") / col("n_tokens").cast("double"), 6)
+        (col("s").cast("double") / col("n_tokens").cast("double"))
           .as("mean_surprisal"))
       .orderBy("doc_id")
   }
@@ -102,7 +106,7 @@ object Corpus {
       |         ${decSql("round(CAST(tf AS DOUBLE) * -ln(CAST(cnt AS DOUBLE) / nn), 6)")} AS term
       |  FROM tf JOIN vocab USING (tok) CROSS JOIN n)
       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-      |       round(CAST(sum(term) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6)
+      |       CAST(sum(term) AS DOUBLE) / CAST(sum(tf) AS DOUBLE)
       |         AS mean_surprisal
       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -124,6 +128,9 @@ object Corpus {
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_distinct"),
         sum(col("term")).as("s"))
+      // round REQUIRED: the ln(n) term is not correctly-rounded
+      // cross-engine (see q46's note); the decimal-summed s/n part
+      // alone would be exact, the log is not.
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         round(log(col("n_tokens").cast("double")) -
           col("s").cast("double") / col("n_tokens").cast("double"), 6)
@@ -289,7 +296,7 @@ object Corpus {
       .join(per, Seq("source"), "left")
       .na.fill(0L, Seq("n_dup"))
       .select(col("source"), col("n_docs"), col("n_dup"),
-        round(col("n_dup").cast("double") / col("n_docs").cast("double"), 6)
+        (col("n_dup").cast("double") / col("n_docs").cast("double"))
           .as("dup_ratio"))
       .orderBy("source")
   }
@@ -307,8 +314,8 @@ object Corpus {
       |  FROM documents JOIN dup USING (doc_id) GROUP BY source),
       |tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
       |SELECT tot.source, n_docs, coalesce(n_dup, 0) AS n_dup,
-      |       round(CAST(coalesce(n_dup, 0) AS DOUBLE)
-      |           / CAST(n_docs AS DOUBLE), 6) AS dup_ratio
+      |       CAST(coalesce(n_dup, 0) AS DOUBLE)
+      |           / CAST(n_docs AS DOUBLE) AS dup_ratio
       |FROM tot LEFT JOIN per USING (source) ORDER BY source""".stripMargin
 
   /** q49: KMV distinct-count sketch (custom typed Aggregator UDAF) —
@@ -322,11 +329,11 @@ object Corpus {
     val sh = Dedup.shinglesBy(s, d, "lang") // shared shingle definition
     sh.select(col("lang"), phash(col("shingle")).as("h"))
       .groupBy(col("lang"))
-      .agg(round(kmv(col("h")), 6).as("est_distinct"),
+      .agg(kmv(col("h")).as("est_distinct"),
         countDistinct(col("h")).as("exact_distinct"))
       .withColumn("rel_err",
-        round((col("est_distinct") - col("exact_distinct").cast("double")) /
-          col("exact_distinct").cast("double"), 6))
+        (col("est_distinct") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double"))
       .orderBy("lang")
   }
 
@@ -350,11 +357,11 @@ object Corpus {
       |  FROM r GROUP BY lang)
       |SELECT lang,
       |       CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
-      |            ELSE round(63.0 * 4294967296.0 / CAST(h64 AS DOUBLE), 6) END AS est_distinct,
+      |            ELSE 63.0 * 4294967296.0 / CAST(h64 AS DOUBLE) END AS est_distinct,
       |       nd AS exact_distinct,
-      |       round((CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
-      |              ELSE round(63.0 * 4294967296.0 / CAST(h64 AS DOUBLE), 6) END
-      |              - CAST(nd AS DOUBLE)) / CAST(nd AS DOUBLE), 6) AS rel_err
+      |       (CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+      |             ELSE 63.0 * 4294967296.0 / CAST(h64 AS DOUBLE) END
+      |        - CAST(nd AS DOUBLE)) / CAST(nd AS DOUBLE) AS rel_err
       |FROM agg ORDER BY lang""".stripMargin
 
   /** q62: corpus n-gram frequency table — the classic LM-corpus

@@ -36,8 +36,10 @@ object Curation {
       .join(broadcast(evalSh), Seq("shingle"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
+      // Raw IEEE ratio (see the q86 half-tie note in Similarity): the
+      // gate compares the identical raw double in both engines.
       .withColumn("overlap_ratio",
-        round(col("n_overlap").cast("double") / col("n_shingles").cast("double"), 6))
+        col("n_overlap").cast("double") / col("n_shingles").cast("double"))
       .filter(col("overlap_ratio") >= 0.15)
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"), col("overlap_ratio"))
       .orderBy("doc_id")
@@ -59,9 +61,9 @@ object Curation {
       |  LEFT JOIN eval_sh es USING (shingle)
       |  GROUP BY 1)
       |SELECT doc_id, n_shingles, n_overlap,
-      |       round(CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS overlap_ratio
+      |       CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS overlap_ratio
       |FROM o
-      |WHERE round(CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) >= 0.15
+      |WHERE CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.15
       |ORDER BY doc_id""".stripMargin
 
   /** q59: PII-safe event log — the privacy pass a behavioral corpus

@@ -93,9 +93,9 @@ object Pipeline {
       |  FROM t GROUP BY doc_id),
       |quality AS (
       |  SELECT doc_id, n_tokens,
-      |         round(0.4 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+      |         0.4 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
       |             + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
-      |             + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) AS quality
+      |             + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality
       |  FROM st),
       |q AS (SELECT * FROM quality WHERE quality >= 0.6),
       |fp AS (SELECT doc_id, sum((${phashSql("tok")} * ord) % 1000000007) % 1000000007 AS fp

@@ -444,15 +444,19 @@ object Similarity {
       .filter(col("mx") > 0.0)
       .withColumn("step", col("mx") / 127.0)
     def err(x: Column) = x - round(x / col("step")) * col("step")
+    // scale_step and mse are emitted RAW (identical IEEE trees in
+    // both engines; the q86 half-tie note) — the remaining round()
+    // calls here are the int8 quantization semantics itself, not
+    // display rounding.
     v.select(col("vec_id"), size(col("v")).cast("long").as("n_dims"),
-        round(col("step"), 6).as("scale_step"),
+        col("step").as("scale_step"),
         array_join(transform(col("v"),
           x => round(x / col("step")).cast("long").cast("string")), ",").as("codes"),
         aggregate(col("v"), lit(0L),
           (acc, x) => acc + round(err(x) * err(x) * 1000000.0).cast("long")).as("micro"))
       .select(col("vec_id"), col("n_dims"), col("scale_step"), col("codes"),
-        round(col("micro").cast("double") / 1000000.0 /
-          col("n_dims").cast("double"), 6).as("mse"))
+        (col("micro").cast("double") / 1000000.0 /
+          col("n_dims").cast("double")).as("mse"))
       .orderBy("vec_id")
   }
 
@@ -469,9 +473,9 @@ object Similarity {
       |                         * (x - round(x / step) * step)
       |                         * 1000000.0) AS BIGINT))) AS micro
       |  FROM q)
-      |SELECT vec_id, n_dims, round(step, 6) AS scale_step, codes,
-      |       round(CAST(micro AS DOUBLE) / 1000000.0
-      |           / CAST(n_dims AS DOUBLE), 6) AS mse
+      |SELECT vec_id, n_dims, step AS scale_step, codes,
+      |       CAST(micro AS DOUBLE) / 1000000.0
+      |           / CAST(n_dims AS DOUBLE) AS mse
       |FROM t ORDER BY vec_id""".stripMargin
 
   /** q86: per-label centroids — the supervised sibling of q31's

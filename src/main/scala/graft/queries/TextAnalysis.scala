@@ -80,7 +80,7 @@ object TextAnalysis {
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   /** q33: document quality scoring — type/token ratio, length prior,
-    * stopword ratio, composed into one rounded score. The double
+    * stopword ratio, composed into one score. The double
     * expression tree is written identically in the oracle so every op
     * is the same IEEE op. */
   private[queries] def q33(s: SparkSession, d: String): DataFrame =
@@ -102,10 +102,14 @@ object TextAnalysis {
         (col("n_distinct").cast("double") / col("n_tokens").cast("double")).as("ttr"),
         (col("tok_chars").cast("double") / col("n_tokens").cast("double")).as("avg_tok_len"),
         (col("n_stop").cast("double") / col("n_tokens").cast("double")).as("stop_ratio"))
+      // Raw IEEE arithmetic throughout — every input is an
+      // exactly-agreed integer ratio, so both engines produce the
+      // identical double; round(·, 6) would only add the cross-engine
+      // decimal half-tie hazard q86 hit at sf0.1.
       .withColumn("quality",
-        round(lit(0.4) * col("ttr") +
+        lit(0.4) * col("ttr") +
           lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
-          lit(0.3) * (lit(1.0) - col("stop_ratio")), 6))
+          lit(0.3) * (lit(1.0) - col("stop_ratio")))
       .orderBy("doc_id")
   }
 
@@ -127,9 +131,9 @@ object TextAnalysis {
       |         CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
       |         CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_tok_len,
       |         CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
-      |         round(0.4 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+      |         0.4 * (CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE))
       |             + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
-      |             + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) AS quality
+      |             + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality
       |  FROM st33)""".stripMargin
 
   private val q33Sql =
@@ -142,8 +146,8 @@ object TextAnalysis {
     * repetition filters a curation pipeline gates on): per document,
     * the most-frequent-token fraction (ties → lexicographically
     * smallest token) and the duplicate-bigram fraction, plus the
-    * composed `repetitive` gate on the ROUNDED values (so the boolean
-    * is bit-deterministic cross-engine). Every signal is a function of
+    * composed `repetitive` gate (both engines compare the identical
+    * raw doubles, so the boolean is bit-deterministic cross-engine). Every signal is a function of
     * ONE document's token array, so the whole query is row-local array
     * HOFs over a single scan — no explode, no join, no per-doc window;
     * the only exchange is the output-parity sort. Docs with < 2 tokens
@@ -176,10 +180,14 @@ object TextAnalysis {
       .withColumn("bg", bigrams)
       .select(col("doc_id"), col("n_tokens"),
         col("m")("best").as("top_tok"),
-        round(col("m")("best_run").cast("double") / col("n_tokens").cast("double"), 6)
+        // Raw integer-ratio divisions (identical IEEE trees in both
+        // engines — see the q86 half-tie note in Similarity); the
+        // `repetitive` gate compares the same raw doubles both sides,
+        // so the boolean still agrees by construction.
+        (col("m")("best_run").cast("double") / col("n_tokens").cast("double"))
           .as("top_token_frac"),
-        round(lit(1.0) - size(array_distinct(col("bg"))).cast("double") /
-          size(col("bg")).cast("double"), 6).as("dup_bigram_frac"))
+        (lit(1.0) - size(array_distinct(col("bg"))).cast("double") /
+          size(col("bg")).cast("double")).as("dup_bigram_frac"))
       .withColumn("repetitive",
         col("top_token_frac") > 0.2 || col("dup_bigram_frac") > 0.5)
       .orderBy("doc_id")
@@ -202,10 +210,10 @@ object TextAnalysis {
       |              count(DISTINCT bg) AS n_distinct_bigrams FROM bg GROUP BY 1),
       |f AS (
       |  SELECT nt.doc_id, nt.n_tokens, top_tok,
-      |         round(CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+      |         CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)
       |           AS top_token_frac,
-      |         round(1.0 - CAST(n_distinct_bigrams AS DOUBLE)
-      |                   / CAST(n_bigrams AS DOUBLE), 6) AS dup_bigram_frac
+      |         1.0 - CAST(n_distinct_bigrams AS DOUBLE)
+      |                   / CAST(n_bigrams AS DOUBLE) AS dup_bigram_frac
       |  FROM nt JOIN top USING (doc_id) JOIN bs USING (doc_id))
       |SELECT doc_id, n_tokens, top_tok, top_token_frac, dup_bigram_frac,
       |       (top_token_frac > 0.2 OR dup_bigram_frac > 0.5) AS repetitive
@@ -218,7 +226,7 @@ object TextAnalysis {
     * window runs over at most that many rows — a single-partition
     * window over the AGGREGATED table, not the corpus (the corpus-side
     * work is one partial-aggregatable groupBy). Shares are one IEEE
-    * division of exactly-agreed BIGINTs, rounded 6dp. */
+    * division of exactly-agreed BIGINTs (raw — see the q86 half-tie note). */
   private def q73(s: SparkSession, d: String): DataFrame = {
     val g = tbl(s, d, "documents")
       .select(col("source"), col("lang"),
@@ -227,10 +235,10 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
     val w = Window.partitionBy()
     g.select(col("source"), col("lang"), col("n_docs"), col("total_tokens"),
-        round(col("n_docs").cast("double") /
-          sum(col("n_docs")).over(w).cast("double"), 6).as("doc_share"),
-        round(col("total_tokens").cast("double") /
-          sum(col("total_tokens")).over(w).cast("double"), 6).as("token_share"))
+        (col("n_docs").cast("double") /
+          sum(col("n_docs")).over(w).cast("double")).as("doc_share"),
+        (col("total_tokens").cast("double") /
+          sum(col("total_tokens")).over(w).cast("double")).as("token_share"))
       .orderBy("source", "lang")
   }
 
@@ -240,10 +248,10 @@ object TextAnalysis {
       |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
       |  FROM documents GROUP BY 1, 2)
       |SELECT source, lang, n_docs, total_tokens,
-      |       round(CAST(n_docs AS DOUBLE)
-      |           / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS doc_share,
-      |       round(CAST(total_tokens AS DOUBLE)
-      |           / CAST(sum(total_tokens) OVER () AS DOUBLE), 6) AS token_share
+      |       CAST(n_docs AS DOUBLE)
+      |           / CAST(sum(n_docs) OVER () AS DOUBLE) AS doc_share,
+      |       CAST(total_tokens AS DOUBLE)
+      |           / CAST(sum(total_tokens) OVER () AS DOUBLE) AS token_share
       |FROM g ORDER BY source, lang""".stripMargin
 
   /** q34: token counting — whitespace tokens, regex word/digit tokens,
@@ -316,8 +324,8 @@ object TextAnalysis {
         length(canon).cast("long").as("n_chars_canon"),
         size(split(canon, " ")).cast("long").as("n_toks_canon"),
         phash(canon).as("canon_hash"),
-        round(lit(1.0) - length(canon).cast("double") /
-          length(col("text")).cast("double"), 6).as("removed_ratio"))
+        (lit(1.0) - length(canon).cast("double") /
+          length(col("text")).cast("double")).as("removed_ratio"))
       .orderBy("doc_id")
   }
 
@@ -332,7 +340,7 @@ object TextAnalysis {
       |       CAST(len(canon) AS BIGINT) AS n_chars_canon,
       |       CAST(len(string_split(canon, ' ')) AS BIGINT) AS n_toks_canon,
       |       ${phashSql("canon")} AS canon_hash,
-      |       round(1.0 - CAST(len(canon) AS DOUBLE) / CAST(len(text) AS DOUBLE), 6)
+      |       1.0 - CAST(len(canon) AS DOUBLE) / CAST(len(text) AS DOUBLE)
       |         AS removed_ratio
       |FROM n ORDER BY doc_id""".stripMargin
 
