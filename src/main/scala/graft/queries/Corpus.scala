@@ -397,7 +397,49 @@ object Corpus {
       |SELECT ngram, count(*) AS n FROM ng
       |GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""".stripMargin
 
+  /** q90: vocabulary coverage curve — the tokenizer-design table: at
+    * vocabulary sizes k ∈ {10, 100, 1000}, the share of the corpus's
+    * total token mass covered by the top-k most frequent tokens
+    * (count desc, token asc tie-break). Raw division per the T.scala
+    * rule; the cumulative mass is an exact decimal-free BIGINT sum.
+    *
+    * Scale shape: the corpus-sized work is the (tok) partial agg; the
+    * ranking window runs over the AGGREGATED vocabulary — like q73's
+    * mixture table, orders of magnitude smaller than the corpus (a
+    * 100M-type vocab would swap this exact rank for q61-style count
+    * binning; the three k cut-offs only need bin boundaries). */
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    val vocab = tbl(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val wRank = Window.orderBy(col("cnt").desc, col("tok").asc)
+    withScalar(vocab, vocab.agg(sum(col("cnt")).as("total")))
+      .withColumn("k", row_number().over(wRank).cast("long"))
+      .withColumn("cum", sum(col("cnt")).over(
+        wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("k").isin(10L, 100L, 1000L))
+      .select(col("k"),
+        (col("cum").cast("double") / col("total").cast("double")).as("coverage"))
+      .orderBy("k")
+  }
+
+  private val q90Sql =
+    """WITH v AS (
+      |  SELECT tok, count(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY 1),
+      |tot AS (SELECT sum(cnt) AS total FROM v),
+      |r AS (
+      |  SELECT row_number() OVER (ORDER BY cnt DESC, tok ASC) AS k,
+      |         sum(cnt) OVER (ORDER BY cnt DESC, tok ASC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM v)
+      |SELECT CAST(k AS BIGINT) AS k,
+      |       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+      |FROM r, tot WHERE k IN (10, 100, 1000) ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_vocab_coverage" -> q90 _,
     "q62_ngram_counts" -> q62 _,
     "q46_tfidf" -> q46 _,
     "q47_hash_sample" -> q47 _,
@@ -410,6 +452,7 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "q62_ngram_counts" -> q62Sql,
+    "q90_vocab_coverage" -> q90Sql,
     "q46_tfidf" -> q46Sql,
     "q47_hash_sample" -> q47Sql,
     "q48_dedup_clusters" -> q48Sql,

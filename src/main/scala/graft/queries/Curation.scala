@@ -370,24 +370,20 @@ object Curation {
     * SQL-phrased because Catalyst requires the bloom argument to be a
     * scalar subquery or constant ([[graft.functions.BloomFunctions]]).
     */
+  /** Distinct 8-gram Horner hashes per document: (doc_id, source, h).
+    * The scheme (and the reason for the two-select shape) lives in
+    * [[graft.functions.GramHash]] — also the s17 streaming gate's
+    * scheme, so batch and stream provably agree. */
+  private def gram8(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.GramHash.tokenHashes(split(col("text"), " ")).as("hh"))
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.GramHash.gram8FromTokenHashes(col("hh"))).as("h"))
+
   private def q84(s: SparkSession, d: String): DataFrame = {
     graft.functions.BloomFunctions.register(s)
-    // Gram hash = Horner fold (mod 2^31-1, base 1000003) over the 8
-    // PER-TOKEN portable hashes — each token is md5'd once, not once
-    // per gram it appears in (8-gram md5s over concatenated strings
-    // measured 10.5s at sf0.1; this is the same stream at ~1/8th the
-    // hash work). Exact integer arithmetic, replayed by the oracle.
-    val t = split(col("text"), " ")
-    tbl(s, d, "documents")
-      .filter(size(t) >= 8)
-      .select(col("doc_id"), col("source"),
-        transform(t, tok => phash(tok)).as("hh"))
-      .select(col("doc_id"), col("source"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("hh")) - 7),
-          i => aggregate(slice(col("hh"), i, lit(8)), lit(0L),
-            (acc, h) => (acc * 1000003L + h) % 2147483647L)))).as("h"))
-      .createOrReplaceTempView("q84_grams")
+    gram8(s, d).createOrReplaceTempView("q84_grams")
     s.sql("""
       WITH ev AS (SELECT DISTINCT h FROM q84_grams WHERE source = 'src0'),
       bloom AS (SELECT bloom_agg(h, 1000000L, 8388608L) AS bf FROM ev),
@@ -400,22 +396,27 @@ object Curation {
       GROUP BY doc_id ORDER BY doc_id""")
   }
 
-  /** DuckDB twin of q84's Horner gram hash: lead(h, j) OVER w for
-    * j = 0..7 folded left with the same base/modulus. */
-  private val q84HornerSql: String =
+  /** DuckDB twin of [[gram8]]'s Horner gram hash: lead(h, j) OVER w
+    * for j = 0..7 folded left with the same base/modulus. */
+  private val gram8HornerSql: String =
     (0 to 7).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
       s"((($acc) * 1000003 + lead(h, $j) OVER w) % 2147483647)"
     }
 
-  private val q84Sql =
-    s"""WITH t AS (
+  /** CTE fragment t → g: the [[gram8]] frame (doc_id, source, h) —
+    * shared by the q84 and q91 oracles. */
+  private val gram8Ctes =
+    s"""t AS (
       |  SELECT doc_id, source, ${phashSql("unnest(string_split(text,' '))")} AS h,
       |         generate_subscripts(string_split(text,' '),1) AS ord FROM documents),
       |g AS (
       |  SELECT DISTINCT doc_id, source,
-      |         $q84HornerSql AS h
+      |         $gram8HornerSql AS h
       |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
-      |  QUALIFY lead(h,7) OVER w IS NOT NULL),
+      |  QUALIFY lead(h,7) OVER w IS NOT NULL)""".stripMargin
+
+  private val q84Sql =
+    s"""WITH $gram8Ctes,
       |ev AS (SELECT DISTINCT h FROM g WHERE source = 'src0')
       |SELECT doc_id, count(*) AS n_hits
       |FROM g JOIN ev USING (h)
@@ -459,9 +460,61 @@ object Curation {
       |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, quality
       |FROM r WHERE rk <= 8 ORDER BY source, rk""".stripMargin
 
+  /** q91: cross-source contamination matrix — for every source pair
+    * (sa < sb), the count of exact 8-grams they share and that count
+    * as a fraction of the smaller side's distinct grams: the overlap
+    * heatmap a curation team reads to decide which domains leak into
+    * which (q84 gates one eval split; this surveys all 20×19/2 pairs
+    * in one pass).
+    *
+    * Scale shape: per-source distinct gram hashes are a partial agg;
+    * the pair counts come from an equality self-join on the gram hash
+    * whose per-key fan-out is bounded by the number of SOURCES (≤20
+    * rows per bucket — Σ bucket² ≤ 400·|grams|), not by corpus size.
+    * Raw ratio per the T.scala rule. */
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    // THREE consumers read the distinct gram frame (both self-join
+    // sides and the per-source sizes), and consumer-specific column
+    // pruning specializes the subtrees so exchange reuse cannot cover
+    // all of them — so materialize it ONCE (localCheckpoint, the
+    // q48/q70 discipline) instead of re-running the corpus-sized
+    // md5+Horner build per consumer. The pre-join repartition on the
+    // join key co-partitions the self-join off the materialized
+    // partitions.
+    val sg = gram8(s, d).select(col("source"), col("h")).distinct()
+      .repartition(col("h"))
+      .localCheckpoint()
+    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val a = sg.select(col("source").as("sa"), col("h"))
+    val b = sg.select(col("source").as("sb"), col("h").as("h_b"))
+    a.join(b, col("h") === col("h_b") && col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("source").as("sa"), col("n").as("na")), Seq("sa"))
+      .join(sizes.select(col("source").as("sb"), col("n").as("nb")), Seq("sb"))
+      .select(col("sa"), col("sb"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          least(col("na"), col("nb")).cast("double")).as("containment"))
+      .orderBy("sa", "sb")
+  }
+
+  private val q91Sql =
+    s"""WITH $gram8Ctes,
+      |sg AS (SELECT DISTINCT source, h FROM g),
+      |sizes AS (SELECT source, count(*) AS n FROM sg GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.source AS sa, b.source AS sb, count(*) AS n_shared
+      |  FROM sg a JOIN sg b ON a.h = b.h AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT sa, sb, n_shared,
+      |       CAST(n_shared AS DOUBLE) / CAST(least(za.n, zb.n) AS DOUBLE)
+      |         AS containment
+      |FROM pairs JOIN sizes za ON sa = za.source JOIN sizes zb ON sb = zb.source
+      |ORDER BY sa, sb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_bloom_decontaminate" -> q84 _,
     "q87_domain_cap" -> q87 _,
+    "q91_source_overlap" -> q91 _,
     "q63_shard_pack" -> q63 _,
     "q79_length_outliers" -> q79 _,
     "q58_decontaminate" -> q58 _,
@@ -474,6 +527,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "q84_bloom_decontaminate" -> q84Sql,
     "q87_domain_cap" -> q87Sql,
+    "q91_source_overlap" -> q91Sql,
     "q63_shard_pack" -> q63Sql,
     "q79_length_outliers" -> q79Sql,
     "q58_decontaminate" -> q58Sql,

@@ -255,8 +255,79 @@ object TimeSeries {
       |       CAST(CAST(vw AS VARCHAR) AS DOUBLE) / CAST(w AS DOUBLE) AS twap
       |FROM a WHERE w > 0 ORDER BY event_type, day_ms""".stripMargin
 
+  /** q89: 7-day rolling Pearson correlation between the daily 'view'
+    * and 'purchase' value sums — the co-movement signal a market/
+    * behavior dashboard tracks (q54's global corr, windowed). One
+    * events scan: conditional decimal sums per day, then the six
+    * rolling moments (n, Σx, Σy, Σxy, Σx², Σy²) over the SAME q19
+    * integer-day RANGE frame, folded into the textbook corr formula.
+    * Every op is +,-,*,/,sqrt over exactly-agreed values — raw output
+    * per the T.scala exactness rule; degenerate windows (zero
+    * variance) yield NULL identically in both engines.
+    *
+    * Scale shape: the corpus-sized work is ONE partial-aggregatable
+    * groupBy(day); the rolling window runs over the O(days) daily
+    * frame, not the event stream. */
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    val daily = tbl(s, d, "events")
+      .withColumn("day_num", expr("unix_millis(date_trunc('day', ts)) div 86400000"))
+      .groupBy(col("day_num"))
+      .agg(
+        sum(dec(when(col("event_type") === "view", col("value")).otherwise(0.0)))
+          .cast("double").as("x"),
+        sum(dec(when(col("event_type") === "purchase", col("value")).otherwise(0.0)))
+          .cast("double").as("y"))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    daily
+      .withColumn("n", count(lit(1)).over(w).cast("double"))
+      .withColumn("sx", sum(dec(col("x"))).over(w).cast("double"))
+      .withColumn("sy", sum(dec(col("y"))).over(w).cast("double"))
+      .withColumn("sxy", sum(dec(col("x") * col("y"))).over(w).cast("double"))
+      .withColumn("sxx", sum(dec(col("x") * col("x"))).over(w).cast("double"))
+      .withColumn("syy", sum(dec(col("y") * col("y"))).over(w).cast("double"))
+      // greatest(0, ·) clamps the epsilon-negative variance doubles
+      // can produce (sqrt of a negative diverges between engines);
+      // the explicit denom > 0 CASE makes the degenerate window
+      // (zero variance) NULL in BOTH engines — Spark 4's default ANSI
+      // mode otherwise throws DIVIDE_BY_ZERO where DuckDB nulls.
+      .withColumn("denom",
+        sqrt(greatest(lit(0.0), col("n") * col("sxx") - col("sx") * col("sx"))) *
+          sqrt(greatest(lit(0.0), col("n") * col("syy") - col("sy") * col("sy"))))
+      .select(col("day_num"), col("n").cast("long").as("n_days"),
+        when(col("denom") > 0.0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) / col("denom"))
+          .as("corr7"))
+      .orderBy("day_num")
+  }
+
+  private val q89Sql =
+    """WITH daily AS (
+      |  SELECT epoch_ms(CAST(date_trunc('day', ts) AS TIMESTAMP)) // 86400000 AS day_num,
+      |         CAST(CAST(sum(CAST(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS x,
+      |         CAST(CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS y
+      |  FROM events GROUP BY 1),
+      |r AS (
+      |  SELECT day_num,
+      |         CAST(count(*) OVER w AS DOUBLE) AS n,
+      |         CAST(CAST(sum(CAST(x AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE) AS sx,
+      |         CAST(CAST(sum(CAST(y AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE) AS sy,
+      |         CAST(CAST(sum(CAST(x * y AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE) AS sxy,
+      |         CAST(CAST(sum(CAST(x * x AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE) AS sxx,
+      |         CAST(CAST(sum(CAST(y * y AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE) AS syy
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT day_num, CAST(n AS BIGINT) AS n_days,
+      |       CASE WHEN sqrt(greatest(0.0, n * sxx - sx * sx))
+      |                 * sqrt(greatest(0.0, n * syy - sy * sy)) > 0.0
+      |            THEN (n * sxy - sx * sy) /
+      |                 (sqrt(greatest(0.0, n * sxx - sx * sx))
+      |                  * sqrt(greatest(0.0, n * syy - sy * sy)))
+      |       END AS corr7
+      |FROM r ORDER BY day_num""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_twap" -> q81 _,
+    "q89_rolling_corr" -> q89 _,
     "q17_tumbling_ohlcv" -> q17 _,
     "q18_vwap" -> q18 _,
     "q19_sliding_avg" -> q19 _,
@@ -268,6 +339,7 @@ object TimeSeries {
 
   val oracles: Map[String, String] = Map(
     "q81_twap" -> q81Sql,
+    "q89_rolling_corr" -> q89Sql,
     "q17_tumbling_ohlcv" -> q17Sql,
     "q18_vwap" -> q18Sql,
     "q19_sliding_avg" -> q19Sql,

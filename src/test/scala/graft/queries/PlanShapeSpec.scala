@@ -232,4 +232,28 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"estimate attaches by doc_id-keyed joins:\n$plan")
   }
+
+  test("q89 rolling corr: one corpus agg, windows over the daily frame only, no join") {
+    val plan = planString(SparkEntry.queries("q89_rolling_corr")(spark, sfDir))
+    assert(!plan.contains("Join"), s"moments come from one conditional agg:\n$plan")
+    assert("hashpartitioning\\(day_num".r.findAllIn(plan).size == 1,
+      s"exactly the daily partial-agg exchange touches event-scale data:\n$plan")
+  }
+
+  test("q90 vocab coverage: corpus work is the token agg; scalar broadcasts") {
+    val plan = planString(SparkEntry.queries("q90_vocab_coverage")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"the total-mass scalar attaches by broadcast:\n$plan")
+    assert("hashpartitioning\\(tok".r.findAllIn(plan).size <= 2,
+      s"only the vocab partial agg (+ scalar reuse) exchanges on tok:\n$plan")
+  }
+
+  test("q91 source overlap: gram stream built once, keyed join, no cartesian") {
+    val plan = planString(SparkEntry.queries("q91_source_overlap")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair counts come from the h-equality join:\n$plan")
+    assert("Generate explode".r.findAllIn(plan).size <= 1,
+      s"one gram pipeline over the corpus, reused for both join sides:\n$plan")
+  }
 }
