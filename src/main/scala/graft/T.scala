@@ -82,6 +82,19 @@ object T {
     * epoch_ms). */
   def ms(c: Column): Column = unix_millis(c)
 
+  /** Timestamp column -> integer epoch-day number — THE day-bucketing
+    * convention (UTC, epoch origin), one home for the expression that
+    * q19/q51/q54/q89 all key on. DuckDB twin: [[dayNumSql]]. */
+  def dayNum(c: Column): Column =
+    // floor-div (matches DuckDB `//`); the midnight-truncated ms value
+    // is an exact multiple of 86400000 well inside 2^53, so the double
+    // quotient is the exact integer day.
+    floor(unix_millis(date_trunc("day", c)) / 86400000.0d).cast("long")
+
+  /** DuckDB SQL fragment for [[dayNum]]. */
+  def dayNumSql(expr: String): String =
+    s"epoch_ms(CAST(date_trunc('day', $expr) AS TIMESTAMP)) // 86400000"
+
   /** Spread a narrow scan across cores ONLY when it arrives with fewer
     * partitions than the session's parallelism — the test-scale case,
     * where one parquet file = one split would serialize a CPU-bound

@@ -311,15 +311,15 @@ object Extras {
     val e = tbl(s, d, "events")
     val views = e.filter(col("event_type") === "view").select(
       col("user_id").as("vuser"),
-      expr("unix_millis(date_trunc('day', ts)) div 86400000").as("vday"),
+      dayNum(col("ts")).as("vday"),
       col("ts").as("vts"))
     val purchases = e.filter(col("event_type") === "purchase").select(
       col("event_id"),
       col("user_id").as("puser"),
       col("ts").as("pts"),
       explode(sequence(
-        expr("unix_millis(date_trunc('day', ts)) div 86400000") - 1,
-        expr("unix_millis(date_trunc('day', ts)) div 86400000")))
+        dayNum(col("ts")) - 1,
+        dayNum(col("ts"))))
         .as("pday"))
     purchases
       .join(views, col("puser") === col("vuser") && col("pday") === col("vday"),
@@ -351,7 +351,7 @@ object Extras {
     val base = tbl(s, d, "events")
       .select(col("event_type"),
         col("value").cast("decimal(12,4)").as("x"),
-        expr("unix_millis(date_trunc('day', ts)) div 86400000").as("y"))
+        dayNum(col("ts")).as("y"))
     val agg = base.groupBy("event_type").agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"),

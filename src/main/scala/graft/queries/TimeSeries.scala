@@ -83,7 +83,7 @@ object TimeSeries {
     * days are handled identically in both engines. */
   private def q19(s: SparkSession, d: String): DataFrame = {
     val daily = tbl(s, d, "events")
-      .withColumn("day_num", expr("unix_millis(date_trunc('day', ts)) div 86400000"))
+      .withColumn("day_num", dayNum(col("ts")))
       .groupBy(col("day_num"))
       .agg(sum(dec(col("value"))).as("day_sum"), count(lit(1)).as("day_n"))
     val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
@@ -270,7 +270,7 @@ object TimeSeries {
     * frame, not the event stream. */
   private def q89(s: SparkSession, d: String): DataFrame = {
     val daily = tbl(s, d, "events")
-      .withColumn("day_num", expr("unix_millis(date_trunc('day', ts)) div 86400000"))
+      .withColumn("day_num", dayNum(col("ts")))
       .groupBy(col("day_num"))
       .agg(
         sum(dec(when(col("event_type") === "view", col("value")).otherwise(0.0)))
@@ -279,12 +279,19 @@ object TimeSeries {
           .cast("double").as("y"))
     val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
     daily
+      // product terms are cast to DECIMAL(38,6), not dec()'s (18,6):
+      // squared daily sums cross 18,6's 1e12 capacity at ~28× this
+      // corpus (daily sums grow linearly with scale) and ANSI mode
+      // turns the overflow into a crash, not a null.
       .withColumn("n", count(lit(1)).over(w).cast("double"))
       .withColumn("sx", sum(dec(col("x"))).over(w).cast("double"))
       .withColumn("sy", sum(dec(col("y"))).over(w).cast("double"))
-      .withColumn("sxy", sum(dec(col("x") * col("y"))).over(w).cast("double"))
-      .withColumn("sxx", sum(dec(col("x") * col("x"))).over(w).cast("double"))
-      .withColumn("syy", sum(dec(col("y") * col("y"))).over(w).cast("double"))
+      .withColumn("sxy",
+        sum((col("x") * col("y")).cast("decimal(38,6)")).over(w).cast("double"))
+      .withColumn("sxx",
+        sum((col("x") * col("x")).cast("decimal(38,6)")).over(w).cast("double"))
+      .withColumn("syy",
+        sum((col("y") * col("y")).cast("decimal(38,6)")).over(w).cast("double"))
       // greatest(0, ·) clamps the epsilon-negative variance doubles
       // can produce (sqrt of a negative diverges between engines);
       // the explicit denom > 0 CASE makes the degenerate window
@@ -311,9 +318,9 @@ object TimeSeries {
       |         CAST(count(*) OVER w AS DOUBLE) AS n,
       |         CAST(CAST(sum(CAST(x AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE) AS sx,
       |         CAST(CAST(sum(CAST(y AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE) AS sy,
-      |         CAST(CAST(sum(CAST(x * y AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE) AS sxy,
-      |         CAST(CAST(sum(CAST(x * x AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE) AS sxx,
-      |         CAST(CAST(sum(CAST(y * y AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE) AS syy
+      |         CAST(CAST(sum(CAST(x * y AS DECIMAL(38,6))) OVER w AS VARCHAR) AS DOUBLE) AS sxy,
+      |         CAST(CAST(sum(CAST(x * x AS DECIMAL(38,6))) OVER w AS VARCHAR) AS DOUBLE) AS sxx,
+      |         CAST(CAST(sum(CAST(y * y AS DECIMAL(38,6))) OVER w AS VARCHAR) AS DOUBLE) AS syy
       |  FROM daily
       |  WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
       |SELECT day_num, CAST(n AS BIGINT) AS n_days,

@@ -25,13 +25,16 @@ object StreamingDecontaminate {
 
   /** docs stream (doc_id, text) × static eval gram-hash frame (`h`
     * bigint) → append-mode hit stream (doc_id, h), one row per
-    * matched distinct gram. */
+    * matched distinct gram. The eval side is deduplicated HERE (not
+    * left to the caller): a raw gram frame with the same hash from
+    * several eval docs would multiply per-doc hit counts and silently
+    * break the q84 parity contract. */
   def apply(docs: DataFrame, evalGrams: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         GramHash.tokenHashes(split(col("text"), " ")).as("hh"))
       .select(col("doc_id"),
         explode(GramHash.gram8FromTokenHashes(col("hh"))).as("h"))
-      .join(broadcast(evalGrams), Seq("h"))
+      .join(broadcast(evalGrams.select(col("h")).distinct()), Seq("h"))
       .select(col("doc_id"), col("h"))
 }
