@@ -71,7 +71,12 @@ object Corpus {
     * DECIMAL(18,6) so the per-doc sum is exact and order-independent
     * — a naive double Σ would differ in low bits between Spark's
     * partial-agg order and DuckDB's sequential order. */
-  private def q75(s: SparkSession, d: String): DataFrame = {
+  private def q75(s: SparkSession, d: String): DataFrame =
+    surprisalFrame(s, d).orderBy("doc_id")
+
+  /** The q75 computation unsorted — (doc_id, n_tokens, mean_surprisal)
+    * — shared with q96's bucket assignment. */
+  private[queries] def surprisalFrame(s: SparkSession, d: String): DataFrame = {
     val tf = tbl(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -92,11 +97,12 @@ object Corpus {
       .select(col("doc_id"), col("n_tokens"),
         (col("s").cast("double") / col("n_tokens").cast("double"))
           .as("mean_surprisal"))
-      .orderBy("doc_id")
   }
 
-  private val q75Sql =
-    s"""WITH toks AS (
+  /** CTE chain for [[surprisalFrame]] (toks → tf → vocab → n → terms
+    * → sur) — ONE SQL home shared by the q75 and q96 oracles. */
+  private val surprisalCtes =
+    s"""toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
       |vocab AS (SELECT tok, sum(tf) AS cnt FROM tf GROUP BY 1),
@@ -104,11 +110,49 @@ object Corpus {
       |terms AS (
       |  SELECT doc_id, tf,
       |         ${decSql("round(CAST(tf AS DOUBLE) * -ln(CAST(cnt AS DOUBLE) / nn), 6)")} AS term
-      |  FROM tf JOIN vocab USING (tok) CROSS JOIN n)
-      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-      |       CAST(sum(term) AS DOUBLE) / CAST(sum(tf) AS DOUBLE)
-      |         AS mean_surprisal
-      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |  FROM tf JOIN vocab USING (tok) CROSS JOIN n),
+      |sur AS (
+      |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |         CAST(sum(term) AS DOUBLE) / CAST(sum(tf) AS DOUBLE)
+      |           AS mean_surprisal
+      |  FROM terms GROUP BY doc_id)""".stripMargin
+
+  private val q75Sql =
+    s"""WITH $surprisalCtes
+      |SELECT doc_id, n_tokens, mean_surprisal
+      |FROM sur ORDER BY doc_id""".stripMargin
+
+  /** q96: CCNet-style perplexity bucketing — every document labeled
+    * head / middle / tail by exact terciles of its q75 mean unigram
+    * surprisal (head = most in-distribution). THE classic
+    * quality-partition step before sampling ratios are chosen per
+    * bucket (CCNet trains its LM on head).
+    *
+    * Scale shape: corpus-scale work is q75's shared tf/vocab chain;
+    * the tercile itself is an ntile window over the (doc_id, score)
+    * frame — O(docs) scored longs, never text, the q79 exact-quantile
+    * posture (q61's histogram bounds are the approximate path when
+    * even that sort is too much). Ordering (mean_surprisal, doc_id) is
+    * total, so ntile is deterministic in both engines. */
+  private def q96(s: SparkSession, d: String): DataFrame =
+    surprisalFrame(s, d)
+      .withColumn("t", ntile(3).over(
+        Window.orderBy(col("mean_surprisal"), col("doc_id"))))
+      .select(col("doc_id"), col("n_tokens"), col("mean_surprisal"),
+        when(col("t") === 1, "head").when(col("t") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+
+  private val q96Sql =
+    s"""WITH $surprisalCtes,
+      |b AS (
+      |  SELECT doc_id, n_tokens, mean_surprisal,
+      |         ntile(3) OVER (ORDER BY mean_surprisal, doc_id) AS t
+      |  FROM sur)
+      |SELECT doc_id, n_tokens, mean_surprisal,
+      |       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+      |              ELSE 'tail' END AS bucket
+      |FROM b ORDER BY doc_id""".stripMargin
 
   /** q77: per-document token entropy — the Gopher-style information
     * signal (near-zero entropy = degenerate repetition, high = diverse
@@ -447,6 +491,7 @@ object Corpus {
     "q49_kmv_sketch" -> q49 _,
     "q70_cluster_keep_best" -> q70 _,
     "q75_unigram_surprisal" -> q75 _,
+    "q96_perplexity_buckets" -> q96 _,
     "q77_token_entropy" -> q77 _,
     "q80_dup_by_source" -> q80 _)
 
@@ -459,6 +504,7 @@ object Corpus {
     "q49_kmv_sketch" -> q49Sql,
     "q70_cluster_keep_best" -> q70Sql,
     "q75_unigram_surprisal" -> q75Sql,
+    "q96_perplexity_buckets" -> q96Sql,
     "q77_token_entropy" -> q77Sql,
     "q80_dup_by_source" -> q80Sql)
 }

@@ -86,6 +86,16 @@ object Dedup {
       .filter(size(split(col("text"), " ")) >= 3)
       .agg(capFromCount(count(lit(1))).as("cap"))
 
+  /** The capped shingle universe: `sh` minus shingles whose document
+    * frequency exceeds the fraction+floor cap. Extra key columns
+    * (e.g. q92's `source`) ride through untouched. */
+  private[queries] def cappedShingles(sh: DataFrame, capDf: DataFrame): DataFrame =
+    withScalar(sh, capDf)
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= col("cap"))
+      .drop("df", "cap")
+
   /** Shared pair-overlap core for the exact set-similarity family
     * (q25 Jaccard, q83 containment): capped shingle self-join →
     * per-pair intersection size `i` with both set sizes (na, nb)
@@ -94,11 +104,7 @@ object Dedup {
     * the capped shingle universe (intersections and sizes count the
     * same shingle set). */
   private[queries] def pairOverlaps(sh: DataFrame, capDf: DataFrame): DataFrame = {
-    val capped = withScalar(sh, capDf)
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("df") <= col("cap"))
-      .drop("df", "cap")
+    val capped = cappedShingles(sh, capDf)
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shA = capped.select(col("doc_id").as("da"), col("shingle"))
     val shB = capped.select(col("doc_id").as("db"), col("shingle").as("shingle_b"))
@@ -148,14 +154,20 @@ object Dedup {
     * [[pairOverlaps]]. Composes after [[tShCtes]] (q25/q83, Corpus's
     * pair/CC oracles) or after [[lshCandidateCtes]] (q88), which
     * define the same `t`/`sh`. */
-  private[queries] val cappedFromShCtes =
+  /** CTE fragment: just the cap + capped shingle universe (cap → shc)
+    * — the oracle twin of [[cappedShingles]]; [[cappedFromShCtes]]
+    * composes the symmetric pair chain on top, q92 an asymmetric one. */
+  private[queries] val capShcCtes =
     s"""cap AS (
       |  SELECT greatest($HotShingleDfFloor,
       |                  CAST(floor(count(*) * $HotShingleDfFraction) AS BIGINT)) AS cap
       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
       |shc AS (
       |  SELECT doc_id, shingle FROM sh, cap
-      |  QUALIFY count(*) OVER (PARTITION BY shingle) <= cap),
+      |  QUALIFY count(*) OVER (PARTITION BY shingle) <= cap)""".stripMargin
+
+  private[queries] val cappedFromShCtes =
+    s"""$capShcCtes,
       |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
       |inter AS (
       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
@@ -410,17 +422,96 @@ object Dedup {
       |FROM est e LEFT JOIN j ON e.da = j.da AND e.db = j.db
       |ORDER BY e.da, e.db""".stripMargin
 
+  /** q92: incremental-ingestion dedup — the production shape every
+    * batch dedup (q25/q28) eventually runs as: a NEW shard (source
+    * 'src1') arrives and each incoming document is checked against the
+    * EXISTING corpus (every other source), never against its own
+    * shard. One verdict row per incoming doc — best-matching existing
+    * doc, exact capped-shingle Jaccard against it, and a keep/drop
+    * action at the q25 threshold (0.2); `best_match` is −1 when no
+    * existing doc shares a capped shingle (a LEFT join, so dedup can
+    * never silently lose an incoming doc).
+    *
+    * Scale shape: the same capped shingle-equality join as q25 —
+    * never all-pairs — but asymmetric: the incoming side is a shard
+    * (small, in practice ~1/1000 of the index), so the join fan-out is
+    * |shard shingles| × df ≤ cap, and the argmax window partitions by
+    * incoming doc only. The df cap is computed over the post-ingestion
+    * corpus (shard + index), matching what the index's stats would say
+    * after the merge. */
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    val capped = cappedShingles(
+      shinglesBy(s, d, "doc_id", "source"), hotShingleCapDocs(s, d))
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inc = capped.filter(col("source") === "src1")
+      .select(col("doc_id").as("di"), col("shingle"))
+    val exi = capped.filter(col("source") =!= "src1")
+      .select(col("doc_id").as("de"), col("shingle").as("shingle_e"))
+    val jac = inc.join(exi, col("shingle") === col("shingle_e"))
+      .groupBy(col("di"), col("de")).agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("di"), col("n").as("ni")), Seq("di"))
+      .join(sizes.select(col("doc_id").as("de"), col("n").as("ne")), Seq("de"))
+      // Raw IEEE division of exactly-agreed integers (q25's jaccard).
+      .select(col("di"), col("de"),
+        (col("i").cast("double") /
+          (col("ni") + col("ne") - col("i")).cast("double")).as("jaccard"))
+    val w = Window.partitionBy("di").orderBy(col("jaccard").desc, col("de").asc)
+    val best = jac.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("di"), col("de").as("bm"), col("jaccard").as("bj"))
+    tbl(s, d, "documents").filter(col("source") === "src1")
+      .select(col("doc_id"))
+      .join(best, col("doc_id") === col("di"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bm"), lit(-1L)).as("best_match"),
+        coalesce(col("bj"), lit(0.0)).as("jaccard"),
+        when(coalesce(col("bj"), lit(0.0)) >= 0.2, "drop")
+          .otherwise("keep").as("action"))
+      .orderBy("doc_id")
+  }
+
+  private val q92Sql =
+    s"""WITH $tShCtes,
+      |$capShcCtes,
+      |src AS (SELECT doc_id, source FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS di, b.doc_id AS de, count(*) AS i
+      |  FROM shc a JOIN src sa ON a.doc_id = sa.doc_id
+      |  JOIN shc b ON a.shingle = b.shingle
+      |  JOIN src sb ON b.doc_id = sb.doc_id
+      |  WHERE sa.source = 'src1' AND sb.source <> 'src1'
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT di, de,
+      |         CAST(i AS DOUBLE) / CAST(si.n + se.n - i AS DOUBLE) AS jaccard
+      |  FROM inter JOIN sizes si ON di = si.doc_id JOIN sizes se ON de = se.doc_id),
+      |best AS (
+      |  SELECT di, de, jaccard,
+      |         row_number() OVER (PARTITION BY di ORDER BY jaccard DESC, de ASC) AS rn
+      |  FROM jac)
+      |SELECT d.doc_id,
+      |       coalesce(b.de, -1) AS best_match,
+      |       coalesce(b.jaccard, 0.0) AS jaccard,
+      |       CASE WHEN coalesce(b.jaccard, 0.0) >= 0.2
+      |            THEN 'drop' ELSE 'keep' END AS action
+      |FROM documents d LEFT JOIN best b ON d.doc_id = b.di AND b.rn = 1
+      |WHERE d.source = 'src1'
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_minhash_textdedup" -> q25 _,
     "q28_minhash_lsh" -> q28 _,
     "q29_simhash_neardup" -> q29 _,
     "q83_containment_dedup" -> q83 _,
-    "q88_minhash_estimate" -> q88 _)
+    "q88_minhash_estimate" -> q88 _,
+    "q92_incremental_dedup" -> q92 _)
 
   val oracles: Map[String, String] = Map(
     "q25_minhash_textdedup" -> q25Sql,
     "q28_minhash_lsh" -> q28Sql,
     "q29_simhash_neardup" -> q29Sql,
     "q83_containment_dedup" -> q83Sql,
-    "q88_minhash_estimate" -> q88Sql)
+    "q88_minhash_estimate" -> q88Sql,
+    "q92_incremental_dedup" -> q92Sql)
 }

@@ -115,7 +115,8 @@ object Similarity {
     * lower cid). Cosine against the UN-normalized centroid sum-vector:
     * cosine is scale-invariant, so the mean's division by the cluster
     * count — the one inexact step of textbook Lloyd's — is never
-    * performed. Output: input columns + `cid`. */
+    * performed. Output: input columns + `cid` + the winning rounded
+    * cosine `ccos` (the k-means callers ignore it; q93 emits it). */
   private def assignTo(v: DataFrame, c: DataFrame, keep: Int): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
     v.join(broadcast(c), lit(true))
@@ -123,7 +124,7 @@ object Similarity {
         round(ldot("q", "cs").cast("double") / (col("qn") * col("cn")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= keep)
-      .drop("ccos", "rn", "cs", "cn")
+      .drop("rn", "cs", "cn")
   }
 
   /** One Lloyd's update: element-wise integer sum of the quantized
@@ -378,9 +379,11 @@ object Similarity {
   private def q57(s: SparkSession, d: String): DataFrame =
     lshTopK(s, d, None)
 
-  /** Oracle twin of [[lshTopK]]; `probeWhere` mirrors `probeFilter`. */
-  private def lshSql(probeWhere: String): String =
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** Oracle twin of [[lshTopK]] as a CTE chain (v → … → ranked);
+    * `probeWhere` mirrors `probeFilter`. [[lshSql]] selects the top-5
+    * directly; q95 composes the recall audit on top. */
+  private def lshCtes(probeWhere: String): String =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
       |qv AS (SELECT vec_id,
       |              list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
@@ -415,16 +418,91 @@ object Similarity {
       |scored AS (
       |  SELECT qid, mid,
       |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
-      |  FROM cand JOIN n a ON a.vec_id = qid JOIN n b ON b.vec_id = mid)
-      |SELECT qid, rank, mid, cos FROM (
+      |  FROM cand JOIN n a ON a.vec_id = qid JOIN n b ON b.vec_id = mid),
+      |ranked AS (
       |  SELECT qid, mid, cos,
       |         CAST(row_number() OVER (
       |           PARTITION BY qid ORDER BY cos DESC, mid ASC) AS BIGINT) AS rank
-      |  FROM scored)
+      |  FROM scored)""".stripMargin
+
+  private def lshSql(probeWhere: String): String =
+    s"""WITH ${lshCtes(probeWhere)}
+      |SELECT qid, rank, mid, cos FROM ranked
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   private val q53Sql = lshSql("WHERE q.vec_id % 50 = 0")
   private val q57Sql = lshSql("")
+
+  /** q95: ANN-accuracy audit — recall@5 of the LSH path (q53) against
+    * the exact brute-force top-5 for every probe: the table an index
+    * owner reads before trusting q53/q57 at a new corpus, closing the
+    * audit family (q88 calibrates MinHash, q95 calibrates ANN). Per
+    * probe: exact-neighbor count (5), LSH-returned count (≤5 — a probe
+    * sharing no bucket returns fewer), overlap, and recall. Both
+    * sides and the overlap are deterministic integer/rounded-cosine
+    * chains, so even this accuracy table is oracle-verified bit-exact.
+    *
+    * Scale shape: the approx side rides q53's banded equality join;
+    * the exact side is a probe-sample×corpus broadcast-NL scan —
+    * fenced by design, like q26: the audit SAMPLE is fixed (~1/50),
+    * so the exact side is one bounded broadcast pass over the corpus,
+    * not a pair blowup. */
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    val probeF = col("vec_id") % 50 === 0
+    val approx = lshTopK(s, d, Some(probeF)).select(col("qid"), col("mid"))
+    val v = vecs(s, d)
+    val p = v.filter(probeF)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val m = v.select(col("vec_id").as("mid"), col("v").as("mv"),
+      col("nrm").as("mn"))
+    val wTop = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("mid").asc)
+    val exact = broadcast(p).join(m, col("qid") =!= col("mid"))
+      .select(col("qid"), col("mid"),
+        cosR("qv", "mv", col("qn"), col("mn")).as("cos"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("mid"))
+    val hits = exact.join(approx, Seq("qid", "mid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    val nApp = approx.groupBy("qid").agg(count(lit(1)).as("n_approx"))
+    exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(nApp, Seq("qid"), "left")
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_approx", "n_hit"))
+      .select(col("qid"), col("n_exact"), col("n_approx"), col("n_hit"),
+        // Raw IEEE division of exactly-agreed counts (T.scala rules).
+        (col("n_hit").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+      .orderBy("qid")
+  }
+
+  private val q95Sql =
+    s"""WITH ${lshCtes("WHERE q.vec_id % 50 = 0")},
+      |approx AS (SELECT qid, mid FROM ranked WHERE rank <= 5),
+      |ex AS (
+      |  SELECT qid, mid FROM (
+      |    SELECT p.vec_id AS qid, m.vec_id AS mid,
+      |           row_number() OVER (PARTITION BY p.vec_id
+      |             ORDER BY round(list_dot_product(p.v, m.v) / (p.nrm * m.nrm), 6) DESC,
+      |                      m.vec_id ASC) AS rn
+      |    FROM n p JOIN n m ON m.vec_id <> p.vec_id
+      |    WHERE p.vec_id % 50 = 0)
+      |  WHERE rn <= 5),
+      |hits AS (
+      |  SELECT e.qid, count(*) AS n_hit
+      |  FROM ex e JOIN approx a ON a.qid = e.qid AND a.mid = e.mid
+      |  GROUP BY 1),
+      |na AS (SELECT qid, count(*) AS n_approx FROM approx GROUP BY 1),
+      |ne AS (SELECT qid, count(*) AS n_exact FROM ex GROUP BY 1)
+      |SELECT ne.qid, ne.n_exact,
+      |       coalesce(na.n_approx, 0) AS n_approx,
+      |       coalesce(h.n_hit, 0) AS n_hit,
+      |       CAST(coalesce(h.n_hit, 0) AS DOUBLE) /
+      |       CAST(ne.n_exact AS DOUBLE) AS recall
+      |FROM ne LEFT JOIN na ON ne.qid = na.qid
+      |LEFT JOIN hits h ON ne.qid = h.qid
+      |ORDER BY ne.qid""".stripMargin
 
   /** q76: int8 scalar quantization — the storage-compression half of a
     * 100 TB ANN index (IVF+SQ): each vector is encoded as 64 int8
@@ -519,23 +597,122 @@ object Similarity {
       |       CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS centroid
       |FROM a ORDER BY label, dim""".stripMargin
 
+  /** Quantized vectors WITH the class label — the supervised twin of
+    * [[qvecs]], feeding the q93/q94 prototype classifier. */
+  private def lqvecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("q", transform(col("v"), x => floor(x * 1000).cast("long")))
+      .withColumn("qn", sqrt(ldot("q", "q").cast("double")))
+  }
+
+  /** Shared q93/q94 core: nearest-label-centroid (Rocchio prototype)
+    * assignment. Per-label centroids are the k-means [[recompute]]
+    * keyed by the TRUE label instead of a learned cid — exact BIGINT
+    * sums in quantized space, so both engines agree bit-for-bit — and
+    * each vector scores against the ≤10-label broadcast prototype
+    * table with the same rounded-cosine argmax as IVF assignment
+    * ([[assignTo]]; ties → lower label). This is the embedding-side
+    * quality gate a labeled corpus ships with: how separable are the
+    * classes under their own prototypes?
+    *
+    * Scale shape: centroid build is the q86 posture (posexplode →
+    * partial-agg (label, dim), shuffle volume independent of corpus
+    * size); assignment is the one sanctioned bounded BNLJ (≤10
+    * broadcast rows); nothing else shuffles beyond the output sort. */
+  private def labelAssign(s: SparkSession, d: String): DataFrame = {
+    val lq = lqvecs(s, d)
+    val prototypes = recompute(lq.select(col("label").as("cid"), col("q")))
+    assignTo(lq, prototypes, 1)
+      .select(col("vec_id"), col("label"),
+        col("cid").as("pred"), col("ccos").as("score"))
+  }
+
+  /** Oracle twin of [[labelAssign]] (CTEs v → qq → c → asg): the same
+    * quantize → label-sum → rounded-cosine-argmax chain; `sum(qd)`
+    * over integer-valued doubles is exact, so prototypes match Spark's
+    * BIGINT sums bit-for-bit. */
+  private val labelAssignSql =
+    """v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |              embedding::DOUBLE[] AS v FROM embeddings),
+      |qv AS (SELECT vec_id, label,
+      |              list_transform(v, x -> CAST(floor(x * 1000) AS DOUBLE)) AS q
+      |       FROM v),
+      |qq AS (SELECT vec_id, label, q, sqrt(list_dot_product(q, q)) AS qn FROM qv),
+      |ls AS (SELECT label AS cid, d, sum(qd) AS sd
+      |       FROM (SELECT label, unnest(q) AS qd,
+      |                    generate_subscripts(q, 1) AS d FROM qq) e
+      |       GROUP BY 1, 2),
+      |cp AS (SELECT cid, list(sd ORDER BY d) AS cs FROM ls GROUP BY 1),
+      |c AS (SELECT cid, cs, sqrt(list_dot_product(cs, cs)) AS cn FROM cp),
+      |asg AS (SELECT vec_id, label, cid AS pred, score FROM (
+      |         SELECT qq.vec_id, qq.label, c.cid,
+      |                round(list_dot_product(qq.q, c.cs) / (qq.qn * c.cn), 6) AS score,
+      |                row_number() OVER (PARTITION BY qq.vec_id
+      |                  ORDER BY round(list_dot_product(qq.q, c.cs) / (qq.qn * c.cn), 6) DESC,
+      |                           c.cid ASC) AS rn
+      |         FROM qq CROSS JOIN c) WHERE rn = 1)""".stripMargin
+
+  /** q93: per-vector prototype classification — true label, predicted
+    * label (nearest label centroid), winning cosine, and correctness
+    * flag. */
+  private def q93(s: SparkSession, d: String): DataFrame =
+    labelAssign(s, d)
+      .select(col("vec_id"), col("label"), col("pred"), col("score"),
+        (col("label") === col("pred")).as("correct"))
+      .orderBy("vec_id")
+
+  private val q93Sql =
+    s"""WITH $labelAssignSql
+      |SELECT vec_id, label, pred, score, (label = pred) AS correct
+      |FROM asg ORDER BY vec_id""".stripMargin
+
+  /** q94: the confusion matrix over q93's assignment — count and
+    * within-label fraction per (true label, predicted label) cell.
+    * The window runs over the ≤labels² grouped frame, not the corpus:
+    * one partial-agg exchange, then driver-scale work. */
+  private def q94(s: SparkSession, d: String): DataFrame =
+    labelAssign(s, d)
+      .groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n"))
+      .withColumn("n_label", sum(col("n")).over(Window.partitionBy("label")))
+      // Raw IEEE division of exactly-agreed counts (T.scala rules).
+      .select(col("label"), col("pred"), col("n"),
+        (col("n").cast("double") / col("n_label").cast("double")).as("frac"))
+      .orderBy("label", "pred")
+
+  private val q94Sql =
+    s"""WITH $labelAssignSql,
+      |g AS (SELECT label, pred, count(*) AS n FROM asg GROUP BY 1, 2)
+      |SELECT label, pred, n,
+      |       CAST(n AS DOUBLE) /
+      |       CAST(sum(n) OVER (PARTITION BY label) AS DOUBLE) AS frac
+      |FROM g ORDER BY label, pred""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_label_centroids" -> q86 _,
+    "q93_centroid_classify" -> q93 _,
+    "q94_confusion_matrix" -> q94 _,
     "q26_cosine_topk" -> q26 _,
     "q30_embed_neardup" -> q30 _,
     "q31_ann_ivf" -> q31 _,
     "q52_embed_neardup_blocked" -> q52 _,
     "q53_ann_lsh" -> q53 _,
     "q57_ann_lsh_all" -> q57 _,
-    "q76_embed_quantize" -> q76 _)
+    "q76_embed_quantize" -> q76 _,
+    "q95_ann_recall" -> q95 _)
 
   val oracles: Map[String, String] = Map(
     "q86_label_centroids" -> q86Sql,
+    "q93_centroid_classify" -> q93Sql,
+    "q94_confusion_matrix" -> q94Sql,
     "q26_cosine_topk" -> q26Sql,
     "q30_embed_neardup" -> q30Sql,
     "q31_ann_ivf" -> q31Sql,
     "q52_embed_neardup_blocked" -> q52Sql,
     "q53_ann_lsh" -> q53Sql,
     "q57_ann_lsh_all" -> q57Sql,
-    "q76_embed_quantize" -> q76Sql)
+    "q76_embed_quantize" -> q76Sql,
+    "q95_ann_recall" -> q95Sql)
 }

@@ -121,4 +121,24 @@ class DedupScaleSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
       s"q28's (band,sig) self-join should reuse one exchange:\n$plan")
   }
+
+  test("q92 drop set equals the symmetric pair view across the shard boundary") {
+    import spark.implicits._
+    // q92 shares q25's shingle frame, cap, and capped sizes, so an
+    // incoming doc must drop iff SOME symmetric near-dup pair (q25)
+    // crosses the src1/existing boundary at the same threshold.
+    val dropped = SparkEntry.queries("q92_incremental_dedup")(spark, sfDir)
+      .filter(col("action") === "drop")
+      .select("doc_id").as[Long].collect().toSet
+    val src = graft.T.tbl(spark, sfDir, "documents").select("doc_id", "source")
+    val pairs = Dedup.nearDupPairs(spark, sfDir)
+      .join(src.select(col("doc_id").as("da"), col("source").as("sa")), Seq("da"))
+      .join(src.select(col("doc_id").as("db"), col("source").as("sb")), Seq("db"))
+    val expect = pairs.filter(col("sa") === "src1" && col("sb") =!= "src1")
+      .select(col("da"))
+      .union(pairs.filter(col("sb") === "src1" && col("sa") =!= "src1")
+        .select(col("db")))
+      .as[Long].collect().toSet
+    assert(dropped == expect, s"got $dropped expected $expect")
+  }
 }

@@ -153,6 +153,17 @@ class PlanShapeSpec extends SparkSpec {
       s"exactly one explode pipeline over the corpus:\n$plan")
   }
 
+  test("q96 perplexity buckets: q75's shared chain + one global ntile over scored longs") {
+    val plan = planString(SparkEntry.queries("q96_perplexity_buckets")(spark, sfDir))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q96 adds no corpus-shuffling join on top of q75:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"vocab/N must reuse tf's exchange, not re-scan the corpus:\n$plan")
+    assert("Generate explode".r.findAllIn(plan).size <= 1,
+      s"exactly one explode pipeline over the corpus:\n$plan")
+  }
+
   test("q81 twap: window and aggregation share ONE (event_type, day) exchange") {
     val plan = planString(SparkEntry.queries("q81_twap")(spark, sfDir))
     assert(!plan.contains("Join"), s"twap is a window + groupBy, no join:\n$plan")
@@ -255,5 +266,30 @@ class PlanShapeSpec extends SparkSpec {
       s"pair counts come from the h-equality join:\n$plan")
     assert("Generate explode".r.findAllIn(plan).size <= 1,
       s"one gram pipeline over the corpus, reused for both join sides:\n$plan")
+  }
+
+  test("q92 incremental dedup: asymmetric shingle-equality join, never all-pairs") {
+    val plan = planString(SparkEntry.queries("q92_incremental_dedup")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"incoming×existing must join on shingle equality:\n$plan")
+  }
+
+  test("q95 ann recall: approx side stays an equality join; only the probe-sample scan nests") {
+    val plan = planString(SparkEntry.queries("q95_ann_recall")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"the ONE sanctioned BNLJ is the fixed probe-sample exact pass:\n$plan")
+  }
+
+  test("q93/q94 prototype classifier: only the bounded label-prototype broadcast nests") {
+    val plan93 = planString(SparkEntry.queries("q93_centroid_classify")(spark, sfDir))
+    assert(!plan93.contains("CartesianProduct"), s"no cartesian:\n$plan93")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan93).size <= 1,
+      s"one ≤10-row prototype broadcast is the only sanctioned BNLJ:\n$plan93")
+    val plan94 = planString(SparkEntry.queries("q94_confusion_matrix")(spark, sfDir))
+    assert(!plan94.contains("CartesianProduct") &&
+      "BroadcastNestedLoopJoin".r.findAllIn(plan94).size <= 1,
+      s"the confusion rollup adds no pair join beyond the prototype broadcast:\n$plan94")
   }
 }
