@@ -82,9 +82,11 @@ object Extras {
     * then broadcast back onto the stream: per-type stats are O(types)
     * rows, so the 100 TB side is scanned once and never shuffled —
     * flagging is a row-local comparison against 5 broadcast rows. */
-  private def q82(s: SparkSession, d: String): DataFrame = {
-    val e = tbl(s, d, "events")
-    val stats = e.groupBy(col("event_type"))
+  /** Per-type sample moments (event_type, mean, std) from exact
+    * decimal sums — q82's stats side, public so the s18 streaming
+    * gate builds its STATIC side from the identical definition. */
+  def zStats(e: DataFrame): DataFrame =
+    e.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(12,4)")).as("sv"),
         sum(col("value").cast("decimal(12,4)") *
@@ -94,6 +96,12 @@ object Extras {
         sqrt((col("svv").cast("double") - col("sv").cast("double") *
           col("sv").cast("double") / col("n").cast("double")) /
           (col("n").cast("double") - 1.0)).as("std"))
+
+  /** The z-score gate body — broadcast the O(types) stats frame onto
+    * the event stream, flag |z| ≥ 2.5. ONE definition shared by batch
+    * q82 and streaming s18 (stream-static broadcast join), so the two
+    * provably agree row-for-row. */
+  def zGate(e: DataFrame, stats: DataFrame): DataFrame =
     e.join(broadcast(stats), Seq("event_type"))
       .withColumn("z", (col("value") - col("mean")) / col("std"))
       .filter(abs(col("z")) >= 2.5)
@@ -101,7 +109,10 @@ object Extras {
       // tree over exactly-agreed decimal moments, and round(·, 6)
       // would only add the cross-engine half-tie hazard q86 hit.
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
-      .orderBy("event_id")
+
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    val e = tbl(s, d, "events")
+    zGate(e, zStats(e)).orderBy("event_id")
   }
 
   private val q82Sql =

@@ -504,6 +504,53 @@ object Similarity {
       |LEFT JOIN hits h ON ne.qid = h.qid
       |ORDER BY ne.qid""".stripMargin
 
+  /** q97: IVF index-health audit — per learned cluster (the q31
+    * Lloyd's chain): occupancy, corpus fraction, and pair-work share
+    * (nᵢ²/Σnⱼ² — the slice of the Σ cluster² candidate-join cost this
+    * cluster carries). THE table an index owner reads before shipping
+    * q31/q52 at a new corpus: one fat cluster means the blocked join
+    * degenerates toward all-pairs, and re-seeding/splitting is due —
+    * the q88/q95 calibration discipline applied to the index
+    * STRUCTURE rather than its answers.
+    *
+    * Scale shape: everything after the assignment is O(clusters) —
+    * the counts frame partial-aggregates to ≤8 rows, and the totals
+    * attach via the standard withScalar broadcast. */
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    val (qv, c2) = lloyd(s, d)
+    val counts = assignTo(qv, c2, 1)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+    val tot = counts.agg(sum(col("n_vecs")).as("n_total"),
+      sum(col("n_vecs") * col("n_vecs")).as("ssq"))
+    withScalar(counts, tot)
+      .select(col("cid").as("cluster"), col("n_vecs"),
+        // Raw IEEE divisions of exactly-agreed counts (T.scala rules).
+        (col("n_vecs").cast("double") / col("n_total").cast("double"))
+          .as("frac"),
+        ((col("n_vecs") * col("n_vecs")).cast("double") /
+          col("ssq").cast("double")).as("pair_share"))
+      .orderBy("cluster")
+  }
+
+  private val q97Sql =
+    s"""WITH $lloydSql,
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT qq.vec_id, c2.cid,
+      |           row_number() OVER (
+      |             PARTITION BY qq.vec_id
+      |             ORDER BY round(list_dot_product(qq.q, c2.cs) / (qq.qn * c2.cn), 6) DESC,
+      |                      c2.cid ASC) AS rn
+      |    FROM qq CROSS JOIN c2)
+      |  WHERE rn = 1),
+      |counts AS (SELECT cid, count(*) AS n_vecs FROM assign GROUP BY 1),
+      |tot AS (SELECT sum(n_vecs) AS n_total,
+      |               sum(n_vecs * n_vecs) AS ssq FROM counts)
+      |SELECT cid AS cluster, n_vecs,
+      |       CAST(n_vecs AS DOUBLE) / CAST(n_total AS DOUBLE) AS frac,
+      |       CAST(n_vecs * n_vecs AS DOUBLE) / CAST(ssq AS DOUBLE) AS pair_share
+      |FROM counts, tot ORDER BY cluster""".stripMargin
+
   /** q76: int8 scalar quantization — the storage-compression half of a
     * 100 TB ANN index (IVF+SQ): each vector is encoded as 64 int8
     * codes with a per-vector step (max|x|/127), and the per-dimension
@@ -701,7 +748,8 @@ object Similarity {
     "q53_ann_lsh" -> q53 _,
     "q57_ann_lsh_all" -> q57 _,
     "q76_embed_quantize" -> q76 _,
-    "q95_ann_recall" -> q95 _)
+    "q95_ann_recall" -> q95 _,
+    "q97_ivf_stats" -> q97 _)
 
   val oracles: Map[String, String] = Map(
     "q86_label_centroids" -> q86Sql,
@@ -714,5 +762,6 @@ object Similarity {
     "q53_ann_lsh" -> q53Sql,
     "q57_ann_lsh_all" -> q57Sql,
     "q76_embed_quantize" -> q76Sql,
-    "q95_ann_recall" -> q95Sql)
+    "q95_ann_recall" -> q95Sql,
+    "q97_ivf_stats" -> q97Sql)
 }

@@ -282,6 +282,13 @@ class PlanShapeSpec extends SparkSpec {
       s"the ONE sanctioned BNLJ is the fixed probe-sample exact pass:\n$plan")
   }
 
+  test("q97 ivf stats: only the lloyd-chain centroid broadcasts nest; rollup is O(clusters)") {
+    val plan = planString(SparkEntry.queries("q97_ivf_stats")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 3,
+      s"the ≤8-row centroid assignments (seed, c1, final) are the only BNLJs:\n$plan")
+  }
+
   test("q93/q94 prototype classifier: only the bounded label-prototype broadcast nests") {
     val plan93 = planString(SparkEntry.queries("q93_centroid_classify")(spark, sfDir))
     assert(!plan93.contains("CartesianProduct"), s"no cartesian:\n$plan93")

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** s18: the streaming z-score gate equals batch q82 on the same
+  * events — the stream sees the sf0.001 events in two micro-batches
+  * against the static per-type moments built from the same corpus,
+  * and its append-mode flags must equal q82's rows exactly
+  * (event_id, z bit-for-bit: both sides run the shared zGate body on
+  * the same doubles — Double round-trips through jsonl losslessly).
+  */
+class StreamingAnomalySpec extends SparkSpec {
+
+  private def tmp(p: String): Path = Files.createTempDirectory(p)
+
+  test("stream-static z-score gate matches batch q82 exactly") {
+    val events = graft.T.tbl(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+
+    val stats = graft.queries.Extras
+      .zStats(graft.T.tbl(spark, sfDir, "events"))
+
+    val dir = tmp("anom").resolve("events")
+    Files.createDirectories(dir)
+    events.grouped((events.length + 1) / 2).zipWithIndex.foreach {
+      case (chunk, i) =>
+        Files.write(dir.resolve(s"b$i.jsonl"), chunk.map(r =>
+          s"""{"event_id": ${r.getLong(0)}, "event_type": "${r.getString(1)}", "value": ${r.getDouble(2)}}""")
+          .toSeq.asJava)
+    }
+    val schema = new StructType()
+      .add("event_id", LongType).add("event_type", StringType)
+      .add("value", DoubleType)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+
+    val q = StreamingAnomalyGate(stream, stats)
+      .writeStream.format("memory").queryName("anom_out")
+      .option("checkpointLocation", tmp("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("anom_out")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSet
+    val batch = SparkEntry.queries("q82_zscore_anomaly")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSet
+    assert(batch.nonEmpty, "fixture must flag at least one anomaly")
+    assert(streamed == batch,
+      s"stream flags must equal batch q82: extra=${streamed.diff(batch)} missing=${batch.diff(streamed)}")
+  }
+}
