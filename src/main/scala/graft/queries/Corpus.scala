@@ -154,6 +154,80 @@ object Corpus {
       |              ELSE 'tail' END AS bucket
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /** q98: PMI co-occurrence — the top-20 most associated token pairs
+    * (window ±2, n_ab ≥ 5) by pointwise mutual information
+    * ln(P(a,b)/(P(a)P(b))) — the collocation/phrase-mining table
+    * (word2vec-era association mining) a tokenizer or phrase-merge
+    * pass is tuned against.
+    *
+    * Scale shape: pair generation is fully ROW-LOCAL (two zip_with
+    * passes over the token array — offset 1 and offset 2 — then one
+    * explode; no per-token window shuffle, no self-join on position);
+    * the only corpus-scale exchange is the (a, b) partial agg. Unigram
+    * counts are vocab-sized and broadcast back onto the pair frame
+    * (q75's pattern); totals attach via withScalar. The PMI ratio is
+    * computed in doubles from exactly-agreed counts and the ln output
+    * is round(·, 6) per T.scala's rule (log is not correctly-rounded
+    * across libm implementations; the products/quotient are). */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    val t = tbl(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    def off(k: Int) = when(size(col("t")) > k,
+      zip_with(slice(col("t"), lit(1), size(col("t")) - k),
+        slice(col("t"), lit(k + 1), size(col("t")) - k),
+        (x, y) => array_sort(array(x, y))))
+      .otherwise(array().cast("array<array<string>>"))
+    val pr = t
+      .select(explode(concat(off(1), off(2))).as("p"))
+      .select(element_at(col("p"), 1).as("a"),
+        element_at(col("p"), 2).as("b"))
+      .filter(col("a") =!= col("b"))
+    val nab = pr.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val np = nab.agg(sum(col("n_ab")).cast("double").as("np"))
+    val uni = tbl(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val nt = uni.agg(sum(col("n")).cast("double").as("nt"))
+    withScalar(withScalar(
+        nab.filter(col("n_ab") >= 5)
+          .join(broadcast(uni.select(col("tok").as("a"), col("n").as("na"))),
+            Seq("a"))
+          .join(broadcast(uni.select(col("tok").as("b"), col("n").as("nb"))),
+            Seq("b")),
+        np), nt)
+      .select(col("a"), col("b"), col("n_ab"),
+        round(log(col("n_ab").cast("double") * col("nt") * col("nt") /
+          (col("np") * col("na").cast("double") * col("nb").cast("double"))),
+          6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  private val q98Sql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS ord
+      |  FROM documents),
+      |pr AS (
+      |  SELECT least(x.tok, y.tok) AS a, greatest(x.tok, y.tok) AS b
+      |  FROM t x JOIN t y
+      |    ON x.doc_id = y.doc_id AND y.ord > x.ord AND y.ord - x.ord <= 2
+      |  WHERE x.tok <> y.tok),
+      |nab AS (SELECT a, b, count(*) AS n_ab FROM pr GROUP BY 1, 2),
+      |np AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS np FROM nab),
+      |uni AS (
+      |  SELECT tok, count(*) AS n FROM t GROUP BY 1),
+      |nt AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM uni)
+      |SELECT a, b, n_ab,
+      |       round(ln(CAST(n_ab AS DOUBLE) * nt * nt /
+      |                (np * CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE))), 6)
+      |         AS pmi
+      |FROM nab JOIN uni ua ON nab.a = ua.tok
+      |JOIN uni ub ON nab.b = ub.tok
+      |CROSS JOIN np CROSS JOIN nt
+      |WHERE n_ab >= 5
+      |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin
+
   /** q77: per-document token entropy — the Gopher-style information
     * signal (near-zero entropy = degenerate repetition, high = diverse
     * vocabulary): H = ln(n) − Σ c·ln(c)/n over the document's own
@@ -492,6 +566,7 @@ object Corpus {
     "q70_cluster_keep_best" -> q70 _,
     "q75_unigram_surprisal" -> q75 _,
     "q96_perplexity_buckets" -> q96 _,
+    "q98_pmi_cooccur" -> q98 _,
     "q77_token_entropy" -> q77 _,
     "q80_dup_by_source" -> q80 _)
 
@@ -505,6 +580,7 @@ object Corpus {
     "q70_cluster_keep_best" -> q70Sql,
     "q75_unigram_surprisal" -> q75Sql,
     "q96_perplexity_buckets" -> q96Sql,
+    "q98_pmi_cooccur" -> q98Sql,
     "q77_token_entropy" -> q77Sql,
     "q80_dup_by_source" -> q80Sql)
 }

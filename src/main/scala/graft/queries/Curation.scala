@@ -511,6 +511,51 @@ object Curation {
       |FROM pairs JOIN sizes za ON sa = za.source JOIN sizes zb ON sb = zb.source
       |ORDER BY sa, sb""".stripMargin
 
+  /** q99: temporal holdout + leakage audit — split the event stream
+    * train/test on a DAY boundary (the last ntile(5) of distinct
+    * active days is the holdout, the way production time-splits cut on
+    * calendar boundaries rather than row quantiles) and report every
+    * user with activity on BOTH sides: cross-boundary users are the
+    * leakage surface a per-user model must dedup/decontaminate before
+    * the holdout is trustworthy.
+    *
+    * Scale shape: the day frame is O(days) — distinct day_num is a
+    * tiny partial agg, the ntile runs over ≤days rows, and the cutoff
+    * attaches to the corpus via the withScalar broadcast; the per-user
+    * rollup is one conditional partial agg. Nothing corpus-scale
+    * shuffles except the (user) groupBy. */
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    val e = tbl(s, d, "events")
+      .select(col("user_id"), dayNum(col("ts")).as("day"))
+    val cut = e.select(col("day")).distinct()
+      .withColumn("t", ntile(5).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("day"))))
+      .filter(col("t") === 5)
+      .agg(min(col("day")).as("cut"))
+    withScalar(e, cut)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") < col("cut"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("day") >= col("cut"), 1L).otherwise(0L)).as("n_test"))
+      .filter(col("n_train") > 0 && col("n_test") > 0)
+      .orderBy("user_id")
+  }
+
+  private val q99Sql =
+    s"""WITH e AS (
+      |  SELECT user_id, ${dayNumSql("ts")} AS day FROM events),
+      |days AS (
+      |  SELECT day, ntile(5) OVER (ORDER BY day) AS t
+      |  FROM (SELECT DISTINCT day FROM e)),
+      |cut AS (SELECT min(day) AS cut FROM days WHERE t = 5)
+      |SELECT user_id,
+      |       sum(CASE WHEN day < cut THEN 1 ELSE 0 END) AS n_train,
+      |       sum(CASE WHEN day >= cut THEN 1 ELSE 0 END) AS n_test
+      |FROM e CROSS JOIN cut
+      |GROUP BY user_id
+      |HAVING sum(CASE WHEN day < cut THEN 1 ELSE 0 END) > 0
+      |   AND sum(CASE WHEN day >= cut THEN 1 ELSE 0 END) > 0
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_bloom_decontaminate" -> q84 _,
     "q87_domain_cap" -> q87 _,
@@ -522,7 +567,8 @@ object Curation {
     "q60_stratified_sample" -> q60 _,
     "q71_chunk_windows" -> q71 _,
     "q72_span_dedup" -> q72 _,
-    "q74_shuffle_shard" -> q74 _)
+    "q74_shuffle_shard" -> q74 _,
+    "q99_temporal_holdout" -> q99 _)
 
   val oracles: Map[String, String] = Map(
     "q84_bloom_decontaminate" -> q84Sql,
@@ -535,5 +581,6 @@ object Curation {
     "q60_stratified_sample" -> q60Sql,
     "q71_chunk_windows" -> q71Sql,
     "q72_span_dedup" -> q72Sql,
-    "q74_shuffle_shard" -> q74Sql)
+    "q74_shuffle_shard" -> q74Sql,
+    "q99_temporal_holdout" -> q99Sql)
 }

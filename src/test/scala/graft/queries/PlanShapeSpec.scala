@@ -268,6 +268,24 @@ class PlanShapeSpec extends SparkSpec {
       s"one gram pipeline over the corpus, reused for both join sides:\n$plan")
   }
 
+  test("q98 pmi: row-local pair build, vocab broadcasts back, no position self-join") {
+    val plan = planString(SparkEntry.queries("q98_pmi_cooccur")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"unigram counts must broadcast; pairs must not come from a join:\n$plan")
+    assert("Generate explode".r.findAllIn(plan).size <= 2,
+      s"one pair explode + one unigram explode, nothing more:\n$plan")
+  }
+
+  test("q99 temporal holdout: day cutoff broadcasts, user rollup is the only corpus exchange") {
+    val plan = planString(SparkEntry.queries("q99_temporal_holdout")(spark, sfDir))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the cutoff scalar must broadcast:\n$plan")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      s"exactly the per-user partial agg touches event-scale data:\n$plan")
+  }
+
   test("q92 incremental dedup: asymmetric shingle-equality join, never all-pairs") {
     val plan = planString(SparkEntry.queries("q92_incremental_dedup")(spark, sfDir))
     assert(!plan.contains("CartesianProduct") &&
