@@ -317,7 +317,7 @@ object Corpus {
   /** The near-dup-pair CTE chain (q25's capped exact-Jaccard pairs),
     * shared by the q48/q70/q80 oracles. Defines CTEs `t` (tokens with
     * position) through `edges` (both directions of each pair). */
-  private val pairCtes =
+  private[queries] val pairCtes =
     s"""${Dedup.tShCtes},
       |${Dedup.cappedFromShCtes},
       |prs AS (
@@ -401,7 +401,12 @@ object Corpus {
     * per-source rollup is a partial-aggregatable groupBy over the
     * (doc_id, source) projection — the corpus text is read only by
     * the shared pair computation. */
-  private def q80(s: SparkSession, d: String): DataFrame = {
+  private def q80(s: SparkSession, d: String): DataFrame =
+    dupBySource(s, d).orderBy("source")
+
+  /** The q80 computation unsorted — (source, n_docs, n_dup,
+    * dup_ratio) — shared with q100's dataset card. */
+  private[queries] def dupBySource(s: SparkSession, d: String): DataFrame = {
     // Endpoint extraction as one explode over the pairs frame — a
     // union of two projections would plan the expensive pair-build
     // subtree twice and depend on exchange reuse to dedupe it.
@@ -416,7 +421,6 @@ object Corpus {
       .select(col("source"), col("n_docs"), col("n_dup"),
         (col("n_dup").cast("double") / col("n_docs").cast("double"))
           .as("dup_ratio"))
-      .orderBy("source")
   }
 
   private val q80Sql =

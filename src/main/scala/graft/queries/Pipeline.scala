@@ -132,9 +132,85 @@ object Pipeline {
       |WHERE ${phashSql("'sample:' || k.doc_id")} % 2 = 0
       |ORDER BY k.doc_id""".stripMargin
 
+  /** q100: per-source dataset card — the one-table summary a corpus
+    * release ships: volume (docs, tokens, languages), micro-averaged
+    * quality (the q33 formula applied to SOURCE-level exact integer
+    * sums, so no derived doubles are ever re-aggregated — each card
+    * number is a single IEEE tree over exactly-agreed BIGINTs), and
+    * near-duplication rate (q80's membership computation, shared).
+    * Like q55, the point is that the COMPOSITION is oracle-checked,
+    * not just the member operators.
+    *
+    * Scale shape: three independent per-source partial aggs (metadata,
+    * token stats, dup membership) joined on the O(sources) key — the
+    * joins touch card-sized frames only; corpus-scale work is the
+    * shared token explode and the shared q25 pair build. */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    val docs = tbl(s, d, "documents")
+    val meta = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"))
+    val tok = TextAnalysis.docTokenStats(docs, "source")
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_distinct")).as("sum_distinct"),
+        sum(col("n_stop")).as("sum_stop"))
+    val dup = Corpus.dupBySource(s, d)
+      .select(col("source"), col("n_dup"), col("dup_ratio"))
+    def ttr = col("sum_distinct").cast("double") /
+      col("total_tokens").cast("double")
+    def stopR = col("sum_stop").cast("double") /
+      col("total_tokens").cast("double")
+    meta.join(tok, Seq("source")).join(dup, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("total_tokens"),
+        // Raw IEEE trees over exact integer sums (T.scala rules).
+        ttr.as("ttr"), stopR.as("stop_ratio"),
+        (lit(0.4) * ttr +
+          lit(0.3) * least(lit(1.0), col("total_tokens").cast("double") /
+            col("n_docs").cast("double") / 100.0) +
+          lit(0.3) * (lit(1.0) - stopR)).as("quality"),
+        col("n_dup"), col("dup_ratio"))
+      .orderBy("source")
+  }
+
+  /** Oracle: reuses the q25 pair chain (Corpus.pairCtes → dup/per, the
+    * q80 twins) and the q33 token-stat CTE (st33 from qualitySqlCtes,
+    * joined back to documents for source — the Spark side carries
+    * source through the groupBy key instead; same values). */
+  private val q100Sql =
+    s"""WITH ${Corpus.pairCtes},
+      |dup AS (SELECT DISTINCT src AS doc_id FROM edges),
+      |per AS (
+      |  SELECT source, count(*) AS n_dup
+      |  FROM documents JOIN dup USING (doc_id) GROUP BY source),
+      |${TextAnalysis.qualitySqlCtes},
+      |agg AS (
+      |  SELECT d.source, sum(n_tokens) AS total_tokens,
+      |         sum(n_distinct) AS sum_distinct, sum(n_stop) AS sum_stop
+      |  FROM st33 JOIN documents d USING (doc_id) GROUP BY 1),
+      |meta AS (
+      |  SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs
+      |  FROM documents GROUP BY 1)
+      |SELECT m.source, n_docs, n_langs, total_tokens,
+      |       CAST(sum_distinct AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS ttr,
+      |       CAST(sum_stop AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS stop_ratio,
+      |       0.4 * (CAST(sum_distinct AS DOUBLE) / CAST(total_tokens AS DOUBLE))
+      |     + 0.3 * least(1.0, CAST(total_tokens AS DOUBLE)
+      |                        / CAST(n_docs AS DOUBLE) / 100.0)
+      |     + 0.3 * (1.0 - CAST(sum_stop AS DOUBLE) / CAST(total_tokens AS DOUBLE))
+      |         AS quality,
+      |       coalesce(p.n_dup, 0) AS n_dup,
+      |       CAST(coalesce(p.n_dup, 0) AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |         AS dup_ratio
+      |FROM meta m JOIN agg USING (source) LEFT JOIN per p USING (source)
+      |ORDER BY m.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q55_curation_pipeline" -> q55 _)
+    "q55_curation_pipeline" -> q55 _,
+    "q100_dataset_card" -> q100 _)
 
   val oracles: Map[String, String] = Map(
-    "q55_curation_pipeline" -> q55Sql)
+    "q55_curation_pipeline" -> q55Sql,
+    "q100_dataset_card" -> q100Sql)
 }

@@ -90,14 +90,25 @@ object TextAnalysis {
     * is purely per-document, so callers that only need a SUBSET
     * (q70's cluster members) pre-filter and pay the tokenize+aggregate
     * cost for that subset alone. */
+  /** Per-document integer token stats (n_tokens, n_distinct,
+    * tok_chars, n_stop) keyed by doc_id + `extraKeys` — the exact
+    * building blocks of the q33 score, shared with q100's per-source
+    * micro-averaged card so the stopword list and counting rules have
+    * ONE home. */
+  private[queries] def docTokenStats(
+      docs: DataFrame, extraKeys: String*): DataFrame = {
+    val keys = col("doc_id") +: extraKeys.map(col)
+    docs
+      .select(keys :+ explode(split(col("text"), " ")).as("tok"): _*)
+      .groupBy(keys: _*).agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"),
+        sum(length(col("tok"))).as("tok_chars"),
+        sum(when(col("tok").isin(stopwords: _*), 1L).otherwise(0L)).as("n_stop"))
+  }
+
   private[queries] def q33Frame(docs: DataFrame): DataFrame = {
-    val perTok = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val st = perTok.groupBy("doc_id").agg(
-      count(lit(1)).as("n_tokens"),
-      countDistinct(col("tok")).as("n_distinct"),
-      sum(length(col("tok"))).as("tok_chars"),
-      sum(when(col("tok").isin(stopwords: _*), 1L).otherwise(0L)).as("n_stop"))
+    val st = docTokenStats(docs)
     st.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         (col("n_distinct").cast("double") / col("n_tokens").cast("double")).as("ttr"),
         (col("tok_chars").cast("double") / col("n_tokens").cast("double")).as("avg_tok_len"),

@@ -286,6 +286,13 @@ class PlanShapeSpec extends SparkSpec {
       s"exactly the per-user partial agg touches event-scale data:\n$plan")
   }
 
+  test("q100 dataset card: keyed joins of card-sized aggregates only, never all-pairs") {
+    val plan = planString(SparkEntry.queries("q100_dataset_card")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the card composes per-source partial aggs by equality joins:\n$plan")
+  }
+
   test("q92 incremental dedup: asymmetric shingle-equality join, never all-pairs") {
     val plan = planString(SparkEntry.queries("q92_incremental_dedup")(spark, sfDir))
     assert(!plan.contains("CartesianProduct") &&
