@@ -548,8 +548,8 @@ object Curation {
       |  FROM (SELECT DISTINCT day FROM e)),
       |cut AS (SELECT min(day) AS cut FROM days WHERE t = 5)
       |SELECT user_id,
-      |       sum(CASE WHEN day < cut THEN 1 ELSE 0 END) AS n_train,
-      |       sum(CASE WHEN day >= cut THEN 1 ELSE 0 END) AS n_test
+      |       CAST(sum(CASE WHEN day < cut THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+      |       CAST(sum(CASE WHEN day >= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_test
       |FROM e CROSS JOIN cut
       |GROUP BY user_id
       |HAVING sum(CASE WHEN day < cut THEN 1 ELSE 0 END) > 0

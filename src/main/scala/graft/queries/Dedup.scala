@@ -149,11 +149,6 @@ object Dedup {
       |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
       |  QUALIFY lead(tok,2) OVER w IS NOT NULL)""".stripMargin
 
-  /** CTE fragment: the capped pair-overlap chain (cap → shc → sizes →
-    * inter) over an upstream `sh` — the oracle twin of
-    * [[pairOverlaps]]. Composes after [[tShCtes]] (q25/q83, Corpus's
-    * pair/CC oracles) or after [[lshCandidateCtes]] (q88), which
-    * define the same `t`/`sh`. */
   /** CTE fragment: just the cap + capped shingle universe (cap → shc)
     * — the oracle twin of [[cappedShingles]]; [[cappedFromShCtes]]
     * composes the symmetric pair chain on top, q92 an asymmetric one. */
@@ -166,6 +161,11 @@ object Dedup {
       |  SELECT doc_id, shingle FROM sh, cap
       |  QUALIFY count(*) OVER (PARTITION BY shingle) <= cap)""".stripMargin
 
+  /** CTE fragment: the capped pair-overlap chain (cap → shc → sizes →
+    * inter) over an upstream `sh` — the oracle twin of
+    * [[pairOverlaps]]. Composes after [[tShCtes]] (q25/q83, Corpus's
+    * pair/CC oracles) or after [[lshCandidateCtes]] (q88), which
+    * define the same `t`/`sh`. */
   private[queries] val cappedFromShCtes =
     s"""$capShcCtes,
       |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),

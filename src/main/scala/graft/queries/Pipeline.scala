@@ -186,7 +186,7 @@ object Pipeline {
       |  FROM documents JOIN dup USING (doc_id) GROUP BY source),
       |${TextAnalysis.qualitySqlCtes},
       |agg AS (
-      |  SELECT d.source, sum(n_tokens) AS total_tokens,
+      |  SELECT d.source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
       |         sum(n_distinct) AS sum_distinct, sum(n_stop) AS sum_stop
       |  FROM st33 JOIN documents d USING (doc_id) GROUP BY 1),
       |meta AS (
