@@ -37,7 +37,14 @@ object Dedup {
     * shared by q25/q28/q48/q49 so the shingle scheme cannot diverge. */
   private[queries] def shinglesBy(
       s: SparkSession, d: String, keyCols: String*): DataFrame =
-    tbl(s, d, "documents")
+    shinglesOf(tbl(s, d, "documents"), keyCols: _*)
+
+  /** The same scheme over an arbitrary docs frame (needs `text` +
+    * `keyCols`) — public so the s19 streaming ingest gate computes
+    * shingles with PROVABLY the same definition the batch dedup
+    * family uses. */
+  def shinglesOf(docs: DataFrame, keyCols: String*): DataFrame =
+    docs
       .select(keyCols.map(col) :+ split(col("text"), " ").as("t"): _*)
       .filter(size(col("t")) >= 3)
       .select(keyCols.map(col) :+
@@ -64,8 +71,8 @@ object Dedup {
     * docs the fraction, 1e6, binds). The q25/q48 oracles apply the
     * SAME fraction+floor cap (cap/shc CTEs), so Spark and DuckDB stay
     * formally equivalent at every scale, not just below the cap. */
-  private[queries] val HotShingleDfFraction = 0.001
-  private[queries] val HotShingleDfFloor = 1000L
+  private[graft] val HotShingleDfFraction = 0.001
+  private[graft] val HotShingleDfFloor = 1000L
 
   private def capFromCount(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     greatest(lit(HotShingleDfFloor), floor(n * HotShingleDfFraction))
