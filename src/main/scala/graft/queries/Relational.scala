@@ -386,7 +386,93 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q101: shipping priority (the TPC-H Q3 shape) — top-10 unshipped
+    * orders by discounted revenue for one market segment at a cutoff
+    * date. The two-fact-join pattern q64 doesn't cover: orders ⋈
+    * lineitem is a genuine big×big equality join (SMJ/shuffle-hash at
+    * scale, both sides date-FILTERED AT THE SCAN before the join),
+    * while the segment-filtered customer dim broadcasts. Top-10 rides
+    * TakeOrderedAndProject — no global sort materializes. Revenue is
+    * decimal-exact, so the DESC ordering and the tie-break
+    * (l_orderkey) agree across engines. */
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    val cut = "1998-06-30"
+    val c = tbl(s, d, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = tbl(s, d, "orders")
+      .filter(col("o_orderdate") < lit(cut))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val li = tbl(s, d, "lineitem")
+      .filter(col("l_shipdate") > lit(cut))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        // o_orderdate is TIMESTAMP_NTZ in parquet; the session tz is
+        // UTC, so the cast re-tags the same instant DuckDB's epoch_ms
+        // assumes.
+        ms(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q101Sql =
+    """SELECT l_orderkey,
+      |       CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |         AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
+      |       epoch_ms(o_orderdate) AS o_orderdate_ms,
+      |       o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-30'
+      |  AND l_shipdate > TIMESTAMP '1998-06-30'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** q102: supplier diversity per part attribute (the TPC-H Q16
+    * shape): distinct supplier counts per (brand, size), excluding one
+    * brand and every supplier on a denylist (negative account balance)
+    * — the NOT IN anti-join + count(DISTINCT) pattern. lineitem stands
+    * in for partsupp (the driver's schema has no partsupp table): the
+    * supplier×part relation is derived from actual shipments.
+    *
+    * Scale shape: both dims broadcast (part onto the fact scan, the
+    * ≤suppliers denylist as a broadcast LEFT ANTI); the distinct-agg
+    * shuffles (brand, size, suppkey) partials — corpus-scale data
+    * moves once. */
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    val li = tbl(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+    val p = tbl(s, d, "part")
+      .filter(col("p_brand") =!= "Brand#1")
+      .select(col("p_partkey"), col("p_brand"),
+        col("p_size").cast("long").as("p_size"))
+    val deny = tbl(s, d, "supplier")
+      .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(deny), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  private val q102Sql =
+    """SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+      |       count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_ship_priority" -> q101 _,
+    "q102_supplier_diversity" -> q102 _,
     "q64_star_join_revenue" -> q64 _,
     "q65_pricing_summary" -> q65 _,
     "q01_project_rename" -> q01 _,
@@ -407,6 +493,8 @@ object Relational {
     "q16_rollup_stats" -> q16 _)
 
   val oracles: Map[String, String] = Map(
+    "q101_ship_priority" -> q101Sql,
+    "q102_supplier_diversity" -> q102Sql,
     "q64_star_join_revenue" -> q64Sql,
     "q65_pricing_summary" -> q65Sql,
     "q01_project_rename" -> q01Sql,

@@ -26,6 +26,25 @@ class PlanShapeSpec extends SparkSpec {
       s"shipdate predicate must be pushed to the scan:\n$plan")
   }
 
+  test("q101 ship priority: date filters pushed to both fact scans, top-10 never global-sorts") {
+    val plan = planString(SparkEntry.queries("q101_ship_priority")(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"lineitem date predicate must reach the scan:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"),
+      s"orders date predicate must reach the scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must ride TakeOrderedAndProject, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"equi-joins only:\n$plan")
+  }
+
+  test("q102 supplier diversity: dims broadcast (incl. the denylist anti-join), fact moves once") {
+    val plan = planString(SparkEntry.queries("q102_supplier_diversity")(spark, sfDir))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"part and the supplier denylist must broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+  }
+
   test("q58 decontamination: eval semijoin broadcasts, corpus never shuffles on shingle") {
     val plan = planString(SparkEntry.queries("q58_decontaminate")(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"),
