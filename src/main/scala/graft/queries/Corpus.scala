@@ -228,6 +228,76 @@ object Corpus {
       |WHERE n_ab >= 5
       |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin
 
+  /** q103: Count-Min heavy-hitter audit — a 4×1024 Count-Min sketch of
+    * the token frequency stream (deterministic row hashes on the
+    * portable phash, the q28 recurrence), probed for the top-20 exact
+    * heavy hitters: exact count, CMS estimate, and the one-sided
+    * overestimate. The frequency-sketch calibration table completing
+    * the audit family (q88 MinHash, q95 ANN, q97 IVF) — and because
+    * the sketch is pure integer arithmetic, the ESTIMATE itself is
+    * oracle-verified bit-exact (the q49 KMV discipline).
+    *
+    * Scale shape: corpus-scale work is ONE (tok) partial agg (shared
+    * with q75/q90's posture); the sketch builds from the VOCAB frame
+    * (4 cells per distinct token → 4096 partial-agg cells, shuffle
+    * volume independent of corpus size — the CMS point); the probe
+    * side is 20 rows × 4 cells joined against the broadcast-sized
+    * cell table. The heavy-hitter rank runs over the aggregated vocab
+    * (the q90 fence; at a 100M-type vocab swap in q61-style binning). */
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    def cmsCol(h: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
+      pmod(pmod(h * (lit(2L) * r + 1L) + lit(7919L) * r + 13L,
+        lit(4294967311L)), lit(1024L))
+    val vocab = tbl(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val cells = vocab
+      .select(col("cnt"), phash(col("tok")).as("h"),
+        explode(sequence(lit(0L), lit(3L))).as("r"))
+      .groupBy(col("r"), cmsCol(col("h"), col("r")).as("c"))
+      .agg(sum(col("cnt")).as("cell"))
+    val top = vocab
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok"))))
+      .filter(col("rn") <= 20)
+    top
+      .select(col("tok"), col("cnt"), phash(col("tok")).as("h"),
+        explode(sequence(lit(0L), lit(3L))).as("r"))
+      .withColumn("c", cmsCol(col("h"), col("r")))
+      .join(broadcast(cells), Seq("r", "c"))
+      .groupBy(col("tok"), col("cnt"))
+      .agg(min(col("cell")).as("est"))
+      .select(col("tok"), col("cnt").as("exact_cnt"),
+        col("est").as("est_cnt"), (col("est") - col("cnt")).as("overestimate"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  private val q103Sql = {
+    def cms(h: String) =
+      s"(($h*(2*r+1) + 7919*r + 13) % 4294967311) % 1024"
+    s"""WITH v AS (
+      |  SELECT tok, count(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY 1),
+      |hv AS (SELECT tok, cnt, ${phashSql("tok")} AS h FROM v),
+      |cells AS (
+      |  SELECT r, ${cms("h")} AS c, sum(cnt) AS cell
+      |  FROM hv CROSS JOIN generate_series(0, 3) g(r) GROUP BY 1, 2),
+      |top AS (
+      |  SELECT tok, cnt, h,
+      |         row_number() OVER (ORDER BY cnt DESC, tok) AS rn
+      |  FROM hv QUALIFY rn <= 20),
+      |est AS (
+      |  SELECT t.tok, t.cnt, min(cell) AS est
+      |  FROM top t CROSS JOIN generate_series(0, 3) g(gr)
+      |  JOIN cells ON cells.r = g.gr
+      |   AND cells.c = ((t.h*(2*g.gr+1) + 7919*g.gr + 13) % 4294967311) % 1024
+      |  GROUP BY 1, 2)
+      |SELECT tok, cnt AS exact_cnt, est AS est_cnt,
+      |       est - cnt AS overestimate
+      |FROM est ORDER BY exact_cnt DESC, tok""".stripMargin
+  }
+
   /** q77: per-document token entropy — the Gopher-style information
     * signal (near-zero entropy = degenerate repetition, high = diverse
     * vocabulary): H = ln(n) − Σ c·ln(c)/n over the document's own
@@ -571,6 +641,7 @@ object Corpus {
     "q75_unigram_surprisal" -> q75 _,
     "q96_perplexity_buckets" -> q96 _,
     "q98_pmi_cooccur" -> q98 _,
+    "q103_countmin_audit" -> q103 _,
     "q77_token_entropy" -> q77 _,
     "q80_dup_by_source" -> q80 _)
 
@@ -585,6 +656,7 @@ object Corpus {
     "q75_unigram_surprisal" -> q75Sql,
     "q96_perplexity_buckets" -> q96Sql,
     "q98_pmi_cooccur" -> q98Sql,
+    "q103_countmin_audit" -> q103Sql,
     "q77_token_entropy" -> q77Sql,
     "q80_dup_by_source" -> q80Sql)
 }

@@ -312,6 +312,14 @@ class PlanShapeSpec extends SparkSpec {
       s"the card composes per-source partial aggs by equality joins:\n$plan")
   }
 
+  test("q103 count-min audit: sketch cells broadcast onto the probe, no shuffle join") {
+    val plan = planString(SparkEntry.queries("q103_countmin_audit")(spark, sfDir))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the 4096-cell table must broadcast onto the 20-row probe:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected a broadcast probe join:\n$plan")
+  }
+
   test("q92 incremental dedup: asymmetric shingle-equality join, never all-pairs") {
     val plan = planString(SparkEntry.queries("q92_incremental_dedup")(spark, sfDir))
     assert(!plan.contains("CartesianProduct") &&
