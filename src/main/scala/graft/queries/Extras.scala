@@ -629,7 +629,41 @@ object Extras {
       |GROUP BY GROUPING SETS ((event_type), (bucket), ())
       |ORDER BY gid, coalesce(event_type, '~'), coalesce(bucket, -1)""".stripMargin
 
+  /** q104: retention cohorts — the canonical product-analytics matrix:
+    * users cohorted by FIRST active day, then distinct active users
+    * per (cohort day, day offset). The engagement-decay table every
+    * event pipeline ships; here it doubles as the user-activity-span
+    * profile a per-user training split (q99) is tuned against.
+    *
+    * Scale shape: the cohort day attaches by a per-user window MIN —
+    * ONE hashpartitioning(user_id) exchange, no join-back — and the
+    * matrix is a (cohort, offset) distinct-agg whose output is
+    * O(days²) regardless of event volume. All integers; exact in both
+    * engines. */
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    val e = tbl(s, d, "events")
+      .select(col("user_id"), dayNum(col("ts")).as("day"))
+    e.withColumn("cohort",
+        min(col("day")).over(Window.partitionBy("user_id")))
+      .groupBy(col("cohort").as("cohort_day"),
+        (col("day") - col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  private val q104Sql =
+    s"""WITH e AS (
+      |  SELECT user_id, ${dayNumSql("ts")} AS day FROM events),
+      |c AS (
+      |  SELECT user_id, day,
+      |         min(day) OVER (PARTITION BY user_id) AS cohort
+      |  FROM e)
+      |SELECT cohort AS cohort_day, day - cohort AS day_offset,
+      |       count(DISTINCT user_id) AS n_active
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_retention_cohorts" -> q104 _,
     "q66_range_frame" -> q66 _,
     "q67_grouping_sets" -> q67 _,
     "q61_histogram_quantiles" -> q61 _,
@@ -653,6 +687,7 @@ object Extras {
     "q66_range_frame" -> q66Sql,
     "q67_grouping_sets" -> q67Sql,
     "q61_histogram_quantiles" -> q61Sql,
+    "q104_retention_cohorts" -> q104Sql,
     "q56_sessionize" -> q56Sql,
     "q78_event_funnel" -> q78Sql,
     "q54_corr_regr" -> q54Sql,

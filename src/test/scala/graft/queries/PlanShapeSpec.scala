@@ -312,6 +312,13 @@ class PlanShapeSpec extends SparkSpec {
       s"the card composes per-source partial aggs by equality joins:\n$plan")
   }
 
+  test("q104 retention cohorts: cohort attaches via the user window, no join") {
+    val plan = planString(SparkEntry.queries("q104_retention_cohorts")(spark, sfDir))
+    assert(!plan.contains("Join"), s"the cohort day is a window MIN, not a join-back:\n$plan")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      s"exactly one user exchange feeds window + rollup:\n$plan")
+  }
+
   test("q103 count-min audit: sketch cells broadcast onto the probe, no shuffle join") {
     val plan = planString(SparkEntry.queries("q103_countmin_audit")(spark, sfDir))
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct") &&
