@@ -556,7 +556,45 @@ object Curation {
       |   AND sum(CASE WHEN day >= cut THEN 1 ELSE 0 END) > 0
       |ORDER BY user_id""".stripMargin
 
+  /** q105: soft quality sampling — the FineWeb/DataComp-style
+    * STOCHASTIC quality filter: instead of a hard threshold (q55's
+    * stage 1), each document survives with probability quality², via
+    * a deterministic per-doc uniform draw u = phash("soft:"+doc_id) /
+    * 2³² (a dyadic rational — exact in both engines, reproducible
+    * across runs and machines, the q47 hash-sampling mechanism). Soft
+    * gates keep the quality distribution's tail instead of cliffing
+    * at a threshold — the curation choice when downstream mixing
+    * wants diversity.
+    *
+    * Scale shape: quality is the shared q33 per-doc agg; the draw and
+    * the gate are row-local; output sort is the only extra exchange. */
+  private def q105(s: SparkSession, d: String): DataFrame =
+    graft.queries.TextAnalysis
+      .q33Frame(tbl(s, d, "documents"))
+      .select(col("doc_id"), col("quality"))
+      .withColumn("draw",
+        phash(concat(lit("soft:"), col("doc_id").cast("string"))).cast("double")
+          / 4294967296.0)
+      // quality and draw are exactly-agreed doubles; the product and
+      // comparison are single IEEE ops (T.scala rules — no rounding).
+      .filter(col("draw") < col("quality") * col("quality"))
+      .select(col("doc_id"), col("quality"), col("draw"))
+      .orderBy("doc_id")
+
+  private val q105Sql =
+    s"""WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |${graft.queries.TextAnalysis.qualitySqlCtes},
+      |drawn AS (
+      |  SELECT doc_id, quality,
+      |         ${phashSql("'soft:' || doc_id")} / 4294967296.0 AS draw
+      |  FROM qual)
+      |SELECT doc_id, quality, draw
+      |FROM drawn WHERE draw < quality * quality
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_soft_quality_sample" -> q105 _,
     "q84_bloom_decontaminate" -> q84 _,
     "q87_domain_cap" -> q87 _,
     "q91_source_overlap" -> q91 _,
@@ -582,5 +620,6 @@ object Curation {
     "q71_chunk_windows" -> q71Sql,
     "q72_span_dedup" -> q72Sql,
     "q74_shuffle_shard" -> q74Sql,
-    "q99_temporal_holdout" -> q99Sql)
+    "q99_temporal_holdout" -> q99Sql,
+    "q105_soft_quality_sample" -> q105Sql)
 }
