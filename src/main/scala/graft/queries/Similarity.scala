@@ -313,6 +313,19 @@ object Similarity {
     * oracle derives the identical width with CASE WHEN. */
   private def lshTopK(s: SparkSession, d: String,
       probeFilter: Option[Column]): DataFrame = {
+    val wTop = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("mid").asc)
+    lshScored(s, d, probeFilter)
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("mid"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** The distinct scored LSH candidate frame (qid, mid, cos) before
+    * ranking — shared by q53/q57's top-k and q106's pos/neg mining. */
+  private def lshScored(s: SparkSession, d: String,
+      probeFilter: Option[Column]): DataFrame = {
     val planes: Seq[Seq[Long]] = (0 until LshPlanes).map(j =>
       (1 to 64).map(dd => (phashDriver(s"$j:$dd") % 1001L) - 500L))
     val wLit = typedlit(planes)
@@ -348,8 +361,6 @@ object Similarity {
         col("b"), col("bv"))
     val members = banded.select(col("vec_id").as("mid"), col("v").as("mv"),
       col("nrm").as("mn"), col("b").as("b_m"), col("bv").as("bv_m"))
-    val wTop = Window.partitionBy("qid")
-      .orderBy(col("cos").desc, col("mid").asc)
     probes
       .join(members,
         col("b") === col("b_m") && col("bv") === col("bv_m") &&
@@ -357,10 +368,6 @@ object Similarity {
       .select(col("qid"), col("mid"),
         cosR("qv", "mv", col("qn"), col("mn")).as("cos"))
       .distinct() // a pair can share both bands
-      .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter(col("rank") <= 5)
-      .select(col("qid"), col("rank"), col("mid"), col("cos"))
-      .orderBy("qid", "rank")
   }
 
   private def q53(s: SparkSession, d: String): DataFrame =
@@ -432,6 +439,69 @@ object Similarity {
 
   private val q53Sql = lshSql("WHERE q.vec_id % 50 = 0")
   private val q57Sql = lshSql("")
+
+  /** q106: contrastive pair mining — for each probe anchor, the
+    * hardest NEGATIVE (highest cosine among different-label LSH
+    * candidates — the confusable impostor) and the best POSITIVE
+    * (highest cosine among same-label candidates), the (anchor,
+    * positive, hard-negative) triplets metric-learning / embedding
+    * fine-tuning trains on. −1/0.0 sentinels when a side has no
+    * candidate; anchors with no candidates at all emit nothing (the
+    * q57 fence: LSH recall is q95's audit).
+    *
+    * Scale shape: candidates ride the shared banded equality join
+    * (lshScored — never n²); labels attach by two vec_id-keyed joins
+    * of the (vec_id, label) projection; the per-(anchor, side) argmax
+    * windows over candidate-sized frames. */
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    val lab = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val j = lshScored(s, d, Some(col("vec_id") % 50 === 0))
+      .join(lab.select(col("vec_id").as("qid"), col("label")), Seq("qid"))
+      .join(lab.select(col("vec_id").as("mid"), col("label").as("mlabel")),
+        Seq("mid"))
+      .withColumn("same", col("label") === col("mlabel"))
+    val w = Window.partitionBy("qid", "same")
+      .orderBy(col("cos").desc, col("mid").asc)
+    val r = j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val pos = r.filter(col("same"))
+      .select(col("qid"), col("mid").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = r.filter(!col("same"))
+      .select(col("qid"), col("mid").as("neg_id"), col("cos").as("neg_cos"))
+    j.select(col("qid"), col("label")).distinct()
+      .join(pos, Seq("qid"), "left")
+      .join(neg, Seq("qid"), "left")
+      .select(col("qid"), col("label"),
+        coalesce(col("pos_id"), lit(-1L)).as("pos_id"),
+        coalesce(col("pos_cos"), lit(0.0)).as("pos_cos"),
+        coalesce(col("neg_id"), lit(-1L)).as("neg_id"),
+        coalesce(col("neg_cos"), lit(0.0)).as("neg_cos"))
+      .orderBy("qid")
+  }
+
+  private val q106Sql =
+    s"""WITH ${lshCtes("WHERE q.vec_id % 50 = 0")},
+      |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+      |j AS (
+      |  SELECT s.qid, s.mid, s.cos, la.label, (la.label = lb.label) AS same
+      |  FROM scored s JOIN lab la ON la.vec_id = s.qid
+      |  JOIN lab lb ON lb.vec_id = s.mid),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid, same
+      |              ORDER BY cos DESC, mid ASC) AS rn
+      |  FROM j),
+      |pos AS (SELECT qid, mid AS pos_id, cos AS pos_cos
+      |        FROM r WHERE rn = 1 AND same),
+      |neg AS (SELECT qid, mid AS neg_id, cos AS neg_cos
+      |        FROM r WHERE rn = 1 AND NOT same),
+      |anchors AS (SELECT DISTINCT qid, label FROM j)
+      |SELECT a.qid, a.label,
+      |       coalesce(pos_id, -1) AS pos_id,
+      |       coalesce(pos_cos, 0.0) AS pos_cos,
+      |       coalesce(neg_id, -1) AS neg_id,
+      |       coalesce(neg_cos, 0.0) AS neg_cos
+      |FROM anchors a LEFT JOIN pos USING (qid) LEFT JOIN neg USING (qid)
+      |ORDER BY a.qid""".stripMargin
 
   /** q95: ANN-accuracy audit — recall@5 of the LSH path (q53) against
     * the exact brute-force top-5 for every probe: the table an index
@@ -749,7 +819,8 @@ object Similarity {
     "q57_ann_lsh_all" -> q57 _,
     "q76_embed_quantize" -> q76 _,
     "q95_ann_recall" -> q95 _,
-    "q97_ivf_stats" -> q97 _)
+    "q97_ivf_stats" -> q97 _,
+    "q106_hard_negatives" -> q106 _)
 
   val oracles: Map[String, String] = Map(
     "q86_label_centroids" -> q86Sql,
@@ -763,5 +834,6 @@ object Similarity {
     "q57_ann_lsh_all" -> q57Sql,
     "q76_embed_quantize" -> q76Sql,
     "q95_ann_recall" -> q95Sql,
-    "q97_ivf_stats" -> q97Sql)
+    "q97_ivf_stats" -> q97Sql,
+    "q106_hard_negatives" -> q106Sql)
 }

@@ -312,6 +312,13 @@ class PlanShapeSpec extends SparkSpec {
       s"the card composes per-source partial aggs by equality joins:\n$plan")
   }
 
+  test("q106 hard negatives: candidates ride the banded equality join, no cartesian") {
+    val plan = planString(SparkEntry.queries("q106_hard_negatives")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay the (b, bv) equality join:\n$plan")
+  }
+
   test("q104 retention cohorts: cohort attaches via the user window, no join") {
     val plan = planString(SparkEntry.queries("q104_retention_cohorts")(spark, sfDir))
     assert(!plan.contains("Join"), s"the cohort day is a window MIN, not a join-back:\n$plan")
