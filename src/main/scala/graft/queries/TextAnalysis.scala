@@ -44,7 +44,13 @@ object TextAnalysis {
     * heuristic: score(lang) = Σ_tokens phash(lang:token) mod 1000,
     * prediction = argmax (the real-model shape: per-token class
     * affinities summed per document, argmax over classes). */
-  private def q32(s: SparkSession, d: String): DataFrame = {
+  private def q32(s: SparkSession, d: String): DataFrame =
+    langidFrame(s, d).orderBy("doc_id")
+
+  /** The q32 computation unsorted — per doc: predicted lang, true
+    * lang, correctness, winning score — shared with q107's confusion
+    * rollup. */
+  private def langidFrame(s: SparkSession, d: String): DataFrame = {
     val langs = Seq("de", "en", "es", "fr", "zh")
     val perTok = tbl(s, d, "documents")
       .select(col("doc_id"), col("lang"),
@@ -65,19 +71,50 @@ object TextAnalysis {
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("cand").as("pred_lang"), col("lang"),
         (col("cand") === col("lang")).as("correct"), col("score"))
-      .orderBy("doc_id")
   }
 
-  private val q32Sql =
-    s"""WITH t AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents),
+  /** CTE chain for [[langidFrame]] (t32 → sc → p32) — ONE SQL home
+    * shared by the q32 and q107 oracles. */
+  private val langidCtes =
+    s"""t32 AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents),
       |sc AS (
       |  SELECT doc_id, lang, cand, CAST(sum(${phashSql("cand || ':' || tok")} % 1000) AS BIGINT) AS score
-      |  FROM t CROSS JOIN (SELECT unnest(['de','en','es','fr','zh']) AS cand)
-      |  GROUP BY doc_id, lang, cand)
-      |SELECT doc_id, cand AS pred_lang, lang, cand = lang AS correct, score
-      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-      |                                   ORDER BY score DESC, cand ASC) AS rn FROM sc)
-      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+      |  FROM t32 CROSS JOIN (SELECT unnest(['de','en','es','fr','zh']) AS cand)
+      |  GROUP BY doc_id, lang, cand),
+      |p32 AS (
+      |  SELECT doc_id, cand AS pred_lang, lang, cand = lang AS correct, score
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                                     ORDER BY score DESC, cand ASC) AS rn FROM sc)
+      |  WHERE rn = 1)""".stripMargin
+
+  private val q32Sql =
+    s"""WITH $langidCtes
+      |SELECT doc_id, pred_lang, lang, correct, score
+      |FROM p32 ORDER BY doc_id""".stripMargin
+
+  /** q107: lang-ID confusion matrix — count and within-truth fraction
+    * per (true lang, predicted lang) over q32's classifier: the
+    * accuracy table that decides whether the n-gram heuristic is
+    * trustworthy per language before it gates a corpus (the q94
+    * confusion discipline applied to the text side).
+    *
+    * Scale shape: rides q32's chain; the rollup is one partial agg
+    * and the fraction window runs over the ≤langs² grouped frame. */
+  private def q107(s: SparkSession, d: String): DataFrame =
+    langidFrame(s, d)
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+      .withColumn("n_lang", sum(col("n")).over(Window.partitionBy("lang")))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        (col("n").cast("double") / col("n_lang").cast("double")).as("frac"))
+      .orderBy("lang", "pred_lang")
+
+  private val q107Sql =
+    s"""WITH $langidCtes,
+      |g AS (SELECT lang, pred_lang, count(*) AS n FROM p32 GROUP BY 1, 2)
+      |SELECT lang, pred_lang, n,
+      |       CAST(n AS DOUBLE) /
+      |       CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) AS frac
+      |FROM g ORDER BY lang, pred_lang""".stripMargin
 
   /** q33: document quality scoring — type/token ratio, length prior,
     * stopword ratio, composed into one score. The double
@@ -359,6 +396,7 @@ object TextAnalysis {
     "q85_normalize_audit" -> q85 _,
     "q27_text_stats" -> q27 _,
     "q32_langid" -> q32 _,
+    "q107_langid_confusion" -> q107 _,
     "q33_quality_score" -> q33 _,
     "q34_token_count" -> q34 _,
     "q35_fingerprint" -> q35 _,
@@ -369,6 +407,7 @@ object TextAnalysis {
     "q85_normalize_audit" -> q85Sql,
     "q27_text_stats" -> q27Sql,
     "q32_langid" -> q32Sql,
+    "q107_langid_confusion" -> q107Sql,
     "q33_quality_score" -> q33Sql,
     "q34_token_count" -> q34Sql,
     "q35_fingerprint" -> q35Sql,

@@ -312,6 +312,13 @@ class PlanShapeSpec extends SparkSpec {
       s"the card composes per-source partial aggs by equality joins:\n$plan")
   }
 
+  test("q107 langid confusion: rides q32's broadcast-affinity chain, no corpus shuffle join") {
+    val plan = planString(SparkEntry.queries("q107_langid_confusion")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"the affinity table must broadcast (q32's shape):\n$plan")
+  }
+
   test("q106 hard negatives: candidates ride the banded equality join, no cartesian") {
     val plan = planString(SparkEntry.queries("q106_hard_negatives")(spark, sfDir))
     assert(!plan.contains("CartesianProduct") &&
