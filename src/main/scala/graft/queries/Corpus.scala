@@ -288,7 +288,7 @@ object Corpus {
       |         row_number() OVER (ORDER BY cnt DESC, tok) AS rn
       |  FROM hv QUALIFY rn <= 20),
       |est AS (
-      |  SELECT t.tok, t.cnt, min(cell) AS est
+      |  SELECT t.tok, t.cnt, CAST(min(cell) AS BIGINT) AS est
       |  FROM top t CROSS JOIN generate_series(0, 3) g(gr)
       |  JOIN cells ON cells.r = g.gr
       |   AND cells.c = ((t.h*(2*g.gr+1) + 7919*g.gr + 13) % 4294967311) % 1024

@@ -74,7 +74,10 @@ object Dedup {
   private[graft] val HotShingleDfFraction = 0.001
   private[graft] val HotShingleDfFloor = 1000L
 
-  private def capFromCount(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  /** The cap formula over a qualifying-doc count column — ONE home
+    * (private[graft]: the s19 index builder must use the same rule,
+    * not a copy). */
+  private[graft] def capFromCount(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     greatest(lit(HotShingleDfFloor), floor(n * HotShingleDfFraction))
 
   /** The cap as a lazy 1-row scalar off the shingle frame itself (like

@@ -35,17 +35,27 @@ object DeadLetter {
       cached.filter(col(CorruptCol).isNotNull)
         .select(col(CorruptCol).as("raw_line")))
 
-  /** Wire a stream through the quarantine: valid rows append to
-    * `goodDir`, corrupt raw lines (+ batch id) to `badDir`. */
+  /** Wire a stream through the quarantine: valid rows to `goodDir`,
+    * corrupt raw lines to `badDir`, both partitioned by batch id.
+    * foreachBatch is at-least-once — a crash between one write and
+    * the checkpoint commit replays the whole batch — so BOTH writes
+    * are IDEMPOTENT (dynamic overwrite of this batch's partition):
+    * a replay replaces its own rows, never duplicates them, and the
+    * valid + quarantined = ingested invariant survives restarts. */
   def start(docs: DataFrame, goodDir: String, badDir: String,
       checkpoint: String): StreamingQuery =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val cached = batch.persist()
       try {
         val (good, bad) = split(cached)
-        good.write.mode("append").parquet(goodDir)
-        bad.withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(badDir)
+        def put(df: DataFrame, dir: String): Unit =
+          df.withColumn("batch_id", lit(id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(dir)
+        put(good, goodDir)
+        put(bad, badDir)
       } finally { cached.unpersist(); () }
     }
       .option("checkpointLocation", checkpoint)

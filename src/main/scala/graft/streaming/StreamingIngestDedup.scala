@@ -43,23 +43,29 @@ object StreamingIngestDedup {
     * the (tiny) dropped-hot-shingle set. */
   final case class Index(capped: DataFrame, sizes: DataFrame, hot: DataFrame)
 
-  /** Build the index with the batch family's cap discipline:
-    * fraction+floor df cap over the EXISTING corpus ([[
-    * graft.queries.Dedup.HotShingleDfFraction]] / DfFloor). */
+  /** Build the index with the batch family's cap discipline — the
+    * SAME [[graft.queries.Dedup.capFromCount]] rule, not a copy. The
+    * three frames are persist()ed: the index is computed once (first
+    * batch materializes it) and every later micro-batch reuses the
+    * cached, shingle-partitioned result — without the cache each
+    * foreachBatch action would re-run the corpus-wide shingle build,
+    * turning "one equality join per shard" into a full index rebuild
+    * per batch. */
   def buildIndex(existing: DataFrame): Index = {
     val sh = graft.queries.Dedup.shinglesOf(existing, "doc_id")
       .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
     val nDocs = existing.filter(size(split(col("text"), " ")) >= 3)
-      .agg(greatest(lit(graft.queries.Dedup.HotShingleDfFloor),
-        floor(count(lit(1)) * graft.queries.Dedup.HotShingleDfFraction))
-        .as("cap"))
+      .agg(graft.queries.Dedup.capFromCount(count(lit(1))).as("cap"))
     val withCap = graft.T.withScalar(sh, nDocs)
     val capped = withCap.filter(col("df") <= col("cap"))
       .select(col("doc_id").as("de"), col("shingle"))
       .repartition(col("shingle"))
+      .persist()
     val hot = withCap.filter(col("df") > col("cap"))
       .select(col("shingle")).distinct()
+      .persist()
     val sizes = capped.groupBy(col("de")).agg(count(lit(1)).as("ne"))
+      .persist()
     Index(capped, sizes, hot)
   }
 
@@ -92,10 +98,14 @@ object StreamingIngestDedup {
           .otherwise("keep").as("action"))
   }
 
-  /** Wire a doc stream through the gate with foreachBatch, appending
-    * parquet verdicts to `outDir`. AvailableNow makes this the
-    * incremental-batch shape: process whatever landed, checkpoint,
-    * stop — each file is gated exactly once across restarts. */
+  /** Wire a doc stream through the gate with foreachBatch, writing
+    * parquet verdicts to `outDir` partitioned by batch id.
+    * AvailableNow makes this the incremental-batch shape: process
+    * whatever landed, checkpoint, stop. foreachBatch is at-least-once
+    * — a crash between the write and the checkpoint commit replays
+    * the batch — so the write is made IDEMPOTENT (dynamic overwrite
+    * of this batch's partition replaces, never duplicates): verdicts
+    * land exactly once across restarts. */
   def start(docs: DataFrame, idx: Index, outDir: String,
       checkpoint: String): StreamingQuery =
     writer(docs, idx, outDir)
@@ -105,8 +115,13 @@ object StreamingIngestDedup {
 
   private def writer(docs: DataFrame, idx: Index,
       outDir: String): DataStreamWriter[Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      gate(batch, idx).write.mode("append").parquet(outDir)
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      gate(batch, idx)
+        .withColumn("batch_id", lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(outDir)
       ()
     }
 }

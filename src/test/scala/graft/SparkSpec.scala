@@ -33,6 +33,17 @@ trait SparkSpec extends AnyFunSuite {
 
   def planString(df: DataFrame): String = executedPlan(df).toString
 
+  /** JSON string escape for hand-built jsonl fixtures (quotes,
+    * backslash, control chars) — ONE copy for every streaming spec;
+    * a raw control char would split/corrupt a jsonl record and
+    * silently shrink the streamed side of a parity assertion. */
+  def escJson(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"' => "\\\""
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   /** All nodes of an executed plan INCLUDING query-stage interiors:
     * AQE wraps materialized stages (and, in Spark 4, the whole result)
     * in leaf QueryStageExec nodes, so a plain `plan.collect` stops at

@@ -43,12 +43,14 @@ class DeadLetterSpec extends SparkSpec {
     val q = DeadLetter.start(stream, goodDir, badDir, tmp("dl-ckpt").toString)
     q.awaitTermination(120000)
 
-    val good = spark.read.parquet(goodDir).collect()
+    val good = spark.read.parquet(goodDir)
+      .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(good == Set((1L, "alpha beta"), (2L, "gamma"),
       (3L, "delta"), (4L, "zeta")), s"got $good")
 
-    val bad = spark.read.parquet(badDir).collect()
+    val bad = spark.read.parquet(badDir)
+      .select("raw_line").collect()
       .map(r => r.getString(0)).toSet
     assert(bad == Set("""{broken json line""",
       """{"doc_id": "not a number", "text": "epsilon"}"""),

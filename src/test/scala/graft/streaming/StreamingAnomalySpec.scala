@@ -28,21 +28,16 @@ class StreamingAnomalySpec extends SparkSpec {
 
     val dir = tmp("anom").resolve("events")
     Files.createDirectories(dir)
-    // escape strings and refuse non-finite doubles (invalid JSON
-    // numbers) — a corrupted line would parse to nulls under the
-    // PERMISSIVE reader and silently shrink the streamed side.
-    def esc(s: String) = s.flatMap {
-      case '\\' => "\\\\"
-      case '"' => "\\\""
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+    // escJson + the finiteness guard: a corrupted line (bad escape or
+    // a non-finite double, invalid as a JSON number) would parse to
+    // nulls under the PERMISSIVE reader and silently shrink the
+    // streamed side.
     events.grouped((events.length + 1) / 2).zipWithIndex.foreach {
       case (chunk, i) =>
         Files.write(dir.resolve(s"b$i.jsonl"), chunk.map { r =>
           assert(java.lang.Double.isFinite(r.getDouble(2)),
             s"fixture value must be a valid JSON number: $r")
-          s"""{"event_id": ${r.getLong(0)}, "event_type": "${esc(r.getString(1))}", "value": ${r.getDouble(2)}}"""
+          s"""{"event_id": ${r.getLong(0)}, "event_type": "${escJson(r.getString(1))}", "value": ${r.getDouble(2)}}"""
         }.toSeq.asJava)
     }
     val schema = new StructType()

@@ -36,19 +36,10 @@ class StreamingDecontaminateSpec extends SparkSpec {
     val dir = tmp("decon").resolve("docs")
     Files.createDirectories(dir)
     val train = docs.filter(_.getString(2) != "src0")
-    // escape control chars too (Verify.scala's discipline) — a raw
-    // newline in a future fixture would split the jsonl record and
-    // silently shrink the streamed side of the parity assertion
-    def esc(s: String) = s.flatMap {
-      case '\\' => "\\\\"
-      case '"' => "\\\""
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
     train.grouped((train.length + 1) / 2).zipWithIndex.foreach {
       case (chunk, i) =>
         Files.write(dir.resolve(s"b$i.jsonl"), chunk.map(r =>
-          s"""{"doc_id": ${r.getLong(0)}, "text": "${esc(r.getString(1))}"}""")
+          s"""{"doc_id": ${r.getLong(0)}, "text": "${escJson(r.getString(1))}"}""")
           .toSeq.asJava)
     }
     val schema = new StructType()

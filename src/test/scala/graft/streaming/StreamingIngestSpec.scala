@@ -31,18 +31,12 @@ class StreamingIngestSpec extends SparkSpec {
     assert(incoming.nonEmpty, "fixture must have src1 docs")
 
     // shard as two jsonl files, forced into two micro-batches
-    def esc(s: String) = s.flatMap {
-      case '\\' => "\\\\"
-      case '"' => "\\\""
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
     val dir = tmp("ingest").resolve("landing")
     Files.createDirectories(dir)
     incoming.grouped((incoming.length + 1) / 2).zipWithIndex.foreach {
       case (chunk, i) =>
         Files.write(dir.resolve(s"shard$i.jsonl"), chunk.map(r =>
-          s"""{"doc_id": ${r.getLong(0)}, "text": "${esc(r.getString(1))}"}""")
+          s"""{"doc_id": ${r.getLong(0)}, "text": "${escJson(r.getString(1))}"}""")
           .toSeq.asJava)
     }
     val schema = new StructType()
@@ -56,7 +50,7 @@ class StreamingIngestSpec extends SparkSpec {
     q.awaitTermination(120000)
 
     def asSet(df: org.apache.spark.sql.DataFrame) =
-      df.collect()
+      df.select("doc_id", "best_match", "jaccard", "action").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
         .toSet
     val streamed = asSet(spark.read.parquet(outDir))
