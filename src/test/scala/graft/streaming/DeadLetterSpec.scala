@@ -58,5 +58,15 @@ class DeadLetterSpec extends SparkSpec {
 
     assert(good.size + bad.size == good0.size + mixed.size,
       "valid + quarantined must account for every landed line")
+
+    // Replay idempotence: a full re-run against the same sinks (fresh
+    // checkpoint = every batch replays) must replace, not duplicate —
+    // the accounting invariant has to survive at-least-once delivery.
+    val q2 = DeadLetter.start(stream, goodDir, badDir,
+      tmp("dl-ckpt2").toString)
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(goodDir).count() == good.size &&
+      spark.read.parquet(badDir).count() == bad.size,
+      "replay must not duplicate rows in either sink")
   }
 }

@@ -61,5 +61,16 @@ class StreamingIngestSpec extends SparkSpec {
       s"one verdict per incoming doc: ${streamed.size} != ${incoming.length}")
     assert(streamed == oneShot,
       s"batching must not change verdicts: extra=${streamed.diff(oneShot)} missing=${oneShot.diff(streamed)}")
+
+    // Replay idempotence: re-running the whole stream against the
+    // SAME output dir (fresh checkpoint = every batch replays — the
+    // worst-case at-least-once scenario) must REPLACE each batch's
+    // partition, not duplicate verdicts.
+    val q2 = StreamingIngestDedup.start(stream, idx, outDir,
+      tmp("ingest-ckpt2").toString)
+    q2.awaitTermination(120000)
+    val replayed = spark.read.parquet(outDir).count()
+    assert(replayed == incoming.length,
+      s"replay must not duplicate verdicts: $replayed != ${incoming.length}")
   }
 }
