@@ -30,6 +30,14 @@ class StreamingIngestSpec extends SparkSpec {
       .select("doc_id", "text").collect()
     assert(incoming.nonEmpty, "fixture must have src1 docs")
 
+    // The gate must consume the CACHED index — without the persist a
+    // second batch re-runs the corpus-wide shingle build per batch.
+    val gatePlan = planString(StreamingIngestDedup.gate(
+      docs.filter(col("source") === "src1").select("doc_id", "text"), idx))
+    assert(gatePlan.contains("InMemoryTableScan") ||
+      gatePlan.contains("TableCacheQueryStage"),
+      s"the index side of the gate join must hit the cache:\n$gatePlan")
+
     // shard as two jsonl files, forced into two micro-batches
     val dir = tmp("ingest").resolve("landing")
     Files.createDirectories(dir)
