@@ -161,6 +161,39 @@ object Extras {
       |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q108: quantile-sketch audit — per event type, q39's EXACT median
+    * beside q61's binned p50 estimate, the absolute error, and the
+    * one-bin-width tolerance flag. The calibration table for the last
+    * uncovered sketch (q88 MinHash, q95 ANN, q97 IVF, q103 CMS, now
+    * q61's histogram quantile) — what a pipeline owner reads before
+    * swapping the exact sort quantile for the shuffle-light histogram
+    * at a new bin width. Both sides and the error are exactly-agreed
+    * value chains, so the audit itself is oracle bit-exact.
+    *
+    * Scale shape: composes the two member queries unchanged; the join
+    * touches O(event-types) rows. */
+  private def q108(s: SparkSession, d: String): DataFrame =
+    q39(s, d)
+      .join(q61(s, d).select(col("event_type"), col("p50_est")),
+        Seq("event_type"))
+      .select(col("event_type"), col("median").as("exact_median"),
+        col("p50_est"),
+        abs(col("median") - col("p50_est")).as("abs_err"),
+        (abs(col("median") - col("p50_est")) <= 5.0).as("within_bin"))
+      .orderBy("event_type")
+
+  // lazy: composes q61Sql, declared later in the file — a plain val
+  // would capture null during object init. Forced only when the
+  // oracles map (bottom of file) is built.
+  private lazy val q108Sql =
+    s"""WITH ex AS ($q39Sql),
+      |es AS ($q61Sql)
+      |SELECT ex.event_type, ex.median AS exact_median, es.p50_est,
+      |       abs(ex.median - es.p50_est) AS abs_err,
+      |       abs(ex.median - es.p50_est) <= 5.0 AS within_bin
+      |FROM ex JOIN es ON ex.event_type = es.event_type
+      |ORDER BY ex.event_type""".stripMargin
+
   /** q40: pivot — per user-bucket counts pivoted by event_type
     * (explicit value list for a stable schema). */
   private def q40(s: SparkSession, d: String): DataFrame =
@@ -664,6 +697,7 @@ object Extras {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_retention_cohorts" -> q104 _,
+    "q108_quantile_audit" -> q108 _,
     "q66_range_frame" -> q66 _,
     "q67_grouping_sets" -> q67 _,
     "q61_histogram_quantiles" -> q61 _,
@@ -688,6 +722,7 @@ object Extras {
     "q67_grouping_sets" -> q67Sql,
     "q61_histogram_quantiles" -> q61Sql,
     "q104_retention_cohorts" -> q104Sql,
+    "q108_quantile_audit" -> q108Sql,
     "q56_sessionize" -> q56Sql,
     "q78_event_funnel" -> q78Sql,
     "q54_corr_regr" -> q54Sql,
