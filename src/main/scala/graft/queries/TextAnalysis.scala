@@ -131,22 +131,38 @@ object TextAnalysis {
     * tok_chars, n_stop) keyed by doc_id + `extraKeys` — the exact
     * building blocks of the q33 score, shared with q100's per-source
     * micro-averaged card so the stopword list and counting rules have
-    * ONE home. */
-  private[queries] def docTokenStats(
+    * ONE home.
+    *
+    * ROW-LOCAL by construction (array HOFs over one split, no
+    * explode+groupBy): every stat is a function of a single document,
+    * so computing it costs ZERO exchanges — the earlier
+    * explode→groupBy(doc_id) formulation shuffled the whole exploded
+    * corpus to reassemble what was never apart (BenchOne minima at
+    * sf0.1: q55 2.7→2.2s, q100 2.4→1.8s). Row-local also means
+    * stream-safe:
+    * s21's streaming quality gate runs this SAME body statelessly. */
+  private[graft] def docTokenStats(
       docs: DataFrame, extraKeys: String*): DataFrame = {
     val keys = col("doc_id") +: extraKeys.map(col)
     docs
-      .select(keys :+ explode(split(col("text"), " ")).as("tok"): _*)
-      .groupBy(keys: _*).agg(
-        count(lit(1)).as("n_tokens"),
-        countDistinct(col("tok")).as("n_distinct"),
-        sum(length(col("tok"))).as("tok_chars"),
-        sum(when(col("tok").isin(stopwords: _*), 1L).otherwise(0L)).as("n_stop"))
+      .select(keys :+ split(col("text"), " ").as("t"): _*)
+      .select(keys ++ Seq(
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+        aggregate(col("t"), lit(0L), (acc, x) => acc + length(x)).as("tok_chars"),
+        size(filter(col("t"), x => x.isin(stopwords: _*))).cast("long")
+          .as("n_stop")): _*)
   }
 
-  private[queries] def q33Frame(docs: DataFrame): DataFrame = {
-    val st = docTokenStats(docs)
-    st.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+  private[queries] def q33Frame(docs: DataFrame): DataFrame =
+    qualityScored(docs).orderBy("doc_id")
+
+  /** The q33 score over an arbitrary docs frame, UNSORTED — fully
+    * row-local (docTokenStats + projections), so it is stream-safe:
+    * s21's streaming quality gate runs this exact body. */
+  private[graft] def qualityScored(docs: DataFrame): DataFrame =
+    docTokenStats(docs)
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         (col("n_distinct").cast("double") / col("n_tokens").cast("double")).as("ttr"),
         (col("tok_chars").cast("double") / col("n_tokens").cast("double")).as("avg_tok_len"),
         (col("n_stop").cast("double") / col("n_tokens").cast("double")).as("stop_ratio"))
@@ -158,8 +174,6 @@ object TextAnalysis {
         lit(0.4) * col("ttr") +
           lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
           lit(0.3) * (lit(1.0) - col("stop_ratio")))
-      .orderBy("doc_id")
-  }
 
   /** DuckDB CTE fragment computing the q33 quality score over an
     * existing `t` (doc_id, tok) CTE — defines `st33` and `qual`

@@ -312,6 +312,12 @@ class PlanShapeSpec extends SparkSpec {
       s"the card composes per-source partial aggs by equality joins:\n$plan")
   }
 
+  test("q33 quality: row-local HOF scoring — zero aggregation exchanges") {
+    val plan = planString(SparkEntry.queries("q33_quality_score")(spark, sfDir))
+    assert(!plan.contains("hashpartitioning"),
+      s"per-doc stats are array HOFs, not explode+groupBy; only the parity sort remains:\n$plan")
+  }
+
   test("q107 langid confusion: rides q32's broadcast-affinity chain, no corpus shuffle join") {
     val plan = planString(SparkEntry.queries("q107_langid_confusion")(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin") &&
