@@ -194,6 +194,63 @@ object Extras {
       |FROM ex JOIN es ON ex.event_type = es.event_type
       |ORDER BY ex.event_type""".stripMargin
 
+  private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** q109: schema profile — the data-quality expectations table
+    * (null count, distinct count, lexicographic min/max as strings)
+    * for every documents column, computed in ONE pass: a single
+    * global aggregate produces all 20 metrics, then a row-local
+    * explode pivots them into one row per column. The
+    * profile-before-you-train gate every ingestion run ships.
+    *
+    * Scale shape: one scan; the multi-distinct aggregate plans via
+    * Spark's Expand (5× row multiplication map-side, partial-agg
+    * combined) — shuffle volume is O(Σ per-column distincts), and
+    * the explode touches one 21-column row. Min/max compare CAST
+    * strings in both engines (lexicographic, so numeric columns
+    * agree cross-engine by construction rather than by numeric-vs-
+    * string accident). */
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    val t = tbl(s, d, "documents")
+    val metrics = count(lit(1)).as("n") +: ProfileCols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct"),
+      min(col(c).cast("string")).as(s"${c}__min"),
+      max(col(c).cast("string")).as(s"${c}__max")))
+    t.agg(metrics.head, metrics.tail: _*)
+      .select(col("n"), explode(array(ProfileCols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_str"),
+        col(s"${c}__max").as("max_str"))): _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("n").as("n_rows"),
+        col("p.n_nulls").as("n_nulls"), col("p.n_distinct").as("n_distinct"),
+        col("p.min_str").as("min_str"), col("p.max_str").as("max_str"))
+      .orderBy("col_name")
+  }
+
+  private val q109Sql = {
+    val aggs = ProfileCols.map(c =>
+      s"""sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS ${c}__nulls,
+        |       count(DISTINCT $c) AS ${c}__distinct,
+        |       min(CAST($c AS VARCHAR)) AS ${c}__min,
+        |       max(CAST($c AS VARCHAR)) AS ${c}__max""".stripMargin)
+      .mkString(",\n       ")
+    val rows = ProfileCols.map(c =>
+      s"""SELECT '$c' AS col_name, n AS n_rows,
+        |       CAST(${c}__nulls AS BIGINT) AS n_nulls,
+        |       CAST(${c}__distinct AS BIGINT) AS n_distinct,
+        |       ${c}__min AS min_str, ${c}__max AS max_str FROM a""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH a AS (
+      |  SELECT count(*) AS n,
+      |       $aggs
+      |  FROM documents)
+      |$rows
+      |ORDER BY col_name""".stripMargin
+  }
+
   /** q40: pivot — per user-bucket counts pivoted by event_type
     * (explicit value list for a stable schema). */
   private def q40(s: SparkSession, d: String): DataFrame =
@@ -698,6 +755,7 @@ object Extras {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_retention_cohorts" -> q104 _,
     "q108_quantile_audit" -> q108 _,
+    "q109_schema_profile" -> q109 _,
     "q66_range_frame" -> q66 _,
     "q67_grouping_sets" -> q67 _,
     "q61_histogram_quantiles" -> q61 _,
@@ -723,6 +781,7 @@ object Extras {
     "q61_histogram_quantiles" -> q61Sql,
     "q104_retention_cohorts" -> q104Sql,
     "q108_quantile_audit" -> q108Sql,
+    "q109_schema_profile" -> q109Sql,
     "q56_sessionize" -> q56Sql,
     "q78_event_funnel" -> q78Sql,
     "q54_corr_regr" -> q54Sql,
