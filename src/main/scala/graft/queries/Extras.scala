@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object Extras {
 
+  /** q61's histogram bin width — ONE home: the q61 chain, its oracle,
+    * and q108's within-one-bin tolerance all derive from this (a
+    * retune moves the audit's meaning with it). Declared first in the
+    * object: vals initialize in order and both SQL vals interpolate
+    * it. */
+  private val HistBinW = 5.0
+
   /** q37: outer-join family — per-user purchase counts FULL OUTER
     * JOIN per-user error counts (nullable sides preserved). */
   private def q37(s: SparkSession, d: String): DataFrame = {
@@ -179,7 +186,7 @@ object Extras {
       .select(col("event_type"), col("median").as("exact_median"),
         col("p50_est"),
         abs(col("median") - col("p50_est")).as("abs_err"),
-        (abs(col("median") - col("p50_est")) <= 5.0).as("within_bin"))
+        (abs(col("median") - col("p50_est")) <= HistBinW).as("within_bin"))
       .orderBy("event_type")
 
   // lazy: composes q61Sql, declared later in the file — a plain val
@@ -190,7 +197,7 @@ object Extras {
       |es AS ($q61Sql)
       |SELECT ex.event_type, ex.median AS exact_median, es.p50_est,
       |       abs(ex.median - es.p50_est) AS abs_err,
-      |       abs(ex.median - es.p50_est) <= 5.0 AS within_bin
+      |       abs(ex.median - es.p50_est) <= $HistBinW AS within_bin
       |FROM ex JOIN es ON ex.event_type = es.event_type
       |ORDER BY ex.event_type""".stripMargin
 
@@ -630,9 +637,9 @@ object Extras {
     * ceil-division for engines to round differently. (q39 is the exact
     * median; this is the sketch that replaces it at 100 TB.) */
   private def q61(s: SparkSession, d: String): DataFrame = {
-    val binW = 5.0
     val bins = tbl(s, d, "events")
-      .select(col("event_type"), floor(col("value") / binW).cast("long").as("bin"))
+      .select(col("event_type"),
+        floor(col("value") / HistBinW).cast("long").as("bin"))
       .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy("event_type").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -641,7 +648,7 @@ object Extras {
       .withColumn("cum", sum(col("c")).over(wCum))
       .withColumn("total", sum(col("c")).over(wAll))
     def est(p: Int) =
-      (min(when(col("cum") * 100 >= col("total") * p, col("bin"))) * binW)
+      (min(when(col("cum") * 100 >= col("total") * p, col("bin"))) * HistBinW)
         .as(s"p${p}_est")
     cum.groupBy(col("event_type"))
       .agg(max(col("total")).as("total"), est(50), est(90), est(99))
@@ -649,8 +656,8 @@ object Extras {
   }
 
   private val q61Sql =
-    """WITH bins AS (
-      |  SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
+    s"""WITH bins AS (
+      |  SELECT event_type, CAST(floor(value / $HistBinW) AS BIGINT) AS bin,
       |         count(*) AS c
       |  FROM events GROUP BY 1, 2),
       |cum AS (
@@ -660,9 +667,9 @@ object Extras {
       |         sum(c) OVER (PARTITION BY event_type) AS total
       |  FROM bins)
       |SELECT event_type, CAST(max(total) AS BIGINT) AS total,
-      |       min(CASE WHEN cum*100 >= total*50 THEN bin END) * 5.0 AS p50_est,
-      |       min(CASE WHEN cum*100 >= total*90 THEN bin END) * 5.0 AS p90_est,
-      |       min(CASE WHEN cum*100 >= total*99 THEN bin END) * 5.0 AS p99_est
+      |       min(CASE WHEN cum*100 >= total*50 THEN bin END) * $HistBinW AS p50_est,
+      |       min(CASE WHEN cum*100 >= total*90 THEN bin END) * $HistBinW AS p90_est,
+      |       min(CASE WHEN cum*100 >= total*99 THEN bin END) * $HistBinW AS p99_est
       |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q66: time-RANGE window frame — trailing 7-day activity per user

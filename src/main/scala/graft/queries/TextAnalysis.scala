@@ -145,6 +145,11 @@ object TextAnalysis {
       docs: DataFrame, extraKeys: String*): DataFrame = {
     val keys = col("doc_id") +: extraKeys.map(col)
     docs
+      // null text drops the row — the semantics the old explode(split)
+      // formulation had and the oracle's unnest(string_split) has;
+      // without this a null-text doc (e.g. a malformed s21 ingest
+      // record) would survive with null/-1 stats and break parity.
+      .filter(col("text").isNotNull)
       .select(keys :+ split(col("text"), " ").as("t"): _*)
       .select(keys ++ Seq(
         size(col("t")).cast("long").as("n_tokens"),

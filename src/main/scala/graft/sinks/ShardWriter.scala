@@ -28,14 +28,17 @@ object ShardWriter {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCol)
       .parquet(outDir)
-    manifest(df.sparkSession, outDir, partitionCol)
+    manifest(df.sparkSession, outDir, partitionCol, df.schema)
   }
 
   /** The landed layout: one row per data file — partition value, file
-    * path, row count — aggregated from the files themselves. */
-  def manifest(spark: SparkSession, outDir: String,
-      partitionCol: String): DataFrame =
-    spark.read.parquet(outDir)
+    * path, row count — aggregated from the files themselves. The
+    * schema is passed EXPLICITLY: a fully-gated (empty) publish lands
+    * only _SUCCESS, where schema inference throws — an empty corpus
+    * must report an empty manifest, not abort the pipeline. */
+  def manifest(spark: SparkSession, outDir: String, partitionCol: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).parquet(outDir)
       .groupBy(col(partitionCol), input_file_name().as("file"))
       .agg(count(lit(1)).as("rows"))
 }

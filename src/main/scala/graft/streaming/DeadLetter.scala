@@ -48,14 +48,8 @@ object DeadLetter {
       val cached = batch.persist()
       try {
         val (good, bad) = split(cached)
-        def put(df: DataFrame, dir: String): Unit =
-          df.withColumn("batch_id", lit(id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(dir)
-        put(good, goodDir)
-        put(bad, badDir)
+        IdempotentSink.putBatch(good, id, goodDir)
+        IdempotentSink.putBatch(bad, id, badDir)
       } finally { cached.unpersist(); () }
     }
       .option("checkpointLocation", checkpoint)

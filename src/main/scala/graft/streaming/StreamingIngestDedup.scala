@@ -40,8 +40,18 @@ object StreamingIngestDedup {
 
   /** The static side, built once from the existing corpus
     * (doc_id, text): capped shingle frame, per-doc capped sizes, and
-    * the (tiny) dropped-hot-shingle set. */
-  final case class Index(capped: DataFrame, sizes: DataFrame, hot: DataFrame)
+    * the (tiny) dropped-hot-shingle set. All three are cache-backed;
+    * [[Index.release]] must be called when an index is replaced
+    * (the refresh cadence) — otherwise each rebuild pins another
+    * corpus-scale trio in the block manager for the session's life. */
+  final case class Index(capped: DataFrame, sizes: DataFrame, hot: DataFrame) {
+    def release(): Unit = {
+      capped.unpersist()
+      sizes.unpersist()
+      hot.unpersist()
+      ()
+    }
+  }
 
   /** Build the index with the batch family's cap discipline — the
     * SAME [[graft.queries.Dedup.capFromCount]] rule, not a copy. The
@@ -116,12 +126,6 @@ object StreamingIngestDedup {
   private def writer(docs: DataFrame, idx: Index,
       outDir: String): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      gate(batch, idx)
-        .withColumn("batch_id", lit(id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(outDir)
-      ()
+      IdempotentSink.putBatch(gate(batch, idx), id, outDir)
     }
 }

@@ -40,4 +40,12 @@ class ShardWriterSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(back == orig, "published corpus must round-trip bit-exactly")
   }
+
+  test("an empty (fully-gated) publish reports an empty manifest, not a crash") {
+    val docs = graft.T.tbl(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(lit(false))
+    val out = Files.createTempDirectory("shards-empty").toString + "/corpus"
+    assert(ShardWriter.publish(docs, out, "source", 10L).count() == 0)
+  }
 }

@@ -58,16 +58,11 @@ class IngestPublishE2ESpec extends SparkSpec {
       val cached = batch.persist()
       try {
         val (good, bad) = DeadLetter.split(cached)
-        def put(df: DataFrame, dir: String): Unit =
-          df.withColumn("batch_id", lit(id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id").parquet(dir)
-        put(bad, badDir)
+        IdempotentSink.putBatch(bad, id, badDir)
         val verdicts = StreamingIngestDedup.gate(good, idx)
-        put(good.join(
+        IdempotentSink.putBatch(good.join(
           verdicts.filter(col("action") === "keep").select("doc_id"),
-          Seq("doc_id"), "left_semi"), stageDir)
+          Seq("doc_id"), "left_semi"), id, stageDir)
       } finally { cached.unpersist(); () }
     }
       .option("checkpointLocation", tmp("e2e-ckpt").toString)
@@ -98,5 +93,7 @@ class IngestPublishE2ESpec extends SparkSpec {
     val dropped = incoming.length - expectKept
     assert(nBad + dropped + published == lines.length + 2,
       "every landed line is exactly one of corrupt/dropped/published")
+
+    idx.release()
   }
 }

@@ -80,5 +80,7 @@ class StreamingIngestSpec extends SparkSpec {
     val replayed = spark.read.parquet(outDir).count()
     assert(replayed == incoming.length,
       s"replay must not duplicate verdicts: $replayed != ${incoming.length}")
+
+    idx.release() // the refresh-cadence hook: unpin the cached trio
   }
 }
