@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * must not fork. */
 object IdempotentSink {
 
-  def putBatch(df: DataFrame, batchId: Long, dir: String): Unit =
+  def putBatch(df: DataFrame, batchId: Long, dir: String,
+      format: String = "parquet"): Unit =
     df.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
-      .parquet(dir)
+      .format(format)
+      .save(dir)
 }

@@ -189,8 +189,26 @@ object Runner {
             .trigger(Trigger.ProcessingTime("1 second"))
             .start()
           (q, None)
+        case "bigquery" =>
+          // The reference declares this sink but leaves it TODO
+          // (factory.py:40-42). Implemented as its load-job staging
+          // half: per-batch idempotent NDJSON under
+          // basePath/bq_staging/<query>/batch_id=N plus the
+          // BigQueryStage.loadCommand contract — only the API call is
+          // blocked by the zero-egress environment.
+          val staging = s"${config.basePath}/bq_staging/${id.queryName}"
+          val q = rows.writeStream
+            .queryName(id.queryName)
+            .option("checkpointLocation",
+              s"$checkpointRoot/${id.queryName}.bigquery")
+            .trigger(Trigger.ProcessingTime("1 second"))
+            .foreachBatch { (df: DataFrame, bid: Long) =>
+              graft.sinks.BigQueryStage.stageBatch(df, bid, staging)
+            }
+            .start()
+          (q, None)
         case other => throw new IllegalArgumentException(
-          s"unsupported sink format '$other' (csv|parquet)")
+          s"unsupported sink format '$other' (csv|parquet|bigquery)")
       }
       writer
     }
