@@ -258,6 +258,53 @@ object Extras {
       |ORDER BY col_name""".stripMargin
   }
 
+  /** q110: event-transition matrix — per-user Markov bigrams of the
+    * event stream: for every (from, to) event-type pair, how often
+    * `to` directly follows `from` in a user's timeline, with the
+    * row-normalized transition probability. THE sequence-analytics
+    * table behind funnel design (q78 hard-codes one path; this
+    * surveys all of them) and session-behavior modeling.
+    *
+    * Scale shape: ONE hashpartitioning(user_id) exchange feeds the
+    * lead() window (total order (ms, event_id) within user — ties are
+    * deterministic), then the (from, to) rollup partial-aggregates to
+    * ≤types² rows; the fraction window runs over that grouped frame
+    * (q73's small-table-window discipline). */
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ms"), col("event_id"))
+    tbl(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        ms(col("ts")).as("ms"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy("from_type")))
+      // Raw IEEE division of exactly-agreed counts (T.scala rules).
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val q110Sql =
+    s"""WITH e AS (
+      |  SELECT user_id, event_id, event_type, ${"epoch_ms(ts)"} AS ms
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type, 1) OVER (PARTITION BY user_id
+      |           ORDER BY ms, event_id) AS to_type
+      |  FROM e),
+      |g AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM b WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |       CAST(n AS DOUBLE) /
+      |       CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      |FROM g ORDER BY from_type, to_type""".stripMargin
+
   /** q40: pivot — per user-bucket counts pivoted by event_type
     * (explicit value list for a stable schema). */
   private def q40(s: SparkSession, d: String): DataFrame =
@@ -763,6 +810,7 @@ object Extras {
     "q104_retention_cohorts" -> q104 _,
     "q108_quantile_audit" -> q108 _,
     "q109_schema_profile" -> q109 _,
+    "q110_event_transitions" -> q110 _,
     "q66_range_frame" -> q66 _,
     "q67_grouping_sets" -> q67 _,
     "q61_histogram_quantiles" -> q61 _,
@@ -789,6 +837,7 @@ object Extras {
     "q104_retention_cohorts" -> q104Sql,
     "q108_quantile_audit" -> q108Sql,
     "q109_schema_profile" -> q109Sql,
+    "q110_event_transitions" -> q110Sql,
     "q56_sessionize" -> q56Sql,
     "q78_event_funnel" -> q78Sql,
     "q54_corr_regr" -> q54Sql,

@@ -312,6 +312,13 @@ class PlanShapeSpec extends SparkSpec {
       s"the card composes per-source partial aggs by equality joins:\n$plan")
   }
 
+  test("q110 event transitions: one user exchange feeds the lead window, rollup is types²") {
+    val plan = planString(SparkEntry.queries("q110_event_transitions")(spark, sfDir))
+    assert(!plan.contains("Join"), s"bigrams come from lead(), not a self-join:\n$plan")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size == 1,
+      s"exactly one user exchange touches event-scale data:\n$plan")
+  }
+
   test("q33 quality: row-local HOF scoring — zero aggregation exchanges") {
     val plan = planString(SparkEntry.queries("q33_quality_score")(spark, sfDir))
     assert(!plan.contains("hashpartitioning"),

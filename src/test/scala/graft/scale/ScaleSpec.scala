@@ -83,6 +83,26 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("ShardWriter layout prunes to one partition on a source filter") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("shardw").toString + "/corpus"
+    val docs = T.tbl(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    graft.sinks.ShardWriter.publish(docs, dir, "source", 50L)
+    val part = spark.read.parquet(dir)
+    def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
+      df.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }.head
+    val filtered = part.filter(col("source") === "src1")
+    val scan = scanOf(filtered)
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "source")),
+      s"source filter must prune at listing time:\n${scan.partitionFilters}")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"one source => one partition, got ${scan.selectedPartitions.partitionCount}")
+    assert(filtered.count() ==
+      docs.filter(col("source") === "src1").count())
+  }
+
   test("AQE splits a skewed join at runtime (the third skew lever)") {
     import spark.implicits._
     // One key holds ~100k rows, the rest hold 1 — the shape that melts
