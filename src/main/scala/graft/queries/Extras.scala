@@ -290,7 +290,7 @@ object Extras {
 
   private val q110Sql =
     s"""WITH e AS (
-      |  SELECT user_id, event_id, event_type, ${"epoch_ms(ts)"} AS ms
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
       |  FROM events),
       |b AS (
       |  SELECT event_type AS from_type,
