@@ -411,11 +411,46 @@ object TextAnalysis {
       |         AS removed_ratio
       |FROM n ORDER BY doc_id""".stripMargin
 
+  /** q111: document-length histogram — per (lang, decimal-digit
+    * magnitude of n_chars): doc count, exact char-length bounds, and
+    * corpus share. The length-distribution panel of a dataset card
+    * (truncation and chunking policy are read off it). Binning is the
+    * DIGIT COUNT of the integer length — an exact, monotone log10
+    * bucket computed by string length, immune to the 1-ulp log()
+    * divergence float binning would have (T.scala's log rule).
+    *
+    * Scale shape: row-local bin, one (lang, bin) partial agg; the
+    * share window runs over the ≤langs·digits grouped frame. */
+  private def q111(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "documents")
+      .select(col("lang"),
+        length(col("n_chars").cast("string")).cast("long").as("magnitude"),
+        col("n_chars"))
+      .groupBy(col("lang"), col("magnitude"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .withColumn("share",
+        col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy(lit(1))).cast("double"))
+      .orderBy("lang", "magnitude")
+
+  private val q111Sql =
+    """WITH g AS (
+      |  SELECT lang, CAST(length(CAST(n_chars AS VARCHAR)) AS BIGINT) AS magnitude,
+      |         count(*) AS n_docs, min(n_chars) AS min_chars,
+      |         max(n_chars) AS max_chars
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT lang, magnitude, n_docs, min_chars, max_chars,
+      |       CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE) AS share
+      |FROM g ORDER BY lang, magnitude""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_normalize_audit" -> q85 _,
     "q27_text_stats" -> q27 _,
     "q32_langid" -> q32 _,
     "q107_langid_confusion" -> q107 _,
+    "q111_length_histogram" -> q111 _,
     "q33_quality_score" -> q33 _,
     "q34_token_count" -> q34 _,
     "q35_fingerprint" -> q35 _,
@@ -427,6 +462,7 @@ object TextAnalysis {
     "q27_text_stats" -> q27Sql,
     "q32_langid" -> q32Sql,
     "q107_langid_confusion" -> q107Sql,
+    "q111_length_histogram" -> q111Sql,
     "q33_quality_score" -> q33Sql,
     "q34_token_count" -> q34Sql,
     "q35_fingerprint" -> q35Sql,
