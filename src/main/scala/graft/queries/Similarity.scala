@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * and ordering always use the rounded value in both engines.
   *
   * Scale design (100 TB posture): brute-force top-k (q26/q30) is the
-  * correctness baseline — O(n²) pairs but no shuffle beyond one
-  * broadcast nested-loop join, fine for dims/probe sets; the IVF path
+  * correctness baseline — all-pairs at test scale, but FENCED behind a
+  * corpus-count scalar ([[pairCos]]): past [[FenceCap]] vectors the
+  * anchor side thins to a deterministic modulus sample, bounding pair
+  * work at ~FenceCap·n (linear, never O(n²)); the IVF path
   * (q31) is the scale path: a tiny broadcast centroid table assigns
   * each vector to a partition-local cluster, and search shuffles once
   * on cluster id, reducing candidate generation from n² to
@@ -42,26 +44,51 @@ object Similarity {
   private def cosR(va: String, vb: String, na: Column, nb: Column): Column =
     round(expr(s"dot_product($va, $vb)") / (na * nb), 6)
 
-  /** Shared all-pairs (va < vb) rounded-cosine frame. */
+  /** Anchor cap for the exactness-baseline fence: above this corpus
+    * size the baselines stop being all-pairs (see [[pairCos]]). Test
+    * scales (500 / 2,000 vectors) sit far below it, so the oracle
+    * results are byte-identical with or without the fence. */
+  private[queries] val FenceCap = 4000L
+
+  /** Shared rounded-cosine pair frame of the q26/q30 exactness
+    * baselines — all pairs (va < vb) at test scale, FENCED above
+    * [[FenceCap]] vectors: the anchor (va) side is thinned to every
+    * fk-th vec_id, fk = ceil(n / FenceCap), a corpus-count scalar
+    * derived inside the plan (the q28 banding-ladder discipline, and
+    * the same deterministic modulus sampling q95's exact side uses).
+    * Pair work is thereby bounded at ~FenceCap·n — linear in the
+    * corpus, never O(n²) — while below the cap fk = 1 and the filter
+    * is the identity, so the baselines keep calibrating q88/q95
+    * exactly. The bounded anchor side is broadcast explicitly: at any
+    * scale it holds ≤ ~FenceCap vectors. The oracle replays the
+    * identical fence, so both engines agree at every corpus size. */
   private def pairCos(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d)
-    val a = v.select(col("vec_id").as("va"), col("v").as("av"), col("nrm").as("na"))
+    val fence = v.agg(expr(s"(count(1) + ${FenceCap - 1}) div $FenceCap").as("fk"))
+    val a = withScalar(
+        v.select(col("vec_id").as("va"), col("v").as("av"), col("nrm").as("na")),
+        fence)
+      .filter(pmod(col("va"), col("fk")) === 0)
     val b = v.select(col("vec_id").as("vb"), col("v").as("bv"), col("nrm").as("nb"))
-    a.join(b, col("va") < col("vb"))
+    broadcast(a).join(b, col("va") < col("vb"))
       .select(col("va"), col("vb"),
         cosR("av", "bv", col("na"), col("nb")).as("cos"))
   }
 
   private val pairCosSql =
-    """v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+      |fence AS (SELECT (count(*) + ${FenceCap - 1}) // $FenceCap AS fk FROM embeddings),
       |pc AS (
       |  SELECT a.vec_id AS va, b.vec_id AS vb,
       |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
-      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)""".stripMargin
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id CROSS JOIN fence f
+      |  WHERE a.vec_id % f.fk = 0)""".stripMargin
 
   /** q26: brute-force cosine top-k — the 20 most similar embedding
-    * pairs, fully tie-broken on the rounded cosine. */
+    * pairs, fully tie-broken on the rounded cosine. Above [[FenceCap]]
+    * vectors the pair frame is the fenced anchor sample ([[pairCos]]):
+    * still a deterministic, oracle-agreed baseline, no longer O(n²). */
   private def q26(s: SparkSession, d: String): DataFrame =
     pairCos(s, d)
       .orderBy(col("cos").desc, col("va"), col("vb"))
@@ -71,7 +98,10 @@ object Similarity {
     s"""WITH $pairCosSql
       |SELECT va, vb, cos FROM pc ORDER BY cos DESC, va, vb LIMIT 20""".stripMargin
 
-  /** q30: embedding-cosine near-duplicate pairs (cos ≥ 0.4). */
+  /** q30: embedding-cosine near-duplicate pairs (cos ≥ 0.4). Above
+    * [[FenceCap]] vectors only pairs whose smaller id lands in the
+    * anchor sample are emitted ([[pairCos]]) — the production near-dup
+    * surface at that scale is q52, whose blocked join stays complete. */
   private def q30(s: SparkSession, d: String): DataFrame =
     pairCos(s, d)
       .filter(col("cos") >= 0.4)

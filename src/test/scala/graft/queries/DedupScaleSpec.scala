@@ -122,6 +122,33 @@ class DedupScaleSpec extends SparkSpec {
       s"q28's (band,sig) self-join should reuse one exchange:\n$plan")
   }
 
+  test("q26/q30 fence: above FenceCap the anchor side thins to a modulus sample") {
+    import spark.implicits._
+    // FenceCap+1 vectors → fk = ceil(n/FenceCap) = 2: only even vec_ids
+    // may anchor a pair. Deterministic small-dim embeddings suffice —
+    // the fence is about plan/anchor shape, not cosine values.
+    val n = Similarity.FenceCap + 1
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fence").toString
+    spark.range(n).select(col("id").as("vec_id"),
+        array((0 until 4).map(j =>
+          ((col("id") % (7 + 2 * j)) + 1).cast("float")): _*).as("embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val q26 = SparkEntry.queries("q26_cosine_topk")(spark, tmp)
+    val rows = q26.collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getLong(0) % 2 == 0),
+      s"every anchor must be in the fk=2 modulus sample: ${rows.map(_.getLong(0)).toSeq}")
+    // The fence must be IN the plan (pair build bounded by construction,
+    // not by data luck): a pmod filter on the anchor ids against the
+    // corpus-derived step, fed by the withScalar broadcast hash join.
+    val plan = planString(q26)
+    assert(plan.contains("pmod"), s"fence filter missing from plan:\n$plan")
+    // Below the cap the fence is the identity: odd anchors survive.
+    val base = SparkEntry.queries("q30_embed_neardup")(spark, sfDir)
+    assert(base.filter(col("va") % 2 === 1).count() > 0,
+      "at test scale fk = 1 — the fence must not thin anchors")
+  }
+
   test("q92 drop set equals the symmetric pair view across the shard boundary") {
     import spark.implicits._
     // q92 shares q25's shingle frame, cap, and capped sizes, so an
