@@ -113,7 +113,7 @@ object Corpus {
       |  FROM tf JOIN vocab USING (tok) CROSS JOIN n),
       |sur AS (
       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-      |         CAST(sum(term) AS DOUBLE) / CAST(sum(tf) AS DOUBLE)
+      |         CAST(CAST(sum(term) AS VARCHAR) AS DOUBLE) / CAST(sum(tf) AS DOUBLE)
       |           AS mean_surprisal
       |  FROM terms GROUP BY doc_id)""".stripMargin
 

@@ -98,11 +98,20 @@ object Extras {
         sum(col("value").cast("decimal(12,4)")).as("sv"),
         sum(col("value").cast("decimal(12,4)") *
           col("value").cast("decimal(12,4)")).as("svv"))
+      // degenerate types are EXCLUDED deterministically: n = 1 makes
+      // the sample variance 0/0 (NaN) and zero variance makes z ±Inf —
+      // without the gate every row of such a type would pass/fail on
+      // NaN total-order semantics agreeing across engines by accident.
+      // Excluding the stats row means no z is ever NaN/Inf; the s18
+      // streaming gate shares this body, where a single-event type in
+      // the static stats window is a plausible input.
+      .filter(col("n") >= 2)
       .select(col("event_type"),
         (col("sv").cast("double") / col("n").cast("double")).as("mean"),
         sqrt((col("svv").cast("double") - col("sv").cast("double") *
           col("sv").cast("double") / col("n").cast("double")) /
           (col("n").cast("double") - 1.0)).as("std"))
+      .filter(col("std") > 0.0)
 
   /** The z-score gate body — broadcast the O(types) stats frame onto
     * the event stream, flag |z| ≥ 2.5. ONE definition shared by batch
@@ -129,12 +138,14 @@ object Extras {
       |         sum(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4))) AS svv
       |  FROM events GROUP BY 1),
       |s AS (
-      |  SELECT event_type,
-      |         CAST(CAST(sv AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-      |         sqrt((CAST(CAST(svv AS VARCHAR) AS DOUBLE) - CAST(CAST(sv AS VARCHAR) AS DOUBLE)
-      |            * CAST(CAST(sv AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
-      |           / (CAST(n AS DOUBLE) - 1.0)) AS std
-      |  FROM a)
+      |  SELECT event_type, mean, std FROM (
+      |    SELECT event_type,
+      |           CAST(CAST(sv AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |           sqrt((CAST(CAST(svv AS VARCHAR) AS DOUBLE) - CAST(CAST(sv AS VARCHAR) AS DOUBLE)
+      |              * CAST(CAST(sv AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+      |             / (CAST(n AS DOUBLE) - 1.0)) AS std
+      |    FROM a WHERE n >= 2)
+      |  WHERE std > 0)
       |SELECT event_id, event_type, value, (value - mean) / std AS z
       |FROM events JOIN s USING (event_type)
       |WHERE abs((value - mean) / std) >= 2.5

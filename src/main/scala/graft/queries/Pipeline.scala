@@ -33,12 +33,15 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   private def q55(s: SparkSession, d: String): DataFrame = {
-    // 1. quality gate (q33 columns: doc_id, n_tokens, ..., quality)
-    val quality = TextAnalysis.q33(s, d)
+    // 1. quality gate — the UNSORTED q33 body: composing q33 itself
+    // would inline its corpus-wide output sort only to destroy the
+    // order in the next join.
+    val quality = TextAnalysis.qualityScored(tbl(s, d, "documents"))
       .select(col("doc_id"), col("n_tokens"), col("quality"))
       .filter(col("quality") >= 0.6)
-    // 2. exact dedup among survivors: min doc_id per fingerprint
-    val fp = TextAnalysis.q35(s, d).select(col("doc_id"), col("fp"))
+    // 2. exact dedup among survivors: min doc_id per fingerprint —
+    // the bare fingerprint core, not q35 (same sort/window argument).
+    val fp = TextAnalysis.fingerprintsOf(tbl(s, d, "documents"))
     val wFp = Window.partitionBy("fp").orderBy(col("doc_id").asc)
     val exactKept = quality.join(fp, Seq("doc_id"))
       .withColumn("rn", row_number().over(wFp))
@@ -70,7 +73,9 @@ object Pipeline {
         col("band") === col("band_b") && col("sig") === col("sig_b") &&
           col("da") < col("db"))
       .select(col("db").as("doc_id")).distinct()
-    val nearKept = exactKept.join(dropped, Seq("doc_id"), "left_anti")
+    // dropped is a small id set (near-dup victims) — broadcast the
+    // anti-join so the survivor frame is never exchanged+sorted for it.
+    val nearKept = exactKept.join(broadcast(dropped), Seq("doc_id"), "left_anti")
     // 4. deterministic 50% sample + stable output
     val docs = tbl(s, d, "documents").select(col("doc_id"), col("lang"))
     nearKept

@@ -347,20 +347,28 @@ object TextAnalysis {
     * result (mod distributes over addition) but the long sum can
     * never overflow, where an unreduced Σ h·ord would overflow Int64
     * at ~90k-token documents while DuckDB's HUGEINT kept going. */
-  private[queries] def q35(s: SparkSession, d: String): DataFrame = {
-    val perTok = tbl(s, d, "documents")
+  private[queries] def q35(s: SparkSession, d: String): DataFrame =
+    fingerprintsOf(tbl(s, d, "documents"))
+      .withColumn("n_same_fp",
+        count(lit(1)).over(Window.partitionBy("fp")).cast("long"))
+      .orderBy("doc_id")
+
+  /** (doc_id, fp) rolling-hash fingerprints — the exact-dedup core
+    * shared by q35 (which adds the collision-count window + output
+    * sort) and q55's stage 2 (which consumes it BARE: composing the
+    * full q35 would drag a corpus-wide window partition on `fp` and a
+    * global sort into the pipeline just to discard them). */
+  private[queries] def fingerprintsOf(docs: DataFrame): DataFrame = {
+    val perTok = docs
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("ord", "tok")))
     val dim = perTok.select(col("tok")).distinct()
       .withColumn("h", phash(col("tok"))) // hash distinct tokens once
-    val fp = perTok
+    perTok
       .join(broadcast(dim), Seq("tok"))
       .groupBy("doc_id")
       .agg((sum((col("h") * (col("ord") + 1L)) % 1000000007L)
         % 1000000007L).as("fp"))
-    fp.withColumn("n_same_fp",
-        count(lit(1)).over(Window.partitionBy("fp")).cast("long"))
-      .orderBy("doc_id")
   }
 
   private val q35Sql =

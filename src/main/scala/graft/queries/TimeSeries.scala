@@ -110,7 +110,18 @@ object TimeSeries {
 
   /** q20: cumulative book depth — running sum of quantity in price
     * order per side, the depth-chart query implied by the reference's
-    * depth schema (README.md:50-61). Exact decimal running sums. */
+    * depth schema (README.md:50-61). Exact decimal running sums.
+    *
+    * SCALE HAZARD (do not copy this window shape onto big keys): the
+    * testdata analog partitions on `event_type` — 5 values — so the
+    * whole corpus funnels through ≤5 window partitions; that is
+    * inherent to a cumulative depth chart, whose real key is
+    * (symbol, side) — fine-grained at production cardinality, where
+    * each partition is ONE BOOK's levels (thousands of rows), never a
+    * corpus stripe. A running sum over a genuinely low-cardinality
+    * key at 100 TB needs the q63 per-stratum discipline (partial
+    * aggregate per stratum, then a prefix-sum over the O(strata)
+    * frame) instead of a row-level window. */
   private def q20(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("event_type")
       .orderBy(col("value").asc, col("event_id").asc)
@@ -295,8 +306,11 @@ object TimeSeries {
       // greatest(0, ·) clamps the epsilon-negative variance doubles
       // can produce (sqrt of a negative diverges between engines);
       // the explicit denom > 0 CASE makes the degenerate window
-      // (zero variance) NULL in BOTH engines — Spark 4's default ANSI
-      // mode otherwise throws DIVIDE_BY_ZERO where DuckDB nulls.
+      // (zero variance) NULL identically in BOTH engines — a bare
+      // double division would yield NaN/±Inf (ANSI divide-by-zero
+      // applies only to integral/decimal division), and NaN/Inf
+      // comparison-and-hash parity is exactly the kind of accident
+      // the oracle conventions exist to avoid.
       .withColumn("denom",
         sqrt(greatest(lit(0.0), col("n") * col("sxx") - col("sx") * col("sx"))) *
           sqrt(greatest(lit(0.0), col("n") * col("syy") - col("sy") * col("sy"))))

@@ -20,6 +20,17 @@ class PlanShapeSpec extends SparkSpec {
       s"no dim should fall back to a shuffle join at test sf:\n$plan")
   }
 
+  test("q81 TWAP: lead() window and the groupBy share ONE (event_type, day) exchange") {
+    // The scaladoc claims the whole query costs one corpus exchange —
+    // the window's sort-partition doubles as the aggregation's
+    // distribution. BENCH r4 measured q81 at 9x its BenchOne minimum
+    // under co-tenant load, so the claim is now ASSERTED, not trusted:
+    // if an edit ever splits the keys, this fails before the bench does.
+    val plan = planString(SparkEntry.queries("q81_twap")(spark, sfDir))
+    assert("hashpartitioning\\(event_type".r.findAllIn(plan).size == 1,
+      s"window and groupBy must ride the same (event_type, day) exchange:\n$plan")
+  }
+
   test("q65 pricing summary: the shipdate filter reaches the parquet scan") {
     val plan = planString(SparkEntry.queries("q65_pricing_summary")(spark, sfDir))
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),

@@ -19,6 +19,26 @@ class StreamingAnomalySpec extends SparkSpec {
 
   private def tmp(p: String): Path = Files.createTempDirectory(p)
 
+  test("zStats excludes degenerate types (n=1, zero variance) deterministically") {
+    import spark.implicits._
+    // A single-event type makes the sample variance 0/0 (NaN std) and
+    // a constant type makes std = 0 (z = ±Inf): both previously leaked
+    // NaN/Inf z into the gate, passing or failing on NaN total-order
+    // semantics. The stats side must drop them so no z is ever
+    // non-finite — the s18 static window plausibly contains such types.
+    val e = Seq(
+      (1L, "solo", 5.0),
+      (2L, "flat", 1.0), (3L, "flat", 1.0),
+      (4L, "ok", 0.0), (5L, "ok", 100.0), (6L, "ok", 50.0))
+      .toDF("event_id", "event_type", "value")
+    val stats = graft.queries.Extras.zStats(e)
+    assert(stats.select("event_type").as[String].collect().toSet == Set("ok"),
+      "degenerate types must be excluded from the stats side")
+    val z = graft.queries.Extras.zGate(e, stats)
+      .select("z").as[Double].collect()
+    assert(z.forall(java.lang.Double.isFinite), s"non-finite z leaked: ${z.toSeq}")
+  }
+
   test("stream-static z-score gate matches batch q82 exactly") {
     val events = graft.T.tbl(spark, sfDir, "events")
       .select(col("event_id"), col("event_type"), col("value")).collect()
