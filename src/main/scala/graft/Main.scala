@@ -27,6 +27,20 @@ import scala.jdk.CollectionConverters._
   * {"lastUpdateId": 158, "bids": [["p","q"],...], "asks": [...]}.
   */
 object Main {
+
+  /** Dotted-path lookup over the spark-parsed config Row (nested Rows
+    * for nested JSON objects) — shared with the config-fixture tests
+    * so what the tests assert is what main() wires. */
+  def configReader(cfg: org.apache.spark.sql.Row)(
+      path: String, default: String): String =
+    try {
+      val v = path.split('.').foldLeft(cfg: Any) {
+        case (row: org.apache.spark.sql.Row, f) => row.getAs[Any](f)
+        case (other, _) => other
+      }
+      Option(v).map(_.toString).getOrElse(default)
+    } catch { case _: Exception => default }
+
   def main(args: Array[String]): Unit = {
     val configPath = args.headOption
       .orElse(sys.env.get("CONFIG_PATH"))
@@ -44,14 +58,11 @@ object Main {
 
     val cfg = spark.read.option("multiLine", "true").json(configPath).head()
     def str(path: String, default: String = null): String =
-      try {
-        val parts = path.split('.')
-        val v = parts.foldLeft(cfg: Any) {
-          case (row: org.apache.spark.sql.Row, f) => row.getAs[Any](f)
-          case (other, _) => other
-        }
-        Option(v).map(_.toString).getOrElse(default)
-      } catch { case _: Exception => default }
+      Main.configReader(cfg)(path, default)
+
+    // logging-config parity (reference logger.py:22-52): the config's
+    // logging block drives the pipeline's own lifecycle messages.
+    val log = Log.getLogger("graft.main", Log.configFrom(str(_, _)))
 
     val events = cfg.getAs[scala.collection.Seq[String]]("events").toSeq
     val basePath = str("storage.base_path", "./data")
@@ -63,13 +74,16 @@ object Main {
         "a live websocket EventSource drops into the same Runner)")
     val arrivalMs = Option(str("replay.arrival_ms")).map(_.toDouble.toLong)
     val snapshotDir = Option(str("snapshot_dir"))
+    val snapshotRestBase = Option(str("snapshot_rest_base"))
 
-    // driver-side snapshot load (the reference's REST fetch, done once
-    // before stream start — SURVEY §3.3)
+    // driver-side snapshot load, once per depth stream before start
+    // (SURVEY §3.3). A file under snapshot_dir wins (replay
+    // determinism); otherwise snapshot_rest_base is fetched LIVE via
+    // RestSnapshotClient — the reference's REST GET (book_utils.py:29).
     val snapshots: Map[String, BookSnapshot] = events
       .map(EventId.parse).filter(_.eventType == "depth")
       .flatMap { id =>
-        snapshotDir.flatMap { dir =>
+        val fromFile = snapshotDir.flatMap { dir =>
           val f = Paths.get(dir, s"${id.symbolId}.snapshot.json")
           if (!Files.exists(f)) None
           else {
@@ -77,18 +91,24 @@ object Main {
             def lvls(field: String): Seq[Seq[String]] =
               row.getAs[scala.collection.Seq[scala.collection.Seq[String]]](field)
                 .map(_.toSeq).toSeq
-            Some(id.symbolId -> BookSnapshot(
+            Some(BookSnapshot(
               row.getAs[Long]("lastUpdateId"), lvls("bids"), lvls("asks")))
           }
         }
+        fromFile
+          .orElse(snapshotRestBase.map(base =>
+            new graft.streaming.source.RestSnapshotClient(
+              java.net.URI.create(base)).fetchRetrying(id.symbol)))
+          .map(id.symbolId -> _)
       }.toMap
 
     val source = new Dsv2ReplaySource(fixtureRoot, batchSize, arrivalMs)
     val queries = Runner.startWithSinks(spark,
       StreamConfig(events, basePath, batchSize, sinkFormat), source, snapshots)
+    log.info(s"started ${queries.size} stream(s): ${events.mkString(", ")}")
     sys.addShutdownHook {
       queries.foreach { case (q, sink) =>
-        println(s"${q.name}: messages=${Runner.totalMessages(q)} " +
+        log.info(s"${q.name}: messages=${Runner.totalMessages(q)} " +
           s"rows=${Runner.totalRows(q)}" +
           sink.map(s => s" batches_saved=${s.batchesSaved}").getOrElse(""))
       }
