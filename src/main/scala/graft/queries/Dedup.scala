@@ -114,7 +114,14 @@ object Dedup {
     * the capped shingle universe (intersections and sizes count the
     * same shingle set). */
   private[queries] def pairOverlaps(sh: DataFrame, capDf: DataFrame): DataFrame = {
-    val capped = cappedShingles(sh, capDf)
+    // Pin the capped frame to an explicit (shingle) exchange so all
+    // FOUR consumer subtrees (join side A, join side B, and the two
+    // aliases of `sizes`) canonicalize to the same exchange and the
+    // cap's count-over-window chain runs ONCE via ReusedExchange —
+    // without this the chain executed once per subtree (4x at sf0.1;
+    // the q28/q55 sigs repartition is the same discipline, asserted
+    // in DedupScaleSpec).
+    val capped = cappedShingles(sh, capDf).repartition(col("shingle"))
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shA = capped.select(col("doc_id").as("da"), col("shingle"))
     val shB = capped.select(col("doc_id").as("db"), col("shingle").as("shingle_b"))
@@ -450,8 +457,11 @@ object Dedup {
     * corpus (shard + index), matching what the index's stats would say
     * after the merge. */
   private def q92(s: SparkSession, d: String): DataFrame = {
+    // same repartition pin as pairOverlaps: four consumers (inc, exi,
+    // sizes x2 aliases) share one capped-chain exchange via reuse
     val capped = cappedShingles(
       shinglesBy(s, d, "doc_id", "source"), hotShingleCapDocs(s, d))
+      .repartition(col("shingle"))
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inc = capped.filter(col("source") === "src1")
       .select(col("doc_id").as("di"), col("shingle"))

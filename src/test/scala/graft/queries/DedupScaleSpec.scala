@@ -115,6 +115,17 @@ class DedupScaleSpec extends SparkSpec {
       s"q57's self-join should reuse the (b, bv) exchange:\n$plan")
   }
 
+  test("q25 pair core: the capped-shingle chain materializes once (reused exchange)") {
+    // pairOverlaps pins the capped frame to a (shingle) repartition so
+    // its four consumer subtrees (join sides + the two `sizes`
+    // aliases) share ONE exchange instead of re-running the
+    // count-over-window cap chain each.
+    val q25 = SparkEntry.queries("q25_minhash_textdedup")(spark, sfDir)
+    val plan = planString(q25)
+    assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
+      s"pair-core consumers must share the capped-shingle exchange:\n$plan")
+  }
+
   test("q28 self-join computes the signature build once (reused exchange)") {
     val q28 = SparkEntry.queries("q28_minhash_lsh")(spark, sfDir)
     val plan = planString(q28)
