@@ -50,6 +50,34 @@ object Similarity {
     * results are byte-identical with or without the fence. */
   private[queries] val FenceCap = 4000L
 
+  /** Probe-family fence: the audit/probe queries (q31 IVF search, q53
+    * sampled ANN, q95 recall audit, q106 triplet mining) sample every
+    * 50th vec_id — a FRACTION, which at 100× the corpus makes the
+    * probe set (and q95's probe×corpus exact pass, and q31's
+    * probe×cluster join) grow quadratically/50. Above ProbeCapN
+    * vectors the stride therefore grows with the corpus
+    * (pstep = 50·ceil(n/ProbeCapN)), capping probes at ~2000 — the
+    * [[pairCos]] fence discipline applied to the probe family. Below
+    * the cap pstep = 50 exactly, so test-scale results are
+    * byte-identical. The oracle derives the identical stride (pf CTE). */
+  private[queries] val ProbeCapN = 100000L
+
+  /** 1-row (pstep) probe-stride frame, derived in-plan. */
+  private[queries] def probeStride(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "embeddings")
+      .agg(expr(s"50 * ((count(1) + ${ProbeCapN - 1}) div $ProbeCapN)")
+        .as("pstep"))
+
+  /** Thins `df` (needs `vec_id`) to the deterministic probe sample. */
+  private def probeSample(df: DataFrame, stride: DataFrame): DataFrame =
+    withScalar(df, stride)
+      .filter(pmod(col("vec_id"), col("pstep")) === 0)
+      .drop("pstep")
+
+  /** Oracle twin of [[probeStride]]. */
+  private def pfCte: String =
+    s"pf AS (SELECT 50 * ((count(*) + ${ProbeCapN - 1}) // $ProbeCapN) AS pstep FROM embeddings)"
+
   /** Shared rounded-cosine pair frame of the q26/q30 exactness
     * baselines — all pairs (va < vb) at test scale, FENCED above
     * [[FenceCap]] vectors: the anchor (va) side is thinned to every
@@ -216,13 +244,13 @@ object Similarity {
 
   /** q31: IVF-style ANN — centroids are learned with two deterministic
     * Lloyd's iterations from the vec_id < 8 seeds (broadcast at every
-    * step); each probe vector (vec_id % 50 = 0) retrieves its top-5
+    * step); each probe vector (the [[probeStride]] sample) retrieves its top-5
     * cosine neighbors from its own cluster only. */
   private def q31(s: SparkSession, d: String): DataFrame = {
     val (qv, c2) = lloyd(s, d)
     val assign = assignTo(qv, c2, 1)
       .select(col("vec_id"), col("cid").as("cluster"), col("v"), col("nrm"))
-    val q = assign.filter(col("vec_id") % 50 === 0)
+    val q = probeSample(assign, probeStride(s, d))
       .select(col("vec_id").as("qid"), col("cluster"),
         col("v").as("qv"), col("nrm").as("qn"))
     val m = assign.select(col("vec_id").as("mid"),
@@ -248,8 +276,9 @@ object Similarity {
       |                      c2.cid ASC) AS rn
       |    FROM qq CROSS JOIN c2)
       |  WHERE rn = 1),
+      |$pfCte,
       |q AS (SELECT vec_id AS qid, cluster, v AS qv, nrm AS qn
-      |      FROM assign WHERE vec_id % 50 = 0)
+      |      FROM assign CROSS JOIN pf WHERE vec_id % pf.pstep = 0)
       |SELECT qid, rank, mid, cos FROM (
       |  SELECT q.qid,
       |         CAST(row_number() OVER (
@@ -310,7 +339,7 @@ object Similarity {
     * hyperplanes w[j][d] = phash("j:d") % 1001 − 500 give each vector
     * a sign signature of 2·bits planes (bits derived from corpus
     * size, see [[lshTopK]]); candidates share a bits-wide signature
-    * band; probes (vec_id % 50 = 0) take top-5 cosine among
+    * band; probes (the [[probeStride]] sample) take top-5 cosine among
     * candidates.
     *
     * Exactness design: vectors are quantized (floor(v·1000), exact in
@@ -342,7 +371,7 @@ object Similarity {
     * extend the ladder to extend the range), not float log2, so the
     * oracle derives the identical width with CASE WHEN. */
   private def lshTopK(s: SparkSession, d: String,
-      probeFilter: Option[Column]): DataFrame = {
+      probeFilter: Option[DataFrame => DataFrame]): DataFrame = {
     val wTop = Window.partitionBy("qid")
       .orderBy(col("cos").desc, col("mid").asc)
     lshScored(s, d, probeFilter)
@@ -355,7 +384,7 @@ object Similarity {
   /** The distinct scored LSH candidate frame (qid, mid, cos) before
     * ranking — shared by q53/q57's top-k and q106's pos/neg mining. */
   private def lshScored(s: SparkSession, d: String,
-      probeFilter: Option[Column]): DataFrame = {
+      probeFilter: Option[DataFrame => DataFrame]): DataFrame = {
     val planes: Seq[Seq[Long]] = (0 until LshPlanes).map(j =>
       (1 to 64).map(dd => (phashDriver(s"$j:$dd") % 1001L) - 500L))
     val wLit = typedlit(planes)
@@ -386,7 +415,7 @@ object Similarity {
     val banded =
       if (probeFilter.isEmpty) banded0.repartition(col("b"), col("bv"))
       else banded0
-    val probes = probeFilter.fold(banded)(banded.filter)
+    val probes = probeFilter.fold(banded)(f => f(banded))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         col("b"), col("bv"))
     val members = banded.select(col("vec_id").as("mid"), col("v").as("mv"),
@@ -401,7 +430,7 @@ object Similarity {
   }
 
   private def q53(s: SparkSession, d: String): DataFrame =
-    lshTopK(s, d, Some(col("vec_id") % 50 === 0))
+    lshTopK(s, d, Some(probeSample(_, probeStride(s, d))))
 
   /** q57: all-vectors LSH top-k — the blocked replacement for q26 at
     * scale: EVERY vector retrieves its top-5 cosine neighbors among
@@ -422,6 +451,7 @@ object Similarity {
   private def lshCtes(probeWhere: String): String =
     s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+      |$pfCte,
       |qv AS (SELECT vec_id,
       |              list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
       |       FROM v),
@@ -467,7 +497,11 @@ object Similarity {
       |SELECT qid, rank, mid, cos FROM ranked
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
-  private val q53Sql = lshSql("WHERE q.vec_id % 50 = 0")
+  /** The probe predicate over [[lshCtes]]'s `cand` join — the oracle
+    * twin of `probeSample` (q53/q95/q106 share it; q57 probes all). */
+  private val probeJoin = "CROSS JOIN pf WHERE q.vec_id % pf.pstep = 0"
+
+  private val q53Sql = lshSql(probeJoin)
   private val q57Sql = lshSql("")
 
   /** q106: contrastive pair mining — for each probe anchor, the
@@ -486,7 +520,7 @@ object Similarity {
   private def q106(s: SparkSession, d: String): DataFrame = {
     val lab = tbl(s, d, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("label"))
-    val j = lshScored(s, d, Some(col("vec_id") % 50 === 0))
+    val j = lshScored(s, d, Some(probeSample(_, probeStride(s, d))))
       .join(lab.select(col("vec_id").as("qid"), col("label")), Seq("qid"))
       .join(lab.select(col("vec_id").as("mid"), col("label").as("mlabel")),
         Seq("mid"))
@@ -510,7 +544,7 @@ object Similarity {
   }
 
   private val q106Sql =
-    s"""WITH ${lshCtes("WHERE q.vec_id % 50 = 0")},
+    s"""WITH ${lshCtes(probeJoin)},
       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
       |j AS (
       |  SELECT s.qid, s.mid, s.cos, la.label, (la.label = lb.label) AS same
@@ -548,10 +582,11 @@ object Similarity {
     * so the exact side is one bounded broadcast pass over the corpus,
     * not a pair blowup. */
   private def q95(s: SparkSession, d: String): DataFrame = {
-    val probeF = col("vec_id") % 50 === 0
-    val approx = lshTopK(s, d, Some(probeF)).select(col("qid"), col("mid"))
+    val stride = probeStride(s, d)
+    val approx = lshTopK(s, d, Some(probeSample(_, stride)))
+      .select(col("qid"), col("mid"))
     val v = vecs(s, d)
-    val p = v.filter(probeF)
+    val p = probeSample(v, stride)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val m = v.select(col("vec_id").as("mid"), col("v").as("mv"),
       col("nrm").as("mn"))
@@ -578,7 +613,7 @@ object Similarity {
   }
 
   private val q95Sql =
-    s"""WITH ${lshCtes("WHERE q.vec_id % 50 = 0")},
+    s"""WITH ${lshCtes(probeJoin)},
       |approx AS (SELECT qid, mid FROM ranked WHERE rank <= 5),
       |ex AS (
       |  SELECT qid, mid FROM (
@@ -586,8 +621,8 @@ object Similarity {
       |           row_number() OVER (PARTITION BY p.vec_id
       |             ORDER BY round(list_dot_product(p.v, m.v) / (p.nrm * m.nrm), 6) DESC,
       |                      m.vec_id ASC) AS rn
-      |    FROM n p JOIN n m ON m.vec_id <> p.vec_id
-      |    WHERE p.vec_id % 50 = 0)
+      |    FROM n p JOIN n m ON m.vec_id <> p.vec_id CROSS JOIN pf
+      |    WHERE p.vec_id % pf.pstep = 0)
       |  WHERE rn <= 5),
       |hits AS (
       |  SELECT e.qid, count(*) AS n_hit

@@ -160,6 +160,18 @@ class DedupScaleSpec extends SparkSpec {
       "at test scale fk = 1 — the fence must not thin anchors")
   }
 
+  test("probe-stride fence: 50 below ProbeCapN, grows with the corpus above it") {
+    import spark.implicits._
+    // the stride only counts rows — a vec_id-only embeddings file
+    // suffices; ProbeCapN+1 rows → pstep = 100 (probe set halved),
+    // test corpora → pstep = 50 exactly (byte-identical oracles).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pfence").toString
+    spark.range(Similarity.ProbeCapN + 1).select(col("id").as("vec_id"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    assert(Similarity.probeStride(spark, tmp).as[Long].head() == 100L)
+    assert(Similarity.probeStride(spark, sfDir).as[Long].head() == 50L)
+  }
+
   test("q92 drop set equals the symmetric pair view across the shard boundary") {
     import spark.implicits._
     // q92 shares q25's shingle frame, cap, and capped sizes, so an
