@@ -65,10 +65,11 @@ final case class DepthRow(
     quantity: String, // "0" means remove-level; kept, not filtered
     is_snapshot: Boolean)
 
-/** REST order-book snapshot (book_utils.py:29; FIXTURES §2.3). In the
-  * zero-egress build it arrives as a constructor value fetched
-  * driver-side before stream start — never a blocking call in an
-  * executor (SURVEY §3.3). */
+/** REST order-book snapshot (book_utils.py:29; FIXTURES §2.3).
+  * Fetched driver-side before stream start — never a blocking call in
+  * an executor (SURVEY §3.3) — either from a snapshot file or LIVE via
+  * [[graft.streaming.source.RestSnapshotClient]] (the reference's
+  * `GET /api/v3/depth`, exercised end-to-end in RestSnapshotSpec). */
 final case class BookSnapshot(
     lastUpdateId: Long,
     bids: Seq[Seq[String]],
