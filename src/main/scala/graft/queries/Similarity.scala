@@ -90,15 +90,32 @@ object Similarity {
     * exactly. The bounded anchor side is broadcast explicitly: at any
     * scale it holds ≤ ~FenceCap vectors. The oracle replays the
     * identical fence, so both engines agree at every corpus size. */
-  private def pairCos(s: SparkSession, d: String): DataFrame = {
+  /** `minCos`: when set, the threshold lives INSIDE the join condition
+    * AFTER the cheap `va < vb` conjunct — deliberately. A separate
+    * `.filter(cos >= t)` above the join gets pushed into the BNLJ
+    * condition PREPENDED to `va < vb`, making every ordered COMBO (2×
+    * the pair count) pay the 64-dim dot + rounding; with the explicit
+    * conjunct order, short-circuit evaluation prices the dot only for
+    * va < vb survivors and the projection recomputes it only for the
+    * ~thousand rows that pass the threshold (measured 5.0s → ~2s at
+    * sf0.1). */
+  private def pairCos(s: SparkSession, d: String,
+      minCos: Option[Double] = None): DataFrame = {
     val v = vecs(s, d)
     val fence = v.agg(expr(s"(count(1) + ${FenceCap - 1}) div $FenceCap").as("fk"))
     val a = withScalar(
         v.select(col("vec_id").as("va"), col("v").as("av"), col("nrm").as("na")),
         fence)
       .filter(pmod(col("va"), col("fk")) === 0)
-    val b = v.select(col("vec_id").as("vb"), col("v").as("bv"), col("nrm").as("nb"))
-    broadcast(a).join(b, col("va") < col("vb"))
+    // spread the STREAMED side: the sf parquet is one split, which
+    // would serialize the whole pair loop on one core (T.spread is
+    // the identity at real scale, where the scan has >= cores splits)
+    val b = spread(v, col("vec_id"))
+      .select(col("vec_id").as("vb"), col("v").as("bv"), col("nrm").as("nb"))
+    val cond0 = col("va") < col("vb")
+    val cond = minCos.fold(cond0)(t =>
+      cond0 && cosR("av", "bv", col("na"), col("nb")) >= t)
+    broadcast(a).join(b, cond)
       .select(col("va"), col("vb"),
         cosR("av", "bv", col("na"), col("nb")).as("cos"))
   }
@@ -131,8 +148,7 @@ object Similarity {
     * anchor sample are emitted ([[pairCos]]) — the production near-dup
     * surface at that scale is q52, whose blocked join stays complete. */
   private def q30(s: SparkSession, d: String): DataFrame =
-    pairCos(s, d)
-      .filter(col("cos") >= 0.4)
+    pairCos(s, d, minCos = Some(0.4))
       .orderBy("va", "vb")
 
   private val q30Sql =
@@ -588,8 +604,10 @@ object Similarity {
     val v = vecs(s, d)
     val p = probeSample(v, stride)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val m = v.select(col("vec_id").as("mid"), col("v").as("mv"),
-      col("nrm").as("mn"))
+    // spread the streamed corpus side (single test-scale split would
+    // serialize the probe×corpus pass; identity at real scale)
+    val m = spread(v, col("vec_id"))
+      .select(col("vec_id").as("mid"), col("v").as("mv"), col("nrm").as("mn"))
     val wTop = Window.partitionBy("qid")
       .orderBy(col("cos").desc, col("mid").asc)
     val exact = broadcast(p).join(m, col("qid") =!= col("mid"))
