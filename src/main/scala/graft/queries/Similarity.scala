@@ -69,7 +69,7 @@ object Similarity {
         .as("pstep"))
 
   /** Thins `df` (needs `vec_id`) to the deterministic probe sample. */
-  private def probeSample(df: DataFrame, stride: DataFrame): DataFrame =
+  private[queries] def probeSample(df: DataFrame, stride: DataFrame): DataFrame =
     withScalar(df, stride)
       .filter(pmod(col("vec_id"), col("pstep")) === 0)
       .drop("pstep")

@@ -170,6 +170,14 @@ class DedupScaleSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
     assert(Similarity.probeStride(spark, tmp).as[Long].head() == 100L)
     assert(Similarity.probeStride(spark, sfDir).as[Long].head() == 50L)
+    // and the sample itself thins accordingly: every 100th id above
+    // the cap (the shared probeSample body all four probe queries use)
+    val ids = Similarity.probeSample(
+        spark.read.parquet(s"$tmp/embeddings.parquet"),
+        Similarity.probeStride(spark, tmp))
+      .select("vec_id").as[Long].collect()
+    assert(ids.length == 1001 && ids.forall(_ % 100 == 0),
+      s"expected the %100 sample, got ${ids.length} ids")
   }
 
   test("q92 drop set equals the symmetric pair view across the shard boundary") {
