@@ -15,13 +15,16 @@ final case class MediaRecord(
     content: Array[Byte],
     source: String)
 
-/** Decoded-media features. `MediaCodec.decode` is a STUB (this
-  * container has no image/audio libs): it derives deterministic fake
-  * "decoded" dimensions/samples from the payload bytes, but the Spark
-  * plumbing around it — schema, batch iteration, partition-local
-  * execution, frame sampling — is the real production shape: swap the
-  * stub body for an actual codec (JavaCPP/FFmpeg, ImageIO) and nothing
-  * else changes.
+/** Decoded-media features. The audio path is REAL: `MediaCodec`
+  * carries a dependency-free RIFF/WAVE PCM parser (and encoder, used
+  * by the specs to build fixtures), so a payload that actually is a
+  * WAV decodes to its true sample rate / channels / duration / peak.
+  * Image/video decode remains a deterministic STUB (this container
+  * has no image libs): it derives fake dimensions from the payload
+  * bytes. The Spark plumbing — schema, batch iteration,
+  * partition-local execution, frame sampling — is the production
+  * shape either way: swap the image stub for an actual codec
+  * (JavaCPP/FFmpeg, ImageIO) and nothing else changes.
   */
 final case class MediaFeatures(
     media_id: Long,
@@ -33,21 +36,138 @@ final case class MediaFeatures(
     // per-sampled-frame 8-bin intensity histogram, row-major
     histogram: Array[Double])
 
+/** Features of a REAL-decoded audio payload ([[MediaCodec.parseWav]]). */
+final case class AudioFeatures(
+    media_id: Long,
+    sample_rate: Int,
+    channels: Int,
+    bits: Int,
+    n_sample_frames: Long,
+    duration_ms: Long,
+    peak: Double,
+    rms: Double)
+
+/** A decoded RIFF/WAVE PCM stream: format header facts plus the two
+  * amplitude features (peak, rms) a curation pipeline filters on,
+  * both normalized to [0, 1] of full scale. */
+final case class WavInfo(
+    sampleRate: Int,
+    channels: Int,
+    bitsPerSample: Int,
+    nSampleFrames: Long,
+    durationMs: Long,
+    peak: Double,
+    rms: Double)
+
 object MediaCodec {
-  /** STUB decode: deterministic pseudo-decode of a payload. A real
-    * implementation would hand `bytes` to a codec; everything after
-    * (feature shape, sampling) is unchanged. */
-  def decode(bytes: Array[Byte], mediaType: String): (Int, Int, Int) = {
-    val h = java.util.Arrays.hashCode(bytes)
-    val width = math.abs(h % 640) + 1
-    val height = math.abs((h / 640) % 480) + 1
-    val frames = mediaType match {
-      case "video" => math.abs(h % 30) + 2
-      case "audio" => math.abs(h % 100) + 1
-      case _ => 1
+
+  /** REAL decode of an uncompressed RIFF/WAVE payload — a chunk-walk
+    * of the container (RIFF size header, `fmt ` format block, `data`
+    * PCM block; unknown chunks skipped by their declared size, odd
+    * sizes padded per the RIFF spec) followed by one pass over the
+    * samples for peak/rms. Supports the uncompressed core of the
+    * format: PCM (audioFormat 1), 8-bit unsigned or 16-bit signed
+    * little-endian, any channel count. Zero dependencies — the point
+    * of choosing WAV as the real codec behind the multimodal seam.
+    * Returns None for anything that isn't a well-formed PCM WAV
+    * (wrong magic, truncated chunk, compressed format), which routes
+    * the payload to the deterministic stub path. */
+  def parseWav(bytes: Array[Byte]): Option[WavInfo] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(at: Int): String =
+      new String(bytes, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 44 || tag4(0) != "RIFF" || tag4(8) != "WAVE")
+      return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // format, channels, rate, bits
+    var data: Option[(Int, Int)] = None // offset, length
+    while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag4(pos)
+      val size = bb.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " if size >= 16 =>
+          fmt = Some((bb.getShort(pos + 8) & 0xffff,
+            bb.getShort(pos + 10) & 0xffff,
+            bb.getInt(pos + 12), bb.getShort(pos + 22) & 0xffff))
+        case "data" => data = Some((pos + 8, size))
+        case _ => ()
+      }
+      pos += 8 + size + (size & 1) // RIFF chunks are word-aligned
     }
-    (width, height, frames)
+    (fmt, data) match {
+      case (Some((1, ch, rate, bits)), Some((off, len)))
+          if ch > 0 && rate > 0 && (bits == 8 || bits == 16) =>
+        val bytesPerSample = bits / 8
+        val nSamples = len / bytesPerSample
+        val frames = nSamples.toLong / ch
+        var peak = 0.0
+        var sumSq = 0.0
+        var i = 0
+        while (i < nSamples) {
+          // normalize both widths to [-1, 1] of full scale
+          val x =
+            if (bits == 16) bb.getShort(off + i * 2) / 32768.0
+            else ((bytes(off + i) & 0xff) - 128) / 128.0
+          val ax = math.abs(x)
+          if (ax > peak) peak = ax
+          sumSq += x * x
+          i += 1
+        }
+        val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+        Some(WavInfo(rate, ch, bits, frames,
+          frames * 1000L / rate, peak, rms))
+      case _ => None
+    }
   }
+
+  /** REAL encode: 16-bit signed PCM, interleaved, canonical 44-byte
+    * header. Round-trips through [[parseWav]] bit-exactly; the specs
+    * use it to build genuine fixtures. */
+  def encodeWavPcm16(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bb.put("RIFF".getBytes(ascii)).putInt(36 + dataLen)
+      .put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16.toShort)
+    bb.put("data".getBytes(ascii)).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Decode a payload to the (width, height, n_frames) feature
+    * contract. An audio payload that really is a PCM WAV decodes for
+    * REAL — (channels, bitsPerSample, one frame per 100 ms window),
+    * so downstream frame sampling walks genuine time windows. Payloads
+    * that aren't WAVs (and all image/video payloads — no pure-JVM
+    * codec for those formats lives in this container) fall back to
+    * the deterministic pseudo-decode so the pipeline shape stays
+    * exercised end-to-end on any corpus. */
+  def decode(bytes: Array[Byte], mediaType: String): (Int, Int, Int) =
+    parseWav(bytes) match {
+      case Some(w) if mediaType == "audio" =>
+        (w.channels, w.bitsPerSample,
+          math.max(1, ((w.durationMs + 99) / 100).toInt))
+      case _ =>
+        val h = java.util.Arrays.hashCode(bytes)
+        val width = math.abs(h % 640) + 1
+        val height = math.abs((h / 640) % 480) + 1
+        val frames = mediaType match {
+          case "video" => math.abs(h % 30) + 2
+          case "audio" => math.abs(h % 100) + 1
+          case _ => 1
+        }
+        (width, height, frames)
+    }
 
   /** STUB intensity histogram over (a sample of) the payload bytes. */
   def histogram(bytes: Array[Byte], bins: Int = 8): Array[Double] = {
@@ -90,6 +210,23 @@ object MultimodalPipeline {
         val (w, h, f) = MediaCodec.decode(r.content, r.media_type)
         MediaFeatures(r.media_id, r.media_type, r.content.length.toLong,
           w, h, f, MediaCodec.histogram(r.content))
+      }
+    }
+  }
+
+  /** Typed audio decode over the REAL WAV parser, partition-local
+    * like [[extractFeatures]] (payloads never leave the executor, no
+    * shuffle). Non-WAV payloads are dropped — the production
+    * "decodable gate" shape, where undecodable records route to a
+    * dead-letter audit rather than fake features. */
+  def extractAudioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        MediaCodec.parseWav(r.content).map { w =>
+          AudioFeatures(r.media_id, w.sampleRate, w.channels,
+            w.bitsPerSample, w.nSampleFrames, w.durationMs, w.peak, w.rms)
+        }
       }
     }
   }

@@ -112,7 +112,21 @@ object Dedup {
     * attached. The cap is applied BEFORE set sizes are computed, so
     * every similarity derived from (i, na, nb) is a true measure over
     * the capped shingle universe (intersections and sizes count the
-    * same shingle set). */
+    * same shingle set).
+    *
+    * Skew-lever hierarchy for kept-but-hot shingles (df ≤ cap but ≫
+    * median; measured on the Zipfian fixture, DedupScaleSpec):
+    * INLINE, the intersection join inherits the cap window's (shingle)
+    * partitioning and sort — no fresh shuffle at the join, so AQE's
+    * skew rule can never fire here and the per-task bound is cap²
+    * combos consumed by the same-stage partial agg. That is fine up to
+    * production caps of ~10⁴ (10⁸ combos/task); past that, materialize
+    * the core and self-join the files — BUT shard the write
+    * round-robin, NOT clustered by shingle: AQE splits a skewed
+    * partition by map-output ranges, so a hot key written into one
+    * file (one map task) is structurally unsplittable, while the same
+    * key spread over n shards splits n ways (both behaviors asserted
+    * in DedupScaleSpec's skew-lever test). */
   private[queries] def pairOverlaps(sh: DataFrame, capDf: DataFrame): DataFrame = {
     // Pin the capped frame to an explicit (shingle) exchange so all
     // FOUR consumer subtrees (join side A, join side B, and the two

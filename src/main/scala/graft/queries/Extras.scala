@@ -352,7 +352,11 @@ object Extras {
       |ORDER BY coalesce(event_type, '~'), coalesce(bucket, -1)""".stripMargin
 
   /** q42: subquery shapes — scalar subquery (global mean as exact
-    * decimal-sum/count) + IN subquery. */
+    * decimal-sum/count) + IN subquery. The 1-row mean attaches via
+    * `T.withScalar` (broadcast HASH join on a derived constant key)
+    * like every other scalar in the suite, so the suite-wide no-BNLJ
+    * plan invariant (PlanShapeSpec) holds with a single documented
+    * exemption (the ≤8-row centroid assignment). */
   private def q42(s: SparkSession, d: String): DataFrame = {
     val e = tbl(s, d, "events")
     val stats = e.agg(
@@ -361,8 +365,9 @@ object Extras {
     val building = tbl(s, d, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
-    e.join(building, e("user_id") === building("c_custkey"), "left_semi")
-      .crossJoin(stats)
+    withScalar(
+      e.join(building, e("user_id") === building("c_custkey"), "left_semi"),
+      stats)
       .filter(col("value") > col("mean"))
       .select(col("event_id"), col("user_id"), col("value"))
       .orderBy("event_id")

@@ -180,6 +180,153 @@ class DedupScaleSpec extends SparkSpec {
       s"expected the %100 sample, got ${ids.length} ids")
   }
 
+  // ---- Zipfian-corpus stress (round 6): the cap/AQE levers proven ----
+  // ---- on a skewed shingle distribution, not the near-uniform sf  ----
+
+  /** Deterministic Zipf(s=1.1) shingle corpus + a crawl-boilerplate
+    * hot key on 80% of docs — the distribution BASELINE.md round-5
+    * said the window-vs-anti-join levers must be re-judged on. ~`perDoc`
+    * Zipf draws per doc over a 30k-shingle vocabulary; seeded driver-
+    * side sampling (150k rows) so every run builds the identical
+    * frame. */
+  private def zipfCorpus(nDocs: Int, perDoc: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val vocab = 30000
+    val rnd = new java.util.Random(42)
+    val weights = Array.tabulate(vocab)(k => 1.0 / math.pow(k + 1.0, 1.1))
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    def draw(): Int = {
+      val u = rnd.nextDouble() * cum.last
+      val i = java.util.Arrays.binarySearch(cum, u)
+      if (i >= 0) i else -i - 1
+    }
+    val zipf = (0 until nDocs).flatMap { d =>
+      Seq.fill(perDoc)(draw()).distinct.map(sh => (d.toLong, s"sh$sh"))
+    }
+    val hot = (0 until nDocs).filterNot(_ % 5 == 0)
+      .map(d => (d.toLong, "hot boilerplate shingle"))
+    (zipf ++ hot).toDF("doc_id", "shingle")
+  }
+
+  test("Zipfian corpus: the df cap bounds hot-shingle pair fan-out") {
+    import spark.implicits._
+    val sh = zipfCorpus(nDocs = 4000, perDoc = 30)
+    // the REAL corpus-derived cap (floor 1000 binds at 4000 docs)
+    val cap = Dedup.hotShingleCap(sh).as[Long].head()
+    assert(cap == 1000L)
+    val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .select("df").as[Long].collect()
+    def pairRows(ds: Seq[Long]) = ds.map(df => df * (df - 1) / 2).sum
+    val uncapped = pairRows(dfs.toSeq)
+    val capped = pairRows(dfs.filter(_ <= cap).toSeq)
+    // the blowup is real on this distribution (head ranks + boilerplate
+    // each contribute O(df²) ≈ millions of join rows)...
+    assert(uncapped > 5L * capped && uncapped > 5000000L,
+      s"fixture must exhibit hot-key blowup: uncapped=$uncapped capped=$capped")
+    // ...and the capped core's join fan-out is the bounded sum — the
+    // real pair chain completes with exactly that many intersection
+    // rows feeding the per-pair groupBy (counted via the pre-filter
+    // overlap frame: i ranges over co-occurrences).
+    val overlaps = Dedup.pairOverlaps(sh, Seq(cap).toDF("cap"))
+      .agg(sum(col("i")).as("rows")).as[Long].head()
+    assert(overlaps == capped,
+      s"capped join rows must equal the Σ C(df,2) bound: got $overlaps expected $capped")
+  }
+
+  test("Zipfian corpus: skew-lever hierarchy on the real pair core (inline vs materialized)") {
+    import spark.implicits._
+    // At a production fraction cap (0.1% of a 4M-doc corpus = 4000) a
+    // boilerplate shingle with df ≈ 3200 is LEGITIMATELY kept — the df
+    // cap doesn't fire. Which lever bounds THAT key?
+    //
+    // (1) INLINE core: the intersection join inherits the cap window's
+    //     (shingle) partitioning AND sort — zero fresh exchange at the
+    //     join (the reuse that makes the core cheap), and the df² pair
+    //     fan-out is consumed by a same-stage partial agg. Consequence,
+    //     asserted here because it is easy to get wrong: AQE's skew
+    //     rule CANNOT fire on this join (it only splits a join whose
+    //     children are fresh ENSURE_REQUIREMENTS shuffles), so the
+    //     per-task bound inline is cap² combos — the cap is the
+    //     load-bearing lever, not AQE.
+    // NB: skew detection reads COMPRESSED map-output sizes (the hot
+    // shingle's repeated 23-byte string compresses ~10×: its ~130KB
+    // raw partition registers ~20KB), so the thresholds sit well below
+    // the raw partition bytes. maxPartitionBytes is lowered so the
+    // shard-written core below reads as one map task PER FILE — see
+    // the splittability discussion at (2b).
+    val conf = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.5",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.files.maxPartitionBytes" -> "4MB",
+      "spark.sql.shuffle.partitions" -> "64")
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val sh = zipfCorpus(nDocs = 4000, perDoc = 10)
+      val capDf = Seq(4000L).toDF("cap")
+      val inline = planString(Dedup.nearDupPairsFrom(sh, capDf))
+      // count REAL exchanges only: a ReusedExchange line echoes the
+      // original's description, so filter to lines that aren't reuses
+      val freshShingleExchanges = inline.linesIterator.filter(l =>
+        l.contains("Exchange hashpartitioning(shingle") &&
+          !l.contains("ReusedExchange")).size
+      assert(freshShingleExchanges == 1,
+        s"inline core: ONE shared shingle exchange feeds window + both join sides:\n$inline")
+      assert(!inline.contains("skew="),
+        "inline core: no fresh shuffle at the join, so AQE skew-split " +
+          s"cannot (and need not, below cap²) fire:\n$inline")
+
+      // (2) MATERIALIZED core (the s19/static-index production shape):
+      //     the capped frame read back from parquet self-joins through
+      //     fresh scan→shuffle exchanges, so AQE's skew rule is BACK in
+      //     play — but only if the file layout permits it. AQE splits a
+      //     skewed reduce partition BY MAP-OUTPUT RANGES, so a hot key
+      //     whose rows all come from ONE map task is structurally
+      //     unsplittable (observed: "number of skewed partitions: left
+      //     0" with the hot partition 5.5× the median).
+      //
+      // (2a) A core written CLUSTERED BY the join key — the tempting
+      //     layout, since the write is free right after the cap window
+      //     — puts each hot key in one file → one map task → AQE
+      //     detects the skew but cannot split it. Asserted as !skew=
+      //     because it is the layout trap for every materialized-core
+      //     consumer.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-zipf").toString
+      val core = Dedup.cappedShingles(sh, capDf)
+      core.write.mode("overwrite").parquet(s"$tmp/clustered.parquet")
+      def selfJoin(path: String) = {
+        val capped = spark.read.parquet(path)
+        val a = capped.select(col("doc_id").as("da"), col("shingle"))
+        val b = capped.select(col("doc_id").as("db"), col("shingle").as("shingle_b"))
+        a.join(b, col("shingle") === col("shingle_b") && col("da") < col("db"))
+          .groupBy(col("da"), col("db")).agg(count(lit(1)).as("i"))
+      }
+      val clustered = planString(selfJoin(s"$tmp/clustered.parquet"))
+      assert(!clustered.contains("skew="),
+        "a key-clustered core write makes every hot key single-map — " +
+          s"AQE must NOT have been able to split:\n$clustered")
+
+      // (2b) The same core written in ROUND-ROBIN SHARDS (doc-id order,
+      //     the layout the s19 static index and any sharded export
+      //     naturally produce): each hot key's rows spread over all
+      //     shards → many map tasks → AQE splits the boilerplate
+      //     shingle's partition at runtime. THIS is the production
+      //     prescription for kept-but-hot keys above cap-sized tasks:
+      //     materialize unclustered, let AQE split.
+      core.repartition(8).write.mode("overwrite").parquet(s"$tmp/sharded.parquet")
+      val sharded = planString(selfJoin(s"$tmp/sharded.parquet"))
+      assert(sharded.contains("skew="),
+        s"sharded core: AQE should split the boilerplate shingle's partition:\n$sharded")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("q92 drop set equals the symmetric pair view across the shard boundary") {
     import spark.implicits._
     // q92 shares q25's shingle frame, cap, and capped sizes, so an

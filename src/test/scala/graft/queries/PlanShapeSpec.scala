@@ -396,4 +396,59 @@ class PlanShapeSpec extends SparkSpec {
       "BroadcastNestedLoopJoin".r.findAllIn(plan94).size <= 1,
       s"the confusion rollup adds no pair join beyond the prototype broadcast:\n$plan94")
   }
+
+  /** The suite-wide pair-blowup invariant, stated once over the WHOLE
+    * inventory instead of per-query: no executed plan contains a
+    * CartesianProduct, and every BroadcastNestedLoopJoin is one of the
+    * three documented bounded shapes — (a) the ≤8/≤10-row centroid /
+    * prototype assignment (Similarity.assignTo), (b) the fenced
+    * pairCos anchor broadcast (≤ FenceCap rows at ANY corpus size:
+    * fk = ceil(n/FenceCap) ⇒ anchors = n/fk ≤ FenceCap), (c) q95's
+    * probe-sample exact pass (stride ladder caps probes ~2000).
+    * Every exemption carries a broadcast-side row bound that holds at
+    * 100× scale BY CONSTRUCTION, and the bound is asserted against the
+    * executed exchange metric, not trusted. Any new query that
+    * introduces an unlisted BNLJ — e.g. a scalar attached via
+    * crossJoin instead of T.withScalar — fails here with its name. */
+  test("ALL queries: no cartesian anywhere; every BNLJ is a documented bounded broadcast") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+    // query → (max BNLJ nodes in the executed plan, max broadcast-side rows)
+    val exempt: Map[String, (Int, Long)] = Map(
+      "q26_cosine_topk" -> (1, 4000L), // pairCos fenced anchor (FenceCap)
+      "q30_embed_neardup" -> (1, 4000L), // pairCos fenced anchor
+      "q31_ann_ivf" -> (3, 8L), // lloyd seed/c1 + final assignTo
+      "q52_embed_neardup_blocked" -> (3, 8L), // lloyd chain
+      "q97_ivf_stats" -> (3, 8L), // lloyd chain
+      "q93_centroid_classify" -> (1, 10L), // label-prototype assignTo
+      "q94_confusion_matrix" -> (1, 10L), // label-prototype assignTo
+      "q95_ann_recall" -> (1, 2000L)) // probe-sample exact pass
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val exec = executedPlan(q(spark, sfDir))
+      val nodes = allPlanNodes(exec)
+      val cart = nodes.filter(_.getClass.getSimpleName.startsWith("CartesianProduct"))
+      val bnlj = nodes.collect { case j: BroadcastNestedLoopJoinExec => j }
+      val (maxN, maxRows) = exempt.getOrElse(name, (0, 0L))
+      val cartErr =
+        if (cart.nonEmpty) Seq(s"$name: CartesianProduct in plan") else Seq.empty
+      val countErr = if (bnlj.size > maxN)
+        Seq(s"$name: ${bnlj.size} BNLJ nodes (allowed $maxN)") else Seq.empty
+      // broadcast-side row bound, read from the executed exchange metric
+      val rowErrs = bnlj.flatMap { j =>
+        val rows = allPlanNodes(j).collectFirst {
+          case e: BroadcastExchangeExec => e.metrics("numOutputRows").value
+          case r: ReusedExchangeExec => r.child.metrics("numOutputRows").value
+        }
+        rows match {
+          case Some(r) if r > maxRows =>
+            Some(s"$name: BNLJ broadcast side $r rows (bound $maxRows)")
+          case None => Some(s"$name: BNLJ with no readable broadcast metric")
+          case _ => None
+        }
+      }
+      cartErr ++ countErr ++ rowErrs
+    }
+    assert(violations.isEmpty,
+      s"suite-wide BNLJ invariant violated:\n${violations.mkString("\n")}")
+  }
 }
