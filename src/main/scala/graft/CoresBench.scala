@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Measures the shared-core amortization the Cores API buys:
+  * `tools/run.sh graft.CoresBench [runs]` times the q48/q70/q80
+  * family (a) self-contained — each query re-derives the q25 pair
+  * core, the default bench's verification shape — and (b) over ONE
+  * Cores.materialize + consumers reading the parquet. Prints one
+  * line per variant; numbers recorded in BASELINE.md round 6. The
+  * default Bench is deliberately unchanged (per-query independence
+  * is the oracle-gate contract). */
+object CoresBench {
+  def main(args: Array[String]): Unit = {
+    val runs = if (args.nonEmpty) args(0).toInt else 3
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark: SparkSession = Bench.session()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // warmup at the smoke scale (parquet footers, codegen)
+    Seq("q48_dedup_clusters", "q70_cluster_keep_best", "q80_dup_by_source")
+      .foreach(q => Bench.exec(SparkEntry.queries(q)(spark, Bench.WarmupDir)))
+
+    val self = (1 to runs).map { _ =>
+      time {
+        Seq("q48_dedup_clusters", "q70_cluster_keep_best", "q80_dup_by_source")
+          .foreach(q => Bench.exec(SparkEntry.queries(q)(spark, sfDir)))
+      }
+    }
+    val shared = (1 to runs).map { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("coresbench").toString
+      time {
+        // pairs core only — the one this consumer family reads
+        graft.queries.Cores.materializePairs(spark, sfDir, dir)
+        val p = graft.queries.Cores.nearDupPairs(spark, dir)
+        Bench.exec(graft.queries.Corpus.q48From(p))
+        Bench.exec(graft.queries.Corpus.q70From(spark, sfDir, p))
+        Bench.exec(graft.queries.Corpus.dupBySourceFrom(spark, sfDir, p)
+          .orderBy("source"))
+      }
+    }
+    println(f"self-contained q48+q70+q80: runs=${self.map(t => f"$t%.2f").mkString(",")} min=${self.min}%.2f")
+    println(f"materialized core + consumers: runs=${shared.map(t => f"$t%.2f").mkString(",")} min=${shared.min}%.2f")
+    spark.stop()
+  }
+}

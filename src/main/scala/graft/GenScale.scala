@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 rehearsal-corpus generator: `tools/run.sh graft.GenScale
+  * <srcSfDir> <destDir> [replicas]` builds a `replicas`× corpus of the
+  * two tables the heavy dedup/ANN/curation family reads (documents,
+  * embeddings) and passes the remaining tables through unscaled, so
+  * every query still runs against the dest dir.
+  *
+  * The scaling construction is ISOMORPHIC-replica, chosen so measured
+  * cost curves are attributable to the ENGINE, not to drifted data
+  * properties:
+  *
+  * - documents, replica r>0: every token gets the replica suffix
+  *   `zq<r>` (a bijective token rename). Within a replica, all
+  *   shingle-set relationships — near-dup clusters, Jaccard overlaps,
+  *   fingerprints — are exactly those of the source corpus; across
+  *   replicas, no shingle of length ≥1 can collide (every token
+  *   differs), so candidate-pair structure is exactly `replicas`
+  *   disjoint copies. A corpus whose per-unit work is constant by
+  *   construction makes the scaling exponent of a bucketed-join shape
+  *   directly readable from wall time.
+  * - embeddings, replica r>0: a seeded dimension permutation (one per
+  *   replica). Permutation is an isometry — every within-replica dot
+  *   product, norm and cosine is bit-preserved — while cross-replica
+  *   cosines between a vector and its permuted twin are ~0 on the
+  *   synthetic corpus, so threshold near-dup pair counts scale
+  *   linearly, not quadratically.
+  *
+  * doc_id/vec_id are offset by r·10^7 to stay disjoint. n_chars is
+  * recomputed from the rewritten text. This intentionally does NOT
+  * claim distributional realism at sf1 (hot-key skew is the separate
+  * Zipfian fixture in DedupScaleSpec); it measures how the ENGINE's
+  * plan shapes scale when per-replica work is held constant.
+  */
+object GenScale {
+  private val Stride = 10_000_000L
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, destDir) = args.take(2)
+    val replicas = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(destDir).mkdirs()
+
+    writeReplicated(documentsReplica(spark, srcDir, _), replicas,
+      s"$destDir/documents.parquet")
+    writeReplicated(embeddingsReplica(spark, srcDir, _), replicas,
+      s"$destDir/embeddings.parquet")
+
+    // pass-through for the rest of the star schema + events
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events").foreach { t =>
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$destDir/$t.parquet")
+    }
+    println(s"GENSCALE done: $destDir at ${replicas}x documents/embeddings")
+    spark.stop()
+  }
+
+  private def writeReplicated(one: Int => DataFrame, replicas: Int,
+      out: String): Unit =
+    (0 until replicas).map(one).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(out)
+
+  /** Replica r of documents: bijective token rename + id offset. */
+  private def documentsReplica(s: SparkSession, d: String, r: Int): DataFrame = {
+    val base = T.tbl(s, d, "documents")
+    val text =
+      if (r == 0) col("text")
+      else regexp_replace(col("text"), "(\\S+)", s"$$1zq$r")
+    base.select(
+      (col("doc_id") + lit(r * Stride)).as("doc_id"),
+      text.as("text"),
+      col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** Replica r of embeddings: seeded dim permutation + id offset. */
+  private def embeddingsReplica(s: SparkSession, d: String, r: Int): DataFrame = {
+    val base = T.tbl(s, d, "embeddings")
+    val dim = base.select(size(col("embedding"))).first().getInt(0)
+    val perm = permutation(dim, seed = r)
+    val emb =
+      if (r == 0) col("embedding")
+      else array(perm.map(j => col("embedding").getItem(j)): _*)
+    base.select(
+      (col("vec_id") + lit(r * Stride)).as("vec_id"),
+      emb.as("embedding"), col("label"))
+  }
+
+  /** Deterministic Fisher–Yates permutation of 0 until n (seed 0 =
+    * identity, matching replica 0's untouched frame). */
+  private[graft] def permutation(n: Int, seed: Int): Array[Int] = {
+    val a = Array.tabulate(n)(identity)
+    if (seed == 0) return a
+    val rnd = new java.util.Random(0x9E3779B9L * seed)
+    var i = n - 1
+    while (i > 0) {
+      val j = rnd.nextInt(i + 1)
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+    a
+  }
+}

@@ -375,14 +375,19 @@ object Corpus {
     * ScaleSpec). Near-dup cliques are shallow, so this converges in
     * 2-3 rounds here; the same code survives a chain-shaped graph at
     * 100 TB without an O(diameter) blowup. */
-  private def q48(s: SparkSession, d: String): DataFrame = {
-    val p = pairs(s, d)
+  private def q48(s: SparkSession, d: String): DataFrame =
+    q48From(pairs(s, d))
+
+  /** q48 over an injectable pairs frame — the same body serves the
+    * self-contained query (pairs derived inline) and the
+    * materialized-core path (pairs read from Cores.nearDupPairs);
+    * CoresParitySpec holds the two identical. */
+  private[graft] def q48From(p: DataFrame): DataFrame =
     graft.scale.Scale
       .connectedComponents(p.select(col("da").as("src"), col("db").as("dst")))
       .select(col("node").as("doc_id"), col("label").as("cluster"),
         (col("node") === col("label")).as("is_representative"))
       .orderBy("cluster", "doc_id")
-  }
 
   /** The near-dup-pair CTE chain (q25's capped exact-Jaccard pairs),
     * shared by the q48/q70/q80 oracles. Defines CTEs `t` (tokens with
@@ -418,10 +423,15 @@ object Corpus {
     * doc_id). Composes the CC labels with the quality operator — one
     * extra broadcast-sized join and a per-cluster window on top of
     * q48's plan, nothing new shuffles the corpus. */
-  private def q70(s: SparkSession, d: String): DataFrame = {
+  private def q70(s: SparkSession, d: String): DataFrame =
+    q70From(s, d, pairs(s, d))
+
+  /** q70 over an injectable pairs frame (see [[q48From]]). */
+  private[graft] def q70From(s: SparkSession, d: String,
+      p: DataFrame): DataFrame = {
     val cc = graft.scale.Scale
       .connectedComponents(
-        pairs(s, d).select(col("da").as("src"), col("db").as("dst")))
+        p.select(col("da").as("src"), col("db").as("dst")))
       .select(col("node").as("doc_id"), col("label").as("cluster"))
     // Quality only for cluster MEMBERS (a per-document score, so the
     // subset is exact): near-dup members are a sliver of the corpus at
@@ -476,11 +486,16 @@ object Corpus {
 
   /** The q80 computation unsorted — (source, n_docs, n_dup,
     * dup_ratio) — shared with q100's dataset card. */
-  private[queries] def dupBySource(s: SparkSession, d: String): DataFrame = {
+  private[queries] def dupBySource(s: SparkSession, d: String): DataFrame =
+    dupBySourceFrom(s, d, pairs(s, d))
+
+  /** [[dupBySource]] over an injectable pairs frame (see [[q48From]]). */
+  private[graft] def dupBySourceFrom(s: SparkSession, d: String,
+      p: DataFrame): DataFrame = {
     // Endpoint extraction as one explode over the pairs frame — a
     // union of two projections would plan the expensive pair-build
     // subtree twice and depend on exchange reuse to dedupe it.
-    val dup = pairs(s, d)
+    val dup = p
       .select(explode(array(col("da"), col("db"))).as("doc_id")).distinct()
     val docs = tbl(s, d, "documents").select(col("doc_id"), col("source"))
     val per = docs.join(dup, Seq("doc_id"), "left_semi")

@@ -78,6 +78,35 @@ object Similarity {
   private def pfCte: String =
     s"pf AS (SELECT 50 * ((count(*) + ${ProbeCapN - 1}) // $ProbeCapN) AS pstep FROM embeddings)"
 
+  /** IVF cluster-count fence: with a FIXED k, balanced clusters hold
+    * n/k vectors and the blocked pair join costs Σ cluster² = n²/k —
+    * quadratic with a smaller constant, which the sf1 rehearsal
+    * measured directly (q52: 4.25s → 38.0s at 10× the corpus, ~100×
+    * the candidate combos). So k is corpus-derived like the banding
+    * and probe ladders: k = max(8, ceil(n / [[IvfClusterTarget]])),
+    * which holds the BALANCED cluster size at ~512 and makes
+    * Σ cluster² ≈ n·512 — linear in the corpus. Below ~4096 vectors
+    * the floor binds (k = 8 exactly), so every test-scale result is
+    * byte-identical and the oracle replays the same ladder (kdf CTE).
+    * The k-row centroid table stays broadcast-able far past any
+    * plausible single-cluster corpus (k = n/512; 1B vectors → 2M×65
+    * longs ≈ 1 GB is past the comfortable broadcast ceiling — at THAT
+    * scale real IVF systems assign hierarchically (coarse centroids
+    * over centroids), which is the documented extension seam, not a
+    * different join shape). */
+  private[queries] val IvfClusterTarget = 512L
+
+  /** 1-row (kk) cluster-count frame, derived in-plan. */
+  private[queries] def ivfK(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "embeddings")
+      .agg(greatest(lit(8L),
+        expr(s"(count(1) + ${IvfClusterTarget - 1}) div $IvfClusterTarget"))
+        .as("kk"))
+
+  /** Oracle twin of [[ivfK]]. */
+  private val kdfCte: String =
+    s"kdf AS (SELECT greatest(8, (count(*) + ${IvfClusterTarget - 1}) // $IvfClusterTarget) AS kk FROM embeddings)"
+
   /** Shared rounded-cosine pair frame of the q26/q30 exactness
     * baselines — all pairs (va < vb) at test scale, FENCED above
     * [[FenceCap]] vectors: the anchor (va) side is thinned to every
@@ -161,7 +190,7 @@ object Similarity {
     * scoring primitive of the k-means chain, dispatched to the typed
     * codegen'd [[graft.functions.DotProduct]] (its array<bigint> mode;
     * an `aggregate` HOF fold gives identical values and measured
-    * within noise here — the chain's dots run against ≤8 broadcast
+    * within noise here — the chain's dots run against the k-row broadcast
     * centroids — but the codegen path avoids the HOF's per-row
     * intermediate array and is the same primitive the double hot path
     * uses). Long arithmetic is exact to 2^63, so centroid self-dots
@@ -204,7 +233,7 @@ object Similarity {
   /** One Lloyd's update: element-wise integer sum of the quantized
     * vectors per cluster. Distributed shape: posexplode to (cluster,
     * dim) — a partial-aggregatable groupBy over narrow rows — then the
-    * ≤8·64 sums collapse to ≤8 centroid rows. */
+    * k·64 sums collapse to the k centroid rows. */
   private def recompute(assigned: DataFrame): DataFrame =
     assigned.select(col("cid"), posexplode(col("q")).as(Seq("d", "qd")))
       .groupBy("cid", "d").agg(sum("qd").as("sd"))
@@ -213,11 +242,18 @@ object Similarity {
         x => x.getField("sd")).as("cs"))
       .withColumn("cn", sqrt(ldot("cs", "cs").cast("double")))
 
-  /** Two deterministic Lloyd's iterations from the vec_id < 8 seeds:
+  /** The learned centroid table alone — the IVF "index" a serving
+    * deployment materializes once per corpus snapshot (Cores). */
+  private[queries] def lloydCentroids(s: SparkSession, d: String): DataFrame =
+    lloyd(s, d)._2
+
+  /** Two deterministic Lloyd's iterations from the vec_id < k seeds,
+    * k corpus-derived ([[ivfK]]; = 8 at every test scale):
     * (vec_id, v, nrm, q, qn) × learned centroids (cid, cs, cn). */
   private def lloyd(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val qv = qvecs(s, d)
-    val c0 = qv.filter(col("vec_id") < 8)
+    val c0 = withScalar(qv, ivfK(s, d))
+      .filter(col("vec_id") < col("kk"))
       .select(col("vec_id").as("cid"), col("q").as("cs"), col("qn").as("cn"))
     val c1 = recompute(assignTo(qv, c0, 1).select(col("cid"), col("q")))
     val c2 = recompute(assignTo(qv, c1, 1).select(col("cid"), col("q")))
@@ -225,16 +261,19 @@ object Similarity {
   }
 
   /** Oracle mirror of [[lloyd]]: the same unrolled seed → assign →
-    * re-sum → assign → re-sum chain. `sum(qd)` over integer-valued
+    * re-sum → assign → re-sum chain, seeded from the same
+    * corpus-derived k (kdf ≡ [[ivfK]]). `sum(qd)` over integer-valued
     * doubles is exact, so `c2` is bit-identical to Spark's. */
   private val lloydSql =
-    """v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
       |qv AS (SELECT vec_id, v, nrm,
       |              list_transform(v, x -> CAST(floor(x * 1000) AS DOUBLE)) AS q
       |       FROM n),
       |qq AS (SELECT vec_id, v, nrm, q, sqrt(list_dot_product(q, q)) AS qn FROM qv),
-      |c0 AS (SELECT vec_id AS cid, q AS cs, qn AS cn FROM qq WHERE vec_id < 8),
+      |$kdfCte,
+      |c0 AS (SELECT vec_id AS cid, q AS cs, qn AS cn
+      |       FROM qq CROSS JOIN kdf WHERE vec_id < kk),
       |a1 AS (SELECT cid, q FROM (
       |         SELECT qq.vec_id, c0.cid, qq.q,
       |                row_number() OVER (PARTITION BY qq.vec_id
@@ -259,7 +298,8 @@ object Similarity {
       |c2 AS (SELECT cid, cs, sqrt(list_dot_product(cs, cs)) AS cn FROM c2p)""".stripMargin
 
   /** q31: IVF-style ANN — centroids are learned with two deterministic
-    * Lloyd's iterations from the vec_id < 8 seeds (broadcast at every
+    * Lloyd's iterations from the vec_id < k seeds, k corpus-derived
+    * ([[ivfK]]; broadcast at every
     * step); each probe vector (the [[probeStride]] sample) retrieves its top-5
     * cosine neighbors from its own cluster only. */
   private def q31(s: SparkSession, d: String): DataFrame = {
@@ -307,8 +347,10 @@ object Similarity {
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   /** q52: blocked embedding near-dup — the scale shape of q30. Each
-    * vector is assigned to its top-2 nearest of the 8 Lloyd's-learned
-    * centroids (multi-probe softens cluster-boundary misses); candidate pairs
+    * vector is assigned to its top-2 nearest of the k Lloyd's-learned
+    * centroids (k corpus-derived, [[ivfK]] — the fence that keeps
+    * Σ cluster² linear; the sf1 rehearsal measured the fixed-k curve
+    * at ~100× combos per 10× corpus before this) (multi-probe softens cluster-boundary misses); candidate pairs
     * are generated by an equality self-join on the assigned cluster id
     * and scored with the same rounded cosine ≥ 0.4 predicate. The
     * plan has NO cartesian/broadcast-NL pair join (asserted in
@@ -667,7 +709,7 @@ object Similarity {
     * STRUCTURE rather than its answers.
     *
     * Scale shape: everything after the assignment is O(clusters) —
-    * the counts frame partial-aggregates to ≤8 rows, and the totals
+    * the counts frame partial-aggregates to k rows, and the totals
     * attach via the standard withScalar broadcast. */
   private def q97(s: SparkSession, d: String): DataFrame = {
     val (qv, c2) = lloyd(s, d)

@@ -83,7 +83,19 @@ final class CsvAppendSink(
     * `batchesSaved` counts micro-batches, not 1000-row chunks. Row
     * bytes are otherwise identical. */
   def writeBatch(df: DataFrame, batchId: Long): Unit = {
-    if (batchId <= lastWrittenBatch) return
+    if (batchId <= lastWrittenBatch) {
+      // Replayed batch (crash landed between the data append and the
+      // checkpoint commit): skip the WRITE but still EXECUTE the frame.
+      // Spark 4.1 validates that every micro-batch of a stateful query
+      // commits every state-store partition — a zero-work skip crashes
+      // the restart with STATE_STORE_COMMIT_VALIDATION_FAILED (found
+      // by KillResumeSpec's between-batch kill: the sidecar records
+      // the batch, the checkpoint doesn't, the replay skips, the query
+      // dies). foreach(noop) runs all partitions executor-side with
+      // zero driver transfer.
+      df.foreach(_ => ())
+      return
+    }
     val projected = df.select(columns.map(col): _*)
     val it = projected.toLocalIterator()
     if (!it.hasNext) return

@@ -180,6 +180,29 @@ class DedupScaleSpec extends SparkSpec {
       s"expected the %100 sample, got ${ids.length} ids")
   }
 
+  test("IVF k fence: 8 below ~4k vectors, cluster count grows with the corpus above") {
+    import spark.implicits._
+    // the sf1 rehearsal measured the fixed-k curve (q52 4.25→38.0s at
+    // 10×, Σ cluster² = n²/k); the ladder holds cluster size ~512 so
+    // Σ cluster² ≈ n·512 — and stays the identity at test scales.
+    assert(Similarity.ivfK(spark, sfDir).as[Long].head() == 8L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kfence").toString
+    // hash-derived dims: diverse directions, so the learned clusters
+    // don't collapse (a periodic construction left only 4 non-empty)
+    spark.range(5000).select(col("id").as("vec_id"),
+        array((0 until 4).map(j =>
+          (pmod(hash(col("id") * 17 + j), lit(1000)) + 1).cast("float")): _*)
+          .as("embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    assert(Similarity.ivfK(spark, tmp).as[Long].head() == 10L) // ceil(5000/512)
+    // the whole Lloyd's chain runs at the engaged k: more than the 8
+    // floor seeds survive to learned centroids, and never more than k
+    val centroids = Similarity.lloydCentroids(spark, tmp)
+      .select("cid").as[Long].collect()
+    assert(centroids.length > 8 && centroids.length <= 10,
+      s"expected 9-10 learned centroids at k=10, got ${centroids.length}")
+  }
+
   // ---- Zipfian-corpus stress (round 6): the cap/AQE levers proven ----
   // ---- on a skewed shingle distribution, not the near-uniform sf  ----
 
