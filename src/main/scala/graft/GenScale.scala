@@ -55,11 +55,31 @@ object GenScale {
     writeReplicated(embeddingsReplica(spark, srcDir, _), replicas,
       s"$destDir/embeddings.parquet")
 
-    // pass-through for the rest of the star schema + events
+    // pass-through for the rest of the star schema + events: BYTE
+    // copies, not a Spark read/write roundtrip — the driver's files
+    // carry TIMESTAMP(NANOS) columns that a rewrite silently converts
+    // (micros / int64), which breaks the DuckDB oracle's timestamp
+    // arithmetic against the copied tables (found by the full sf1
+    // oracle sweep: date_trunc(BIGINT) / Timestamp(MS) binder errors)
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events").foreach { t =>
-      spark.read.parquet(s"$srcDir/$t.parquet")
-        .write.mode("overwrite").parquet(s"$destDir/$t.parquet")
+      val src = java.nio.file.Paths.get(s"$srcDir/$t.parquet")
+      val dst = java.nio.file.Paths.get(s"$destDir/$t.parquet")
+      // a stale dest (e.g. a directory from an earlier run) blocks a
+      // flat file copy — clear it first
+      if (java.nio.file.Files.isDirectory(dst))
+        java.nio.file.Files.walk(dst).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      if (java.nio.file.Files.isRegularFile(src))
+        java.nio.file.Files.copy(src, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else { // directory source (chained rehearsal dirs): copy parts
+        java.nio.file.Files.createDirectories(dst)
+        java.nio.file.Files.list(src).forEach { p =>
+          java.nio.file.Files.copy(p, dst.resolve(p.getFileName.toString),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
     }
     println(s"GENSCALE done: $destDir at ${replicas}x documents/embeddings")
     spark.stop()
