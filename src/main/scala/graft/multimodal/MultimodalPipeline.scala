@@ -15,16 +15,18 @@ final case class MediaRecord(
     content: Array[Byte],
     source: String)
 
-/** Decoded-media features. The audio path is REAL: `MediaCodec`
-  * carries a dependency-free RIFF/WAVE PCM parser (and encoder, used
-  * by the specs to build fixtures), so a payload that actually is a
-  * WAV decodes to its true sample rate / channels / duration / peak.
-  * Image/video decode remains a deterministic STUB (this container
-  * has no image libs): it derives fake dimensions from the payload
-  * bytes. The Spark plumbing — schema, batch iteration,
-  * partition-local execution, frame sampling — is the production
-  * shape either way: swap the image stub for an actual codec
-  * (JavaCPP/FFmpeg, ImageIO) and nothing else changes.
+/** Decoded-media features. The audio and image paths are REAL:
+  * `MediaCodec` carries dependency-free parsers (and encoders, used
+  * by the specs to build fixtures) for the uncompressed core of two
+  * standard containers — RIFF/WAVE PCM (true sample rate / channels /
+  * duration / peak / rms) and BI_RGB BMP (true dimensions / bit depth
+  * / mean intensity). Payloads in any other format (and all video —
+  * no pure-JVM codec for compressed formats lives in this container)
+  * fall back to a deterministic pseudo-decode. The Spark plumbing —
+  * schema, batch iteration, partition-local execution, frame
+  * sampling — is the production shape either way: swap the fallback
+  * for an actual codec (JavaCPP/FFmpeg, ImageIO) and nothing else
+  * changes.
   */
 final case class MediaFeatures(
     media_id: Long,
@@ -58,6 +60,15 @@ final case class WavInfo(
     durationMs: Long,
     peak: Double,
     rms: Double)
+
+/** A decoded uncompressed BMP: header facts plus the mean pixel
+  * intensity in [0, 1] (the cheap brightness feature an image
+  * curation gate filters on). */
+final case class BmpInfo(
+    width: Int,
+    height: Int,
+    bitsPerPixel: Int,
+    meanIntensity: Double)
 
 object MediaCodec {
 
@@ -144,19 +155,104 @@ object MediaCodec {
     bb.array()
   }
 
+  /** REAL decode of an uncompressed Windows BMP: BITMAPFILEHEADER
+    * ("BM", pixel-data offset) + BITMAPINFOHEADER (≥40 bytes: dims,
+    * planes, bpp, compression), then one pass over the pixel rows —
+    * bottom-up or top-down (negative height), each row padded to a
+    * 4-byte boundary per the format — for the mean intensity.
+    * Supports the uncompressed core: BI_RGB (compression 0) at 24-bit
+    * BGR or 8-bit grayscale-palette-free samples. Returns None for
+    * anything else (wrong magic, compressed, truncated), routing the
+    * payload to the deterministic stub path — same contract as
+    * [[parseWav]]. Zero dependencies. */
+  def parseBmp(bytes: Array[Byte]): Option[BmpInfo] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val pixelOff = bb.getInt(10)
+    val hdrSize = bb.getInt(14)
+    if (hdrSize < 40) return None
+    val width = bb.getInt(18)
+    val rawHeight = bb.getInt(22)
+    val height = math.abs(rawHeight)
+    val bpp = bb.getShort(28) & 0xffff
+    val compression = bb.getInt(30)
+    if (compression != 0 || width <= 0 || height == 0 ||
+        (bpp != 24 && bpp != 8)) return None
+    val bytesPerPx = bpp / 8
+    val rowStride = ((width * bytesPerPx + 3) / 4) * 4 // 4-byte row padding
+    val need = pixelOff.toLong + rowStride.toLong * height
+    if (pixelOff < 54 || need > bytes.length) return None
+    var sum = 0.0
+    var y = 0
+    while (y < height) {
+      val row = pixelOff + y * rowStride
+      var x = 0
+      while (x < width) {
+        val p = row + x * bytesPerPx
+        val v =
+          if (bpp == 24) // BGR triplet → mean channel
+            ((bytes(p) & 0xff) + (bytes(p + 1) & 0xff) +
+              (bytes(p + 2) & 0xff)) / 3.0
+          else (bytes(p) & 0xff).toDouble
+        sum += v
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpInfo(width, height, bpp,
+      sum / (width.toLong * height) / 255.0))
+  }
+
+  /** REAL encode: 24-bit BI_RGB bottom-up BMP with canonical 54-byte
+    * headers and padded rows. `pixels(y)(x)` = (r, g, b), row 0 = TOP
+    * row (encoder flips to the format's bottom-up order). Round-trips
+    * through [[parseBmp]]; the specs use it to build genuine
+    * fixtures. */
+  def encodeBmp24(pixels: Array[Array[(Int, Int, Int)]]): Array[Byte] = {
+    val height = pixels.length
+    val width = pixels.head.length
+    val rowStride = ((width * 3 + 3) / 4) * 4
+    val dataLen = rowStride * height
+    val bb = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putInt(0).putInt(54) // reserved, pixel offset
+    bb.putInt(40).putInt(width).putInt(height) // bottom-up
+      .putShort(1.toShort).putShort(24.toShort)
+      .putInt(0).putInt(dataLen) // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 DPI, palette
+    var y = height - 1 // bottom-up: last image row first
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pixels(y)(x)
+        bb.put(b.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var pad = rowStride - width * 3
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    bb.array()
+  }
+
   /** Decode a payload to the (width, height, n_frames) feature
-    * contract. An audio payload that really is a PCM WAV decodes for
-    * REAL — (channels, bitsPerSample, one frame per 100 ms window),
-    * so downstream frame sampling walks genuine time windows. Payloads
-    * that aren't WAVs (and all image/video payloads — no pure-JVM
-    * codec for those formats lives in this container) fall back to
+    * contract. Payloads that really are one of the two supported
+    * uncompressed formats decode for REAL: a PCM WAV on the audio
+    * path → (channels, bitsPerSample, one frame per 100 ms window),
+    * an uncompressed BMP on the image path → (width, height, 1).
+    * Anything else (including all video payloads — no pure-JVM codec
+    * for compressed formats lives in this container) falls back to
     * the deterministic pseudo-decode so the pipeline shape stays
     * exercised end-to-end on any corpus. */
   def decode(bytes: Array[Byte], mediaType: String): (Int, Int, Int) =
-    parseWav(bytes) match {
-      case Some(w) if mediaType == "audio" =>
+    (mediaType, parseWav(bytes), parseBmp(bytes)) match {
+      case ("audio", Some(w), _) =>
         (w.channels, w.bitsPerSample,
           math.max(1, ((w.durationMs + 99) / 100).toInt))
+      case ("image", _, Some(b)) =>
+        (b.width, b.height, 1)
       case _ =>
         val h = java.util.Arrays.hashCode(bytes)
         val width = math.abs(h % 640) + 1

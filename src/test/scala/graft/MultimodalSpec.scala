@@ -114,6 +114,29 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.parseWav(compressed).isEmpty)
   }
 
+  test("BMP parser decodes a generated 24-bit fixture exactly") {
+    // 6x4 left-to-right grayscale gradient: intensity of column x is
+    // x*51 (0, 51, ..., 255); known mean = (0+51+102+153+204+255)/6/255
+    val px = Array.tabulate(4, 6)((_, x) => (x * 51, x * 51, x * 51))
+    val bytes = MediaCodec.encodeBmp24(px.map(_.toArray))
+    val b = MediaCodec.parseBmp(bytes).get
+    assert(b.width == 6 && b.height == 4 && b.bitsPerPixel == 24)
+    assert(math.abs(b.meanIntensity - 127.5 / 255.0) < 1e-9,
+      s"mean=${b.meanIntensity}")
+    // width 6 → 18-byte rows padded to 20: the parser must honor the
+    // 4-byte row stride (a naive contiguous read would smear rows)
+    assert(bytes.length == 54 + 20 * 4)
+    // decode() routes a real BMP to its true dimensions
+    assert(MediaCodec.decode(bytes, "image") == (6, 4, 1))
+    // malformed payloads fall back: wrong magic, truncated, compressed
+    assert(MediaCodec.parseBmp("not a bitmap".getBytes).isEmpty)
+    assert(MediaCodec.parseBmp(bytes.take(60)).isEmpty)
+    val rle = bytes.clone()
+    java.nio.ByteBuffer.wrap(rle).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(30, 1) // BI_RLE8
+    assert(MediaCodec.parseBmp(rle).isEmpty)
+  }
+
   test("audio features flow end-to-end through the partition-local path") {
     import spark.implicits._
     val fixtures = Seq(
