@@ -70,6 +70,15 @@ final case class BmpInfo(
     bitsPerPixel: Int,
     meanIntensity: Double)
 
+/** Features of a REAL-decoded image payload ([[MediaCodec.parseBmp]]). */
+final case class ImageFeatures(
+    media_id: Long,
+    width: Int,
+    height: Int,
+    bits: Int,
+    n_pixels: Long,
+    mean_intensity: Double)
+
 object MediaCodec {
 
   /** REAL decode of an uncompressed RIFF/WAVE payload — a chunk-walk
@@ -322,6 +331,21 @@ object MultimodalPipeline {
         MediaCodec.parseWav(r.content).map { w =>
           AudioFeatures(r.media_id, w.sampleRate, w.channels,
             w.bitsPerSample, w.nSampleFrames, w.durationMs, w.peak, w.rms)
+        }
+      }
+    }
+  }
+
+  /** Typed image decode over the REAL BMP parser — the image twin of
+    * [[extractAudioFeatures]], same partition-local decodable-gate
+    * shape (undecodable payloads drop to the dead-letter side). */
+  def extractImageFeatures(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        MediaCodec.parseBmp(r.content).map { b =>
+          ImageFeatures(r.media_id, b.width, b.height, b.bitsPerPixel,
+            b.width.toLong * b.height, b.meanIntensity)
         }
       }
     }

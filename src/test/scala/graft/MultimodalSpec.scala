@@ -137,6 +137,23 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaCodec.parseBmp(rle).isEmpty)
   }
 
+  test("image features flow end-to-end through the partition-local path") {
+    import spark.implicits._
+    def gray(w: Int, h: Int, v: Int) =
+      MediaCodec.encodeBmp24(Array.fill(h)(Array.fill(w)((v, v, v))))
+    val fixtures = Seq(
+      MediaRecord(1L, "image", gray(8, 5, 200), "gen"),
+      MediaRecord(2L, "image", gray(3, 3, 0), "gen"),
+      MediaRecord(3L, "image", "not an image".getBytes, "doc"))
+    val out = MultimodalPipeline.extractImageFeatures(
+        spark.createDataset(fixtures).repartition(2))
+      .collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq == Seq(1L, 2L))
+    assert(out(0).width == 8 && out(0).height == 5 && out(0).n_pixels == 40)
+    assert(math.abs(out(0).mean_intensity - 200.0 / 255) < 1e-9)
+    assert(out(1).mean_intensity == 0.0)
+  }
+
   test("audio features flow end-to-end through the partition-local path") {
     import spark.implicits._
     val fixtures = Seq(
