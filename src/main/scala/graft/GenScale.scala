@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   *   directly readable from wall time.
   * - embeddings, replica r>0: a seeded dimension permutation (one per
   *   replica). Permutation is an isometry — every within-replica dot
-  *   product, norm and cosine is bit-preserved — while cross-replica
+  *   product, norm and cosine is preserved up to floating summation
+  *   order (≤ ~1 ulp, far below the 6-decimal rounding every emitted
+  *   cosine passes through, so query results per replica are
+  *   identical) — while cross-replica
   *   cosines between a vector and its permuted twin are ~0 on the
   *   synthetic corpus, so threshold near-dup pair counts scale
   *   linearly, not quadratically.
@@ -36,7 +39,7 @@ import org.apache.spark.sql.functions._
   * plan shapes scale when per-replica work is held constant.
   */
 object GenScale {
-  private val Stride = 10_000_000L
+  private[graft] val Stride = 10_000_000L
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, destDir) = args.take(2)
@@ -91,7 +94,7 @@ object GenScale {
       .write.mode("overwrite").parquet(out)
 
   /** Replica r of documents: bijective token rename + id offset. */
-  private def documentsReplica(s: SparkSession, d: String, r: Int): DataFrame = {
+  private[graft] def documentsReplica(s: SparkSession, d: String, r: Int): DataFrame = {
     val base = T.tbl(s, d, "documents")
     val text =
       if (r == 0) col("text")
@@ -104,7 +107,7 @@ object GenScale {
   }
 
   /** Replica r of embeddings: seeded dim permutation + id offset. */
-  private def embeddingsReplica(s: SparkSession, d: String, r: Int): DataFrame = {
+  private[graft] def embeddingsReplica(s: SparkSession, d: String, r: Int): DataFrame = {
     val base = T.tbl(s, d, "embeddings")
     val dim = base.select(size(col("embedding"))).first().getInt(0)
     val perm = permutation(dim, seed = r)
