@@ -348,9 +348,10 @@ object Similarity {
 
   /** q52: blocked embedding near-dup — the scale shape of q30. Each
     * vector is assigned to its top-2 nearest of the k Lloyd's-learned
-    * centroids (k corpus-derived, [[ivfK]] — the fence that keeps
+    * centroids — k corpus-derived ([[ivfK]], the fence that keeps
     * Σ cluster² linear; the sf1 rehearsal measured the fixed-k curve
-    * at ~100× combos per 10× corpus before this) (multi-probe softens cluster-boundary misses); candidate pairs
+    * at ~100× combos per 10× corpus before this), multi-probe to
+    * soften cluster-boundary misses; candidate pairs
     * are generated by an equality self-join on the assigned cluster id
     * and scored with the same rounded cosine ≥ 0.4 predicate. The
     * plan has NO cartesian/broadcast-NL pair join (asserted in
