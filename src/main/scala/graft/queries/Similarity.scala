@@ -62,17 +62,15 @@ object Similarity {
     * byte-identical. The oracle derives the identical stride (pf CTE). */
   private[queries] val ProbeCapN = 100000L
 
-  /** 1-row (pstep) probe-stride frame, derived in-plan. */
-  private[queries] def probeStride(s: SparkSession, d: String): DataFrame =
-    tbl(s, d, "embeddings")
-      .agg(expr(s"50 * ((count(1) + ${ProbeCapN - 1}) div $ProbeCapN)")
-        .as("pstep"))
+  /** The probe stride, derived from the cached corpus count
+    * ([[graft.T.snapCount]]) — same value the oracle's pf CTE computes
+    * from count(*). */
+  private[queries] def probeStride(s: SparkSession, d: String): Long =
+    50L * ((snapCount(s, d, "embeddings") + ProbeCapN - 1) / ProbeCapN)
 
   /** Thins `df` (needs `vec_id`) to the deterministic probe sample. */
-  private[queries] def probeSample(df: DataFrame, stride: DataFrame): DataFrame =
-    withScalar(df, stride)
-      .filter(pmod(col("vec_id"), col("pstep")) === 0)
-      .drop("pstep")
+  private[queries] def probeSample(df: DataFrame, stride: Long): DataFrame =
+    df.filter(pmod(col("vec_id"), lit(stride)) === 0)
 
   /** Oracle twin of [[probeStride]]. */
   private def pfCte: String =
@@ -96,12 +94,12 @@ object Similarity {
     * different join shape). */
   private[queries] val IvfClusterTarget = 512L
 
-  /** 1-row (kk) cluster-count frame, derived in-plan. */
-  private[queries] def ivfK(s: SparkSession, d: String): DataFrame =
-    tbl(s, d, "embeddings")
-      .agg(greatest(lit(8L),
-        expr(s"(count(1) + ${IvfClusterTarget - 1}) div $IvfClusterTarget"))
-        .as("kk"))
+  /** The IVF cluster count k, derived from the cached corpus count
+    * ([[graft.T.snapCount]]) — same value the oracle's kdf CTE computes
+    * from count(*). */
+  private[queries] def ivfK(s: SparkSession, d: String): Long =
+    math.max(8L,
+      (snapCount(s, d, "embeddings") + IvfClusterTarget - 1) / IvfClusterTarget)
 
   /** Oracle twin of [[ivfK]]. */
   private val kdfCte: String =
@@ -110,9 +108,9 @@ object Similarity {
   /** Shared rounded-cosine pair frame of the q26/q30 exactness
     * baselines — all pairs (va < vb) at test scale, FENCED above
     * [[FenceCap]] vectors: the anchor (va) side is thinned to every
-    * fk-th vec_id, fk = ceil(n / FenceCap), a corpus-count scalar
-    * derived inside the plan (the q28 banding-ladder discipline, and
-    * the same deterministic modulus sampling q95's exact side uses).
+    * fk-th vec_id, fk = ceil(n / FenceCap), derived from the cached
+    * corpus count ([[graft.T.snapCount]]; the same deterministic
+    * modulus sampling q95's exact side uses).
     * Pair work is thereby bounded at ~FenceCap·n — linear in the
     * corpus, never O(n²) — while below the cap fk = 1 and the filter
     * is the identity, so the baselines keep calibrating q88/q95
@@ -131,11 +129,10 @@ object Similarity {
   private def pairCos(s: SparkSession, d: String,
       minCos: Option[Double] = None): DataFrame = {
     val v = vecs(s, d)
-    val fence = v.agg(expr(s"(count(1) + ${FenceCap - 1}) div $FenceCap").as("fk"))
-    val a = withScalar(
-        v.select(col("vec_id").as("va"), col("v").as("av"), col("nrm").as("na")),
-        fence)
-      .filter(pmod(col("va"), col("fk")) === 0)
+    val fk = (snapCount(s, d, "embeddings") + FenceCap - 1) / FenceCap
+    val a = v
+      .select(col("vec_id").as("va"), col("v").as("av"), col("nrm").as("na"))
+      .filter(pmod(col("va"), lit(fk)) === 0)
     // spread the STREAMED side: the sf parquet is one split, which
     // would serialize the whole pair loop on one core (T.spread is
     // the identity at real scale, where the scan has >= cores splits)
@@ -252,8 +249,7 @@ object Similarity {
     * (vec_id, v, nrm, q, qn) × learned centroids (cid, cs, cn). */
   private def lloyd(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val qv = qvecs(s, d)
-    val c0 = withScalar(qv, ivfK(s, d))
-      .filter(col("vec_id") < col("kk"))
+    val c0 = qv.filter(col("vec_id") < lit(ivfK(s, d)))
       .select(col("vec_id").as("cid"), col("q").as("cs"), col("qn").as("cn"))
     val c1 = recompute(assignTo(qv, c0, 1).select(col("cid"), col("q")))
     val c2 = recompute(assignTo(qv, c1, 1).select(col("cid"), col("q")))
@@ -421,8 +417,8 @@ object Similarity {
     * (b, bv) so the signature build runs once and the self-join
     * reuses one exchange (the q28 pattern).
     *
-    * Band width is DERIVED from the corpus size (the q60 broadcast-
-    * scalar pattern — no driver-side action): expected bucket size is
+    * Band width is DERIVED from the corpus size (the cached
+    * [[graft.T.snapCount]] scalar): expected bucket size is
     * n/2^bits per band value, so fixed-width bands make the Σ bucket²
     * pair join grow QUADRATICALLY with the corpus; widening bits with
     * n keeps buckets bounded and the join ~linear. The width is a pure
@@ -447,28 +443,24 @@ object Similarity {
     val planes: Seq[Seq[Long]] = (0 until LshPlanes).map(j =>
       (1 to 64).map(dd => (phashDriver(s"$j:$dd") % 1001L) - 500L))
     val wLit = typedlit(planes)
-    val nCorpus = vecs(s, d).groupBy().agg(count(lit(1)).as("n_corpus"))
-    val v = withScalar(
-      spread(vecs(s, d), col("vec_id")) // gated: test-split spread only
-        .withColumn("q", transform(col("v"), x => floor(x * 1000).cast("long"))),
-      nCorpus)
-      .withColumn("bits",
-        lit(8) + when(col("n_corpus") > 2000, 2).otherwise(0)
-               + when(col("n_corpus") > 8000, 2).otherwise(0)
-               + when(col("n_corpus") > 32000, 2).otherwise(0))
-    // Only the 2·bits planes in use are evaluated (sequence bound is a
-    // column), so a small corpus pays for 16 plane dots, not 28.
+    val n = snapCount(s, d, "embeddings")
+    val bits = 8 + (if (n > 2000) 2 else 0) + (if (n > 8000) 2 else 0) +
+      (if (n > 32000) 2 else 0)
+    val v = spread(vecs(s, d), col("vec_id")) // gated: test-split spread only
+      .withColumn("q", transform(col("v"), x => floor(x * 1000).cast("long")))
+    // Only the 2·bits planes in use are evaluated (sequence bound is
+    // corpus-derived), so a small corpus pays for 16 plane dots, not 28.
     val sig = v.withColumn("sg",
-      aggregate(sequence(lit(0), lit(2) * col("bits") - 1), lit(0L), (acc, j) =>
+      aggregate(sequence(lit(0), lit(2 * bits - 1)), lit(0L), (acc, j) =>
         acc + when(
           aggregate(zip_with(col("q"), element_at(wLit, j + 1),
             (x, w) => x * w), lit(0L), (a, b) => a + b) > 0,
           pow(lit(2.0), j).cast("long")).otherwise(0L)))
     val banded0 = sig
-      .select(col("vec_id"), col("v"), col("nrm"), col("sg"), col("bits"),
+      .select(col("vec_id"), col("v"), col("nrm"), col("sg"),
         explode(sequence(lit(0), lit(1))).as("b"))
       .withColumn("bv",
-        expr("shiftright(sg, b * bits) & (shiftleft(CAST(1 AS BIGINT), bits) - 1)"))
+        expr(s"shiftright(sg, b * $bits) & (shiftleft(CAST(1 AS BIGINT), $bits) - 1)"))
     // All-vectors case: co-partition once on the join keys so the
     // identical probe/member subtrees collapse to a ReusedExchange.
     val banded =

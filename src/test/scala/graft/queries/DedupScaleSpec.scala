@@ -151,7 +151,7 @@ class DedupScaleSpec extends SparkSpec {
       s"every anchor must be in the fk=2 modulus sample: ${rows.map(_.getLong(0)).toSeq}")
     // The fence must be IN the plan (pair build bounded by construction,
     // not by data luck): a pmod filter on the anchor ids against the
-    // corpus-derived step, fed by the withScalar broadcast hash join.
+    // corpus-derived step (a literal from the cached snapCount scalar).
     val plan = planString(q26)
     assert(plan.contains("pmod"), s"fence filter missing from plan:\n$plan")
     // Below the cap the fence is the identity: odd anchors survive.
@@ -168,8 +168,8 @@ class DedupScaleSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("graft-pfence").toString
     spark.range(Similarity.ProbeCapN + 1).select(col("id").as("vec_id"))
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-    assert(Similarity.probeStride(spark, tmp).as[Long].head() == 100L)
-    assert(Similarity.probeStride(spark, sfDir).as[Long].head() == 50L)
+    assert(Similarity.probeStride(spark, tmp) == 100L)
+    assert(Similarity.probeStride(spark, sfDir) == 50L)
     // and the sample itself thins accordingly: every 100th id above
     // the cap (the shared probeSample body all four probe queries use)
     val ids = Similarity.probeSample(
@@ -185,7 +185,7 @@ class DedupScaleSpec extends SparkSpec {
     // the sf1 rehearsal measured the fixed-k curve (q52 4.25→38.0s at
     // 10×, Σ cluster² = n²/k); the ladder holds cluster size ~512 so
     // Σ cluster² ≈ n·512 — and stays the identity at test scales.
-    assert(Similarity.ivfK(spark, sfDir).as[Long].head() == 8L)
+    assert(Similarity.ivfK(spark, sfDir) == 8L)
     val tmp = java.nio.file.Files.createTempDirectory("graft-kfence").toString
     // hash-derived dims: diverse directions, so the learned clusters
     // don't collapse (a periodic construction left only 4 non-empty)
@@ -194,7 +194,7 @@ class DedupScaleSpec extends SparkSpec {
           (pmod(hash(col("id") * 17 + j), lit(1000)) + 1).cast("float")): _*)
           .as("embedding"))
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-    assert(Similarity.ivfK(spark, tmp).as[Long].head() == 10L) // ceil(5000/512)
+    assert(Similarity.ivfK(spark, tmp) == 10L) // ceil(5000/512)
     // the whole Lloyd's chain runs at the engaged k: more than the 8
     // floor seeds survive to learned centroids, and never more than k
     val centroids = Similarity.lloydCentroids(spark, tmp)
