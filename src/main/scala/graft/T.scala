@@ -81,11 +81,17 @@ object T {
     * index build. The derived VALUES are identical to the in-plan
     * formulation, so every oracle (which derives the same scalar from
     * count(*) in SQL) still matches bit-for-bit. */
-  private val snapCounts =
+  private val snapScalars =
     new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
   def snapCount(spark: SparkSession, dir: String, name: String): Long =
-    snapCounts.computeIfAbsent((dir, name),
-      _ => tbl(spark, dir, name).count())
+    snapScalar(dir, s"count:$name")(tbl(spark, dir, name).count())
+
+  /** General form of [[snapCount]] for derived corpus-snapshot scalars
+    * that are not plain table counts (e.g. the hot-shingle cap's
+    * qualifying-doc count). `key` names the scalar within the dir;
+    * `compute` runs at most once per (dir, key) per JVM. */
+  def snapScalar(dir: String, key: String)(compute: => Long): Long =
+    snapScalars.computeIfAbsent((dir, key), _ => compute)
 
   /** Portable 32-bit hash of a string column (agrees with DuckDB). */
   def phash(c: Column): Column =

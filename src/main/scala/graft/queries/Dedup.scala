@@ -89,12 +89,30 @@ object Dedup {
   /** Same cap WITHOUT re-exploding the corpus: every ≥3-token doc
     * emits ≥1 shingle, so counting qualifying docs on a plain
     * documents scan equals countDistinct(doc_id) over the shingle
-    * frame — and saves a full second shingling pass in q25/q48 (the
-    * oracle cap CTE counts the same way). */
-  private def hotShingleCapDocs(s: SparkSession, d: String): DataFrame =
-    tbl(s, d, "documents")
-      .filter(size(split(col("text"), " ")) >= 3)
-      .agg(capFromCount(count(lit(1))).as("cap"))
+    * frame (the oracle cap CTE counts the same way). The qualifying
+    * count is a cached snapshot scalar ([[graft.T.snapScalar]]), so
+    * the documents scan behind it runs once per corpus per JVM
+    * instead of once per execution of each of the four consumers
+    * (q25/q83/q88/q92); the emitted 1-row cap frame keeps the
+    * downstream [[cappedShingles]] plumbing (and its injectable-cap
+    * test surface) unchanged. The driver-side formula is the same
+    * IEEE arithmetic as [[capFromCount]]: n is exact in a double, so
+    * floor(n·0.001) agrees bit-for-bit. */
+  private def hotShingleCapDocs(s: SparkSession, d: String): DataFrame = {
+    val n = snapScalar(d, "docs_ge3tok") {
+      tbl(s, d, "documents")
+        .filter(size(split(col("text"), " ")) >= 3).count()
+    }
+    val cap = math.max(HotShingleDfFloor,
+      math.floor(n * HotShingleDfFraction).toLong)
+    // A 1-row LocalRelation with a DATA row (not a projected literal):
+    // a foldable `cap` column would constant-fold withScalar's hash
+    // key and degrade the scalar-attach join to a nested loop (the
+    // hazard documented on T.withScalar); an attribute-valued row
+    // keeps it a broadcast hash join.
+    import s.implicits._
+    Seq(cap).toDF("cap")
+  }
 
   /** The capped shingle universe: `sh` minus shingles whose document
     * frequency exceeds the fraction+floor cap. Extra key columns
@@ -243,15 +261,14 @@ object Dedup {
     // signature build runs ONCE, not once per join side — and the
     // (band, sig) equality join is co-partitioned.
     //
-    // Band structure derives from the corpus count (broadcast scalar,
-    // no driver action): 4×4 up to 8k docs, 2×8 beyond — stricter
-    // bands keep LSH buckets (and the Σ bucket² candidate join)
-    // bounded as the corpus grows. The oracle derives the same split.
-    val nDocs = tbl(s, d, "documents").groupBy()
-      .agg(count(lit(1)).as("n_corpus"))
+    // Band structure derives from the corpus count (the cached
+    // T.snapCount snapshot scalar): 4×4 up to 8k docs, 2×8 beyond —
+    // stricter bands keep LSH buckets (and the Σ bucket² candidate
+    // join) bounded as the corpus grows. The oracle derives the same
+    // split from count(*).
+    val r = if (snapCount(s, d, "documents") > 8000) 8 else 4
     val sigs = MinHashLsh.bandSignatures(
-        withScalar(spread(tbl(s, d, "documents"), col("doc_id")), nDocs),
-        lit(4) + when(col("n_corpus") > 8000, 4).otherwise(0))
+        spread(tbl(s, d, "documents"), col("doc_id")), lit(r))
       .repartition(col("band"), col("sig"))
     val a = sigs.select(col("doc_id").as("da"), col("band"), col("sig"))
     val b = sigs.select(col("doc_id").as("db"), col("band").as("band_b"),

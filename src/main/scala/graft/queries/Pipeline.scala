@@ -56,16 +56,14 @@ object Pipeline {
     // `.rdd` on the input itself execute AQE stages (see T.spread).
     // Band structure derives from the FULL corpus count exactly like
     // q28 (one scheme; survivors are a subset, so 0.1% of the band
-    // choice's input is noise either way), mirrored in the oracle.
-    val nDocs = tbl(s, d, "documents").groupBy()
-      .agg(count(lit(1)).as("n_corpus"))
+    // choice's input is noise either way), mirrored in the oracle —
+    // read from the cached T.snapCount snapshot scalar like q28.
+    val r = if (snapCount(s, d, "documents") > 8000) 8 else 4
     val sigs = MinHashLsh.bandSignatures(
-        withScalar(
-          spread(tbl(s, d, "documents")
-            .join(exactKept.select(col("doc_id")), Seq("doc_id")),
-            col("doc_id"), gauge = tbl(s, d, "documents")),
-          nDocs),
-        lit(4) + when(col("n_corpus") > 8000, 4).otherwise(0))
+        spread(tbl(s, d, "documents")
+          .join(exactKept.select(col("doc_id")), Seq("doc_id")),
+          col("doc_id"), gauge = tbl(s, d, "documents")),
+        lit(r))
       .repartition(col("band"), col("sig"))
     val dropped = sigs.select(col("doc_id").as("da"), col("band"), col("sig"))
       .join(sigs.select(col("doc_id").as("db"), col("band").as("band_b"),
