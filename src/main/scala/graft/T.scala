@@ -40,31 +40,40 @@ import org.apache.spark.sql.functions._
   *    16,10); DuckDB: ('0x'||substr(md5(x),1,8))::BIGINT.
   */
 object T {
-  /** Loads a driver test table, normalizing `events.ts` to a UTC
-    * TimestampType whatever the driver's current parquet encoding is.
-    * Observed encodings across testdata regenerations:
+  /** Loads a driver test table, normalizing every timestamp column to
+    * a UTC TimestampType whatever the driver's current parquet
+    * encoding is. Observed encodings across testdata regenerations:
     *
     *  - TIMESTAMP(NANOS): Spark 4 rejects it by default; read as a
     *    nanos long (`spark.sql.legacy.parquet.nanosAsLong`) and
     *    floor-convert to microseconds — the truncation DuckDB applies.
+    *    (Only `events.ts` ever shipped this encoding, so the legacy
+    *    branch stays keyed to that column.)
     *  - Timestamp(µs, isAdjustedToUTC=false): Spark 4 infers
     *    TIMESTAMP_NTZ; cast to TimestampType. The session timezone is
     *    UTC (set by Bench/Verify/tests), so the cast reinterprets the
     *    wall-clock value as the identical UTC instant DuckDB sees.
+    *    Applied to EVERY NTZ column (the current testdata carries
+    *    `events.ts`, `lineitem.l_shipdate`, `orders.o_orderdate`), so
+    *    no call site can hit the round-7 failure mode where
+    *    `unix_millis` resolves on one timestamp column but not
+    *    another.
     *
-    * Both branches land on TimestampType so downstream `unix_millis` /
-    * `window` / frame arithmetic is encoding-agnostic (TsSchemaSpec
-    * pins this invariant per table). */
+    * All timestamps land on TimestampType so downstream `unix_millis`
+    * / `window` / frame arithmetic is encoding-agnostic (TsSchemaSpec
+    * pins the full loaded schema per table). */
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.find(_.name == "ts").map(_.dataType) match {
-      case Some(org.apache.spark.sql.types.LongType) =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
-        df.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => df
+    df.schema.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case LongType if f.name == "ts" =>
+          acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          acc.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => acc
+      }
     }
   }
 
