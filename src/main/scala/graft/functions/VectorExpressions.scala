@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for the similarity hot path.
   *
@@ -17,10 +17,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * left-to-right summation order (bit-identical results, so the
   * DuckDB oracles are unaffected), no allocation.
   *
-  * Two typed modes, selected by the input element type:
-  * array<double> → double (the cosine hot path), and array<bigint> →
-  * bigint — the EXACT fold the k-means chain scores with (overflow at
-  * 2^63 instead of silent double rounding past 2^53; see
+  * Three typed modes, selected by the input element type:
+  * array<double> → double (the cosine hot path), array<float> →
+  * double (same cosine path WITHOUT the upfront double-cast copy:
+  * each element widens to double BEFORE the multiply, so products and
+  * the left-to-right sum are bit-identical to the double mode over
+  * pre-cast arrays, while the arrays themselves stay half the bytes
+  * through every broadcast/shuffle), and array<bigint> → bigint — the
+  * EXACT fold the k-means chain scores with (overflow at 2^63 instead
+  * of silent double rounding past 2^53; see
   * `queries.Similarity.qvecs`).
   */
 case class DotProduct(left: Expression, right: Expression)
@@ -30,6 +35,7 @@ case class DotProduct(left: Expression, right: Expression)
   // interpreted eval doesn't re-pattern-match per row
   private lazy val elemType: Option[DataType] = (left.dataType, right.dataType) match {
     case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => Some(DoubleType)
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => Some(FloatType)
     case (ArrayType(LongType, _), ArrayType(LongType, _)) => Some(LongType)
     case _ => None
   }
@@ -37,14 +43,17 @@ case class DotProduct(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     if (elemType.isDefined) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"dot_product expects two array<double> or two array<bigint> arguments, " +
+      s"dot_product expects two array<double>, two array<float>, or two " +
+        s"array<bigint> arguments, " +
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
-  override def dataType: DataType = elemType.getOrElse(DoubleType)
+  override def dataType: DataType =
+    if (elemType.contains(LongType)) LongType else DoubleType
   override def prettyName: String = "dot_product"
 
   override def nullable: Boolean = true
 
   private lazy val isLong: Boolean = elemType.contains(LongType)
+  private lazy val isFloat: Boolean = elemType.contains(FloatType)
 
   /** Null semantics mirror the `aggregate(zip_with(a,b,_*_),0d,_+_)`
     * fold this expression replaces: a null element or a length
@@ -60,6 +69,17 @@ case class DotProduct(left: Expression, right: Expression)
       while (i < n) {
         if (a.isNullAt(i) || b.isNullAt(i)) return null
         s += a.getLong(i) * b.getLong(i)
+        i += 1
+      }
+      s
+    } else if (isFloat) {
+      // widen each element BEFORE the multiply: identical bits to the
+      // double mode over pre-cast arrays (a float*float product would
+      // round to 24-bit precision first)
+      var s = 0.0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
         i += 1
       }
       s
@@ -79,8 +99,14 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
-      val (jt, zero, getter) =
-        if (isLong) ("long", "0L", "getLong") else ("double", "0.0", "getDouble")
+      val (jt, zero, term) =
+        if (isLong) ("long", "0L", (x: String, y: String) =>
+          s"$x.getLong($i) * $y.getLong($i)")
+        else if (isFloat) ("double", "0.0", (x: String, y: String) =>
+          // widen BEFORE the multiply — see nullSafeEval
+          s"((double) $x.getFloat($i)) * ((double) $y.getFloat($i))")
+        else ("double", "0.0", (x: String, y: String) =>
+          s"$x.getDouble($i) * $y.getDouble($i)")
       s"""
          |int $n = $a.numElements();
          |$jt $s = $zero;
@@ -91,7 +117,7 @@ case class DotProduct(left: Expression, right: Expression)
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
          |      ${ev.isNull} = true;
          |    } else {
-         |      $s += $a.$getter($i) * $b.$getter($i);
+         |      $s += ${term(a, b)};
          |    }
          |  }
          |}

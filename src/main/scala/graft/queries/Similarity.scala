@@ -29,15 +29,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** (vec_id, v: array<double>, nrm) with precomputed L2 norm. The
-    * norm uses the codegen'd [[graft.functions.DotProduct]] — same
-    * left-to-right summation as a HOF fold, ~20× faster on the
-    * all-pairs path. */
+  /** (vec_id, v: array<float>, nrm) with precomputed L2 norm. The
+    * vectors stay in their storage precision — HALF the bytes of a
+    * double array through every broadcast and shuffle the family does
+    * — because [[graft.functions.DotProduct]]'s float mode widens
+    * each element to double BEFORE multiplying: every cosine/norm is
+    * bit-identical to the old double-cast formulation (and to the
+    * oracle's `embedding::DOUBLE[]` arithmetic), with no per-row
+    * array copy. Derivations that leave dot-product space (the
+    * quantized `q`, q76's codes) cast elements to double explicitly
+    * at their use sites. */
   private def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     tbl(s, d, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(expr("dot_product(v, v)")))
   }
 
@@ -208,7 +213,11 @@ object Similarity {
     * exactly-agreed values. */
   private def qvecs(s: SparkSession, d: String): DataFrame =
     vecs(s, d)
-      .withColumn("q", transform(col("v"), x => floor(x * 1000).cast("long")))
+      // explicit double cast BEFORE the multiply: float×int would
+      // round to 24-bit precision first and floor could land on the
+      // other side of an integer boundary vs the oracle's DOUBLE[]
+      .withColumn("q",
+        transform(col("v"), x => floor(x.cast("double") * 1000).cast("long")))
       .withColumn("qn", sqrt(ldot("q", "q").cast("double")))
 
   /** Assign each vector to its `keep` highest-cosine centroids (ties →
@@ -467,7 +476,9 @@ object Similarity {
     val bits = 8 + (if (n > 2000) 2 else 0) + (if (n > 8000) 2 else 0) +
       (if (n > 32000) 2 else 0)
     val v = spread(vecs(s, d), col("vec_id")) // gated: test-split spread only
-      .withColumn("q", transform(col("v"), x => floor(x * 1000).cast("long")))
+      // same explicit double-cast-before-multiply as qvecs
+      .withColumn("q",
+        transform(col("v"), x => floor(x.cast("double") * 1000).cast("long")))
     // Only the 2·bits planes in use are evaluated (sequence bound is
     // corpus-derived), so a small corpus pays for 16 plane dots, not 28.
     val sig = v.withColumn("sg",

@@ -30,4 +30,26 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(rows(1).isNullAt(0)) // null element poisons
     assert(rows(2).isNullAt(0)) // length mismatch poisons
   }
+
+  test("float mode is bit-identical to double mode over pre-cast arrays") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    // values chosen so float storage precision differs from the
+    // decimal literal (0.1f != 0.1): the float mode must widen each
+    // ELEMENT before multiplying, not multiply in float
+    val df = Seq(
+      (Seq(0.1f, 0.3f, 0.7f, 1e-7f), Seq(0.9f, 1.1f, -0.3f, 3e7f)),
+      (Seq(1.5f, -2.25f), Seq(4.0f, 8.0f))
+    ).toDF("fa", "fb")
+      .withColumn("da", transform(col("fa"), x => x.cast("double")))
+      .withColumn("db", transform(col("fb"), x => x.cast("double")))
+    val rows = df.select(
+      expr("dot_product(fa, fb)").as("flt"),
+      expr("dot_product(da, db)").as("dbl")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"float mode diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
 }
