@@ -65,6 +65,12 @@ object T {
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→TimestampType cast below reinterprets wall-clock values
+    // in the SESSION timezone; every entrypoint (Bench/Verify/specs)
+    // already runs UTC, but a forgotten .config would silently shift
+    // every instant vs DuckDB — so enforce it here, next to the other
+    // encoding defense, instead of trusting call sites.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.foldLeft(df) { (acc, f) =>
       f.dataType match {
@@ -95,12 +101,81 @@ object T {
   def snapCount(spark: SparkSession, dir: String, name: String): Long =
     snapScalar(dir, s"count:$name")(tbl(spark, dir, name).count())
 
+  /** Cheap content fingerprint of a LOCAL corpus dir — relative file
+    * names + sizes + mtimes, folded through the portable hash. The
+    * snapshot caches below key on (dir, fingerprint), so a dir whose
+    * contents change within one JVM's lifetime (in-place testdata
+    * regeneration, a test overwriting a tmp path, a long-lived sbt
+    * session across driver regens — the round-7 failure mode) gets
+    * FRESH scalars/centroids instead of silently serving stale ones.
+    * Non-local paths (hdfs://, s3://) return a constant — there the
+    * caller owns snapshot immutability (object-store corpus snapshots
+    * are immutable by convention), and at real scale the listing
+    * belongs to the catalog, not a per-call walk. Walking a local
+    * testdata dir (~dozens of files) is sub-millisecond. */
+  private[graft] def dirFingerprint(dir: String): String = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(root)) "nonlocal"
+    else {
+      val sb = new StringBuilder
+      val stream = java.nio.file.Files.walk(root)
+      try stream.sorted(java.util.Comparator.comparing[java.nio.file.Path, String](_.toString))
+        .forEach { p =>
+          if (java.nio.file.Files.isRegularFile(p))
+            sb.append(root.relativize(p).toString).append('|')
+              .append(java.nio.file.Files.size(p)).append('|')
+              .append(java.nio.file.Files.getLastModifiedTime(p).toMillis)
+              .append('\n')
+        }
+      finally stream.close()
+      phashDriver(sb.toString).toString
+    }
+  }
+
   /** General form of [[snapCount]] for derived corpus-snapshot scalars
     * that are not plain table counts (e.g. the hot-shingle cap's
     * qualifying-doc count). `key` names the scalar within the dir;
-    * `compute` runs at most once per (dir, key) per JVM. */
+    * `compute` runs at most once per (dir-content-state, key) per JVM
+    * — the dir is fingerprinted ([[dirFingerprint]]) so in-place
+    * content changes invalidate rather than serve stale values. */
   def snapScalar(dir: String, key: String)(compute: => Long): Long =
-    snapScalars.computeIfAbsent((dir, key), _ => compute)
+    snapScalars.computeIfAbsent((s"$dir@${dirFingerprint(dir)}", key),
+      _ => compute)
+
+  /** Vocab-broadcast fence cap: the max distinct-token count at which
+    * a vocabulary-keyed frame may still carry a `broadcast()` hint.
+    * A (tok, count) row is ~25 bytes serialized, so the cap bounds the
+    * exchanged build side at ~15 MB (q32's ×5-langs affinity frame at
+    * ~75 MB — still comfortable on any executor sized for 100 TB
+    * work). Unlike every other frame the inventory broadcasts (dims,
+    * per-stratum counts, k centroids, probe samples — bounded BY
+    * CONSTRUCTION), a distinct-token frame grows with the corpus
+    * (Heap's law: ~n^0.5-0.7; web text at 100 TB has 10⁸-10⁹ distinct
+    * tokens once IDs and typos are in), so these hints MUST be fenced
+    * or they OOM the driver at scale while passing every local gate. */
+  private[graft] val VocabBroadcastCap = 500000L
+
+  /** Memoized distinct-token count of the corpus's `documents` table —
+    * the vocab-fence scalar ([[snapScalar]] discipline: one
+    * distributed job per corpus snapshot per JVM, the metadata pass a
+    * serving system runs alongside the IVF index build). */
+  def vocabCount(spark: SparkSession, dir: String): Long =
+    snapScalar(dir, "vocab:documents")(
+      tbl(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(countDistinct(col("tok"))).head.getLong(0))
+
+  /** Join-strategy hint for a VOCAB-sized frame (distinct tokens, or a
+    * bounded multiple thereof): `broadcast()` below
+    * [[VocabBroadcastCap]] — the fast path at every test scale — and
+    * `shuffle_hash` above it, so the corpus-sized probe side shuffles
+    * once on the key but is never SORTED (SMJ would sort the corpus;
+    * a hash build of the vocab side is the right asymptotic shape).
+    * Hint-only: values are identical on both sides of the fence, so
+    * the oracles are untouched by construction. */
+  def hintVocab(spark: SparkSession, dir: String, df: DataFrame): DataFrame =
+    if (vocabCount(spark, dir) <= VocabBroadcastCap) broadcast(df)
+    else df.hint("shuffle_hash")
 
   /** Portable 32-bit hash of a string column (agrees with DuckDB). */
   def phash(c: Column): Column =

@@ -61,4 +61,16 @@ object Cores {
   /** (cid, cs, cn) — the learned centroid table, read from `dir`. */
   def lloydCentroids(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lloyd_centroids.parquet")
+
+  /** The two suite-re-paid builder frames LIVE (computed from corpus
+    * `d`, not read from a materialized dir) — what Bench times once to
+    * decompose its headline into engine cost vs deliberate per-query
+    * core re-derivation (the harness-accounting property BASELINE.md's
+    * shared-core table documents). The lloyd chain is NOT exposed
+    * here: its centroid table is memoized per corpus snapshot, so the
+    * suite already pays it once, not per consumer. */
+  def liveNearDupPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupPairs(s, d)
+  def liveLshCandidates(s: SparkSession, d: String): DataFrame =
+    Dedup.lshCandidates(s, d)
 }

@@ -31,8 +31,11 @@ object Corpus {
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("tok").asc)
+    // df is vocabulary-sized — broadcast only below the vocab fence
+    // (T.hintVocab; Heap's law makes a distinct-token frame corpus-
+    // growing, the one broadcast family that must not be uncapped)
     withScalar(tf.join(docLen, Seq("doc_id"))
-      .join(broadcast(df), Seq("tok")), n)
+      .join(hintVocab(s, d, df), Seq("tok")), n)
       .withColumn("tfidf",
         round((col("tf").cast("double") / col("len").cast("double")) *
           log((col("n").cast("double") + 1.0) / (col("df").cast("double") + 1.0)), 6))
@@ -88,7 +91,9 @@ object Corpus {
     // 3× the dominant explode at 100 TB.
     val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
     val n = vocab.agg(sum(col("cnt")).cast("double").as("nn"))
-    withScalar(tf.join(broadcast(vocab), Seq("tok")), n)
+    // vocab-fence: broadcast below T.VocabBroadcastCap, shuffled hash
+    // build above (the unigram LM grows with the corpus per Heap's law)
+    withScalar(tf.join(hintVocab(s, d, vocab), Seq("tok")), n)
       .select(col("doc_id"), col("tf"),
         dec(round(col("tf").cast("double") *
           -log(col("cnt").cast("double") / col("nn")), 6)).as("term"))
@@ -188,11 +193,14 @@ object Corpus {
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
     val nt = uni.agg(sum(col("n")).cast("double").as("nt"))
+    // both unigram attachments ride the vocab fence (T.hintVocab):
+    // broadcast below the cap, shuffled hash build above — the pair
+    // frame (n_ab ≥ 5 survivors) is the probe side either way
     withScalar(withScalar(
         nab.filter(col("n_ab") >= 5)
-          .join(broadcast(uni.select(col("tok").as("a"), col("n").as("na"))),
+          .join(hintVocab(s, d, uni.select(col("tok").as("a"), col("n").as("na"))),
             Seq("a"))
-          .join(broadcast(uni.select(col("tok").as("b"), col("n").as("nb"))),
+          .join(hintVocab(s, d, uni.select(col("tok").as("b"), col("n").as("nb"))),
             Seq("b")),
         np), nt)
       .select(col("a"), col("b"), col("n_ab"),

@@ -99,16 +99,38 @@ object Similarity {
     * different join shape). */
   private[queries] val IvfClusterTarget = 512L
 
+  /** Upper ladder for k at extreme corpus sizes: past the crossover
+    * (n/512 = 4√n ⇔ n ≈ 4.2M vectors) k follows 4·⌈√n⌉ — the faiss-
+    * style nlist ≈ c·√n rule — instead of n/512. The linear ladder
+    * alone keeps Σ cluster² linear but grows the broadcast centroid
+    * table with the corpus (2M rows ≈ 1 GB at 10⁹ vectors — past the
+    * broadcast ceiling, the same disease as an unfenced vocab
+    * broadcast); the √n cap holds it at ~126k rows ≈ 65 MB at 10⁹
+    * while cluster sizes grow as √n/4 (assignment work n·k = 4n^1.5 —
+    * the point where real IVF goes two-level coarse/fine, the
+    * documented extension seam in PLANS.md). Below the crossover the
+    * min is the IDENTITY, so every test scale (sf0.01 2k, sf1 200k,
+    * sf3 600k vectors) produces bit-identical k, centroids, and
+    * results to the pure linear ladder. */
+  private[queries] val IvfSqrtFactor = 4L
+
   /** The IVF cluster count k, derived from the cached corpus count
     * ([[graft.T.snapCount]]) — same value the oracle's kdf CTE computes
-    * from count(*). */
-  private[queries] def ivfK(s: SparkSession, d: String): Long =
-    math.max(8L,
-      (snapCount(s, d, "embeddings") + IvfClusterTarget - 1) / IvfClusterTarget)
+    * from count(*): max(8, min(⌈n/512⌉, 4·⌈√n⌉)). */
+  private[queries] def ivfK(s: SparkSession, d: String): Long = {
+    val n = snapCount(s, d, "embeddings")
+    math.max(8L, math.min(
+      (n + IvfClusterTarget - 1) / IvfClusterTarget,
+      IvfSqrtFactor * math.ceil(math.sqrt(n.toDouble)).toLong))
+  }
 
-  /** Oracle twin of [[ivfK]]. */
+  /** Oracle twin of [[ivfK]] — sqrt/ceil are IEEE-exact in both
+    * engines, so the SQL replays the identical ladder. */
   private val kdfCte: String =
-    s"kdf AS (SELECT greatest(8, (count(*) + ${IvfClusterTarget - 1}) // $IvfClusterTarget) AS kk FROM embeddings)"
+    s"""kdf AS (SELECT greatest(8, least(
+      |  (count(*) + ${IvfClusterTarget - 1}) // $IvfClusterTarget,
+      |  $IvfSqrtFactor * CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS kk
+      |  FROM embeddings)""".stripMargin
 
   /** Shared rounded-cosine pair frame of the q26/q30 exactness
     * baselines — all pairs (va < vb) at test scale, FENCED above
@@ -273,7 +295,12 @@ object Similarity {
 
   private def lloyd(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val qv = qvecs(s, d)
-    val rows = centroidCache.computeIfAbsent(d, _ => {
+    // keyed on the dir's CONTENT fingerprint, not the path: an
+    // in-place rewrite of embeddings.parquet within one JVM (test
+    // overwrite, driver regen) must re-learn centroids, not silently
+    // replay the previous corpus's index (T.snapScalar discipline)
+    val rows = centroidCache.computeIfAbsent(
+      s"$d@${graft.T.dirFingerprint(d)}", _ => {
       val c0 = qv.filter(col("vec_id") < lit(ivfK(s, d)))
         .select(col("vec_id").as("cid"), col("q").as("cs"), col("qn").as("cn"))
       val c1 = recompute(assignTo(qv, c0, 1).select(col("cid"), col("q")))

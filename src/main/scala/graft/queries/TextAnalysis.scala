@@ -55,13 +55,16 @@ object TextAnalysis {
     val perTok = tbl(s, d, "documents")
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))
-    // affinity table = distinct tokens × langs, hashed ONCE and
-    // broadcast — per-occurrence hashing would md5 the corpus
+    // affinity table = distinct tokens × langs, hashed ONCE — per-
+    // occurrence hashing would md5 the corpus. Broadcast below the
+    // vocab fence only: this frame is 5× the vocabulary, which grows
+    // with the corpus (Heap's law) — past T.VocabBroadcastCap it joins
+    // as a shuffled hash build instead (hint-only; values identical).
     val aff = perTok.select(col("tok")).distinct()
       .withColumn("cand", explode(array(langs.map(lit): _*)))
       .withColumn("aff", phash(concat_ws(":", col("cand"), col("tok"))) % 1000)
     val scored = perTok
-      .join(broadcast(aff), Seq("tok"))
+      .join(hintVocab(s, d, aff), Seq("tok"))
       .groupBy(col("doc_id"), col("lang"), col("cand"))
       .agg(sum(col("aff")).as("score"))
     val w = Window.partitionBy("doc_id")

@@ -203,6 +203,22 @@ class DedupScaleSpec extends SparkSpec {
       s"expected 9-10 learned centroids at k=10, got ${centroids.length}")
   }
 
+  test("IVF k ladder: the 4·√n cap binds past the ~4.2M crossover, identity below") {
+    // The upper ladder never needs data: ivfK reads the memoized
+    // count scalar, so seed it directly (the vocab-fence test
+    // discipline). Crossover n/512 = 4√n ⇔ n ≈ 4.19M.
+    def kAt(n: Long): Long = {
+      val dir = s"/graft-kladder-$n" // nonexistent → constant fingerprint
+      graft.T.snapScalar(dir, "count:embeddings")(n)
+      Similarity.ivfK(spark, dir)
+    }
+    assert(kAt(600000L) == 1172L, "sf3 scale stays on the linear ladder")
+    assert(kAt(4194304L) == 8192L, "at the crossover both ladders agree")
+    // past it: 4·⌈√n⌉ caps the broadcast centroid table ~√n, not n/512
+    assert(kAt(100000000L) == 40000L && kAt(1000000000L) == 126492L,
+      "the √n cap must bind at extreme corpus sizes")
+  }
+
   // ---- Zipfian-corpus stress (round 6): the cap/AQE levers proven ----
   // ---- on a skewed shingle distribution, not the near-uniform sf  ----
 

@@ -287,6 +287,12 @@ class PlanShapeSpec extends SparkSpec {
       s"the total-mass scalar attaches by broadcast:\n$plan")
     assert("hashpartitioning\\(tok".r.findAllIn(plan).size <= 2,
       s"only the vocab partial agg (+ scalar reuse) exchanges on tok:\n$plan")
+    // The ranking window must run over the AGGREGATED vocabulary
+    // (O(vocab) rows, the q73 small-table-window discipline), never
+    // corpus token occurrences. At a 100M-type vocab this exact rank
+    // swaps for q61-style count binning (PLANS.md) — the window input
+    // must stay the grouped frame for that fence to mean anything.
+    assertWindowsOverAggregates("q90_vocab_coverage")
   }
 
   test("q91 source overlap: gram stream built once, keyed join, no cartesian") {
@@ -363,6 +369,29 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"the 4096-cell table must broadcast onto the 20-row probe:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"expected a broadcast probe join:\n$plan")
+    // q90's discipline: the heavy-hitter rank's single-partition pass
+    // must sit above the token aggregate (O(vocab) rows), never see
+    // corpus occurrences.
+    assertWindowsOverAggregates("q103_countmin_audit")
+  }
+
+  /** Asserts every window in the query's EXECUTED plan runs over an
+    * aggregated frame — a HashAggregate sits beneath it (walking
+    * through AQE stage boundaries), so the single-partition rank pass
+    * touches grouped rows (O(vocab)/O(groups)), never the corpus.
+    * The string-position idiom (SinglePartition before HashAggregate
+    * in the plan text) breaks when AQE's ResultQueryStage hides the
+    * exchange text inside a materialized stage leaf. */
+  private def assertWindowsOverAggregates(name: String): Unit = {
+    val exec = executedPlan(SparkEntry.queries(name)(spark, sfDir))
+    val windows = allPlanNodes(exec)
+      .filter(_.getClass.getSimpleName.startsWith("Window"))
+    assert(windows.nonEmpty, s"$name: expected a window in:\n$exec")
+    windows.foreach { w =>
+      assert(allPlanNodes(w).drop(1)
+          .exists(_.getClass.getSimpleName.startsWith("HashAggregate")),
+        s"$name: window must run over an aggregated frame:\n$w")
+    }
   }
 
   test("q92 incremental dedup: asymmetric shingle-equality join, never all-pairs") {
@@ -379,11 +408,17 @@ class PlanShapeSpec extends SparkSpec {
       s"the ONE sanctioned BNLJ is the fixed probe-sample exact pass:\n$plan")
   }
 
-  test("q97 ivf stats: only the lloyd-chain centroid broadcasts nest; rollup is O(clusters)") {
+  test("q97 ivf stats: only the final centroid-assignment broadcast nests; rollup is O(clusters)") {
+    // Post-memoization shape (round 8): the lloyd seed/c1 chain runs
+    // ONCE per corpus snapshot inside the centroid cache's own jobs,
+    // so a consumer's executed plan carries exactly the one final
+    // assignTo BNLJ against the k-row LocalRelation — the bound is 1,
+    // not the pre-memoization 3 (which would let an accidental BNLJ
+    // hide in the slack).
     val plan = planString(SparkEntry.queries("q97_ivf_stats")(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
-    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 3,
-      s"the ≤8-row centroid assignments (seed, c1, final) are the only BNLJs:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"the ≤k-row final centroid assignment is the only BNLJ:\n$plan")
   }
 
   test("q93/q94 prototype classifier: only the bounded label-prototype broadcast nests") {
@@ -395,6 +430,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan94.contains("CartesianProduct") &&
       "BroadcastNestedLoopJoin".r.findAllIn(plan94).size <= 1,
       s"the confusion rollup adds no pair join beyond the prototype broadcast:\n$plan94")
+  }
+
+  /** The round-9 vocab fence: the four queries that join a
+    * vocabulary-sized frame (distinct tokens — the one broadcast side
+    * that GROWS with the corpus, Heap's law) must broadcast below
+    * T.VocabBroadcastCap and flip to a shuffled hash build above it.
+    * The fence reads the memoized distinct-token snapScalar, so the
+    * flip is exercised by SEEDING that scalar for a copied corpus dir
+    * (the fence-family test discipline) — no giant corpus needed —
+    * and the fence being hint-only is PROVEN by comparing results
+    * row-for-row across the flip on identical bytes. */
+  test("vocab fence: q32/q46/q75/q98 broadcast below the cap, shuffle-hash above, identical rows") {
+    val fenced = Seq("q32_langid", "q46_tfidf", "q75_unigram_surprisal",
+      "q98_pmi_cooccur")
+    // identical corpus bytes under a fresh dir whose vocab scalar we
+    // control; only `documents` is read by this family
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vfence").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val seeded = graft.T.snapScalar(tmp, "vocab:documents")(
+      graft.T.VocabBroadcastCap + 1)
+    assert(seeded > graft.T.VocabBroadcastCap)
+    fenced.foreach { name =>
+      val below = planString(SparkEntry.queries(name)(spark, sfDir))
+      assert(below.contains("BroadcastHashJoin") && !below.contains("ShuffledHashJoin"),
+        s"$name below the cap must broadcast the vocab frame:\n$below")
+      val above = planString(SparkEntry.queries(name)(spark, tmp))
+      assert(above.contains("ShuffledHashJoin"),
+        s"$name above the cap must build a shuffled hash join on tok:\n$above")
+      assert(!above.contains("SortMergeJoin"),
+        s"$name must hash-build the vocab side, never sort the corpus:\n$above")
+      // hint-only: byte-identical inputs ⇒ row-identical outputs
+      val a = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
+      val b = SparkEntry.queries(name)(spark, tmp).collect().toSeq
+      assert(a == b, s"$name results changed across the fence flip")
+    }
   }
 
   /** The suite-wide pair-blowup invariant, stated once over the WHOLE
@@ -417,16 +488,18 @@ class PlanShapeSpec extends SparkSpec {
     val exempt: Map[String, (Int, Long)] = Map(
       "q26_cosine_topk" -> (1, 4000L), // pairCos fenced anchor (FenceCap)
       "q30_embed_neardup" -> (1, 4000L), // pairCos fenced anchor
-      // lloyd seed/c1 + final assignTo, ×2 on the probe side: the
-      // literal probe stride pushes the pmod filter down to the scan,
-      // so the probe branch re-derives its (1/stride-thinned) assign
-      // pipeline instead of reusing the member side's full window
-      // exchange — the duplicated BNLJ still broadcasts the same
-      // ≤8-row centroid table (a reused broadcast stage), and the
-      // thinned branch is ~2% of the corpus at any scale.
-      "q31_ann_ivf" -> (4, 8L),
-      "q52_embed_neardup_blocked" -> (3, 8L), // lloyd chain
-      "q97_ivf_stats" -> (3, 8L), // lloyd chain
+      // Post-memoization (round 8): the lloyd seed/c1 chain runs once
+      // per corpus snapshot in the centroid cache's own jobs, so
+      // consumer plans carry only the FINAL assignTo BNLJ against the
+      // k-row LocalRelation. q31's appears twice: the literal probe
+      // stride pushes the pmod filter down to the scan, so the probe
+      // branch re-derives its (1/stride-thinned) assign pipeline
+      // instead of reusing the member side's full window exchange —
+      // both nodes broadcast the same ≤k-row table, and the thinned
+      // branch is ~2% of the corpus at any scale.
+      "q31_ann_ivf" -> (2, 8L),
+      "q52_embed_neardup_blocked" -> (1, 8L), // final assignTo only
+      "q97_ivf_stats" -> (1, 8L), // final assignTo only
       "q93_centroid_classify" -> (1, 10L), // label-prototype assignTo
       "q94_confusion_matrix" -> (1, 10L), // label-prototype assignTo
       "q95_ann_recall" -> (1, 2000L)) // probe-sample exact pass
