@@ -481,9 +481,28 @@ class PlanShapeSpec extends SparkSpec {
     * executed exchange metric, not trusted. Any new query that
     * introduces an unlisted BNLJ — e.g. a scalar attached via
     * crossJoin instead of T.withScalar — fails here with its name. */
-  test("ALL queries: no cartesian anywhere; every BNLJ is a documented bounded broadcast") {
+  test("ALL queries: no cartesian anywhere; every BNLJ is a documented bounded broadcast; " +
+      "wide-table scans always prune columns") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+    // Column-pruning invariant (round 9), piggybacked on the same
+    // full-inventory execution pass: a scan of a WIDE table (≥5
+    // columns — lineitem 11, events 6, part 6, orders 6, customer 5,
+    // documents 5) that reads the FULL schema means pruning failed —
+    // at 100 TB that is the difference between reading the 2 columns
+    // a projection needs and reading everything. Narrow dims
+    // (region/nation/supplier/embeddings) are excluded: reading all
+    // 2-4 of their columns is routine and cheap. Exemptions name the
+    // queries whose SEMANTICS genuinely touch every column of a
+    // table (schema profiling, whole-row output) — each must stay
+    // justified here, not silently widened.
+    val wideTables = Map("lineitem" -> 11, "events" -> 6, "part" -> 6,
+      "orders" -> 6, "customer" -> 5, "documents" -> 5)
+    val pruneExempt: Map[String, Set[String]] = Map(
+      // schema profiling touches every column of both profiled tables
+      // by definition — that IS the query
+      "q109_schema_profile" -> Set("events", "documents"))
     // query → (max BNLJ nodes in the executed plan, max broadcast-side rows)
     val exempt: Map[String, (Int, Long)] = Map(
       "q26_cosine_topk" -> (1, 4000L), // pairCos fenced anchor (FenceCap)
@@ -526,7 +545,17 @@ class PlanShapeSpec extends SparkSpec {
           case _ => None
         }
       }
-      cartErr ++ countErr ++ rowErrs
+      val pruneErrs = nodes.collect { case s: FileSourceScanExec =>
+        wideTables.collectFirst {
+          case (t, width)
+              if s.relation.location.rootPaths
+                .exists(_.toString.contains(s"/$t.parquet")) &&
+                s.requiredSchema.size >= width &&
+                !pruneExempt.getOrElse(name, Set.empty).contains(t) =>
+            s"$name: scan of $t reads all $width columns (pruning failed)"
+        }
+      }.flatten
+      cartErr ++ countErr ++ rowErrs ++ pruneErrs
     }
     assert(violations.isEmpty,
       s"suite-wide BNLJ invariant violated:\n${violations.mkString("\n")}")
