@@ -177,6 +177,43 @@ object T {
     if (vocabCount(spark, dir) <= VocabBroadcastCap) broadcast(df)
     else df.hint("shuffle_hash")
 
+  /** Attach `out` = [[phash]](`tok`) to `df` — the token-hash
+    * primitive of the fingerprint/simhash family. Below the vocab
+    * fence the hash is computed once per DISTINCT token and
+    * broadcast-joined back (cheaper than md5-ing every occurrence
+    * while the vocab fits an executor); ABOVE it the hash is computed
+    * ROW-LOCAL — a distinct-token dim grows with the corpus (Heap's
+    * law, the [[hintVocab]] disease) and may neither broadcast nor
+    * justify shuffling the corpus on tok, while md5-per-occurrence is
+    * embarrassingly parallel at any scale. The hash of a given token
+    * is identical on both paths, so results never change across the
+    * flip. */
+  def vocabHash(spark: SparkSession, dir: String, df: DataFrame,
+      tok: String = "tok", out: String = "h"): DataFrame =
+    if (vocabCount(spark, dir) <= VocabBroadcastCap) {
+      val dim = df.select(col(tok)).distinct().withColumn(out, phash(col(tok)))
+      df.join(broadcast(dim), Seq(tok))
+    } else df.withColumn(out, phash(col(tok)))
+
+  /** Corpus-id-set broadcast fence cap: a frame of doc/vec ids DERIVED
+    * from the corpus (near-dup victims, flagged docs) grows linearly
+    * with it — bounded only by the corpus row count, not by
+    * construction — so hints on such frames ride this fence. 2M ids ≈
+    * tens of MB serialized: comfortably broadcast-able, far below the
+    * corpus scales where the set itself explodes. */
+  private[graft] val IdBroadcastCap = 2000000L
+
+  /** Join-strategy hint for a corpus-derived ID SET whose only a
+    * priori bound is the row count of `table` (its superset):
+    * `broadcast()` while that count fits [[IdBroadcastCap]] — every
+    * test scale — and `shuffle_hash` above it (hash-build the id set,
+    * never sort the corpus side). Hint-only: values identical on both
+    * sides of the fence, oracles untouched by construction. */
+  def hintIdSet(spark: SparkSession, dir: String, table: String,
+      df: DataFrame): DataFrame =
+    if (snapCount(spark, dir, table) <= IdBroadcastCap) broadcast(df)
+    else df.hint("shuffle_hash")
+
   /** Portable 32-bit hash of a string column (agrees with DuckDB). */
   def phash(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")

@@ -304,9 +304,10 @@ object Dedup {
 
   /** q29: SimHash near-dup — 32-bit term-frequency-weighted SimHash,
     * pairs at Hamming distance ≤ 3. The token hash is computed once
-    * per DISTINCT token and broadcast-joined back (hashing per
-    * occurrence would md5 the whole corpus; the distinct-token dim is
-    * tiny relative to it at any scale).
+    * per DISTINCT token and broadcast-joined back while the vocab fits
+    * an executor, row-local above the vocab fence (T.vocabHash — a
+    * distinct-token dim grows with the corpus and may not broadcast at
+    * 100 TB).
     *
     * Pairing uses band-prefix blocking, not an all-pairs cartesian:
     * the 32-bit signature is split into 4 bands of 8 bits, and
@@ -318,11 +319,11 @@ object Dedup {
     * which is what survives a 100× corpus. */
   private[queries] def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     val tokens = toks(s, d)
-    val dim = tokens.select(col("tok")).distinct()
-      .withColumn("h", phash(col("tok")))
-    tokens
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-      .join(broadcast(dim), Seq("tok"))
+    // token hash rides the vocab fence (T.vocabHash): broadcast-dim
+    // hash-once below the cap, row-local md5 above — the distinct-token
+    // dim is vocabulary-sized and grows with the corpus (Heap's law)
+    vocabHash(s, d,
+        tokens.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt")))
       .select(col("doc_id"), col("cnt"), col("h"),
         explode(sequence(lit(0), lit(31))).as("b"))
       .withColumn("contrib",

@@ -41,7 +41,7 @@ object Pipeline {
       .filter(col("quality") >= 0.6)
     // 2. exact dedup among survivors: min doc_id per fingerprint —
     // the bare fingerprint core, not q35 (same sort/window argument).
-    val fp = TextAnalysis.fingerprintsOf(tbl(s, d, "documents"))
+    val fp = TextAnalysis.fingerprintsOf(s, d, tbl(s, d, "documents"))
     val wFp = Window.partitionBy("fp").orderBy(col("doc_id").asc)
     val exactKept = quality.join(fp, Seq("doc_id"))
       .withColumn("rn", row_number().over(wFp))
@@ -71,9 +71,13 @@ object Pipeline {
         col("band") === col("band_b") && col("sig") === col("sig_b") &&
           col("da") < col("db"))
       .select(col("db").as("doc_id")).distinct()
-    // dropped is a small id set (near-dup victims) — broadcast the
-    // anti-join so the survivor frame is never exchanged+sorted for it.
-    val nearKept = exactKept.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+    // dropped is an id set of near-dup victims — broadcast the
+    // anti-join so the survivor frame is never exchanged+sorted for
+    // it, but FENCED (T.hintIdSet): the set grows ~linearly with the
+    // corpus (its only a priori bound is the doc count), so past the
+    // id fence it hash-builds on the shuffled side instead.
+    val nearKept = exactKept.join(hintIdSet(s, d, "documents", dropped),
+      Seq("doc_id"), "left_anti")
     // 4. deterministic 50% sample + stable output
     val docs = tbl(s, d, "documents").select(col("doc_id"), col("lang"))
     nearKept

@@ -351,7 +351,7 @@ object TextAnalysis {
     * never overflow, where an unreduced Σ h·ord would overflow Int64
     * at ~90k-token documents while DuckDB's HUGEINT kept going. */
   private[queries] def q35(s: SparkSession, d: String): DataFrame =
-    fingerprintsOf(tbl(s, d, "documents"))
+    fingerprintsOf(s, d, tbl(s, d, "documents"))
       .withColumn("n_same_fp",
         count(lit(1)).over(Window.partitionBy("fp")).cast("long"))
       .orderBy("doc_id")
@@ -360,15 +360,17 @@ object TextAnalysis {
     * shared by q35 (which adds the collision-count window + output
     * sort) and q55's stage 2 (which consumes it BARE: composing the
     * full q35 would drag a corpus-wide window partition on `fp` and a
-    * global sort into the pipeline just to discard them). */
-  private[queries] def fingerprintsOf(docs: DataFrame): DataFrame = {
+    * global sort into the pipeline just to discard them). The token
+    * hash rides the vocab fence ([[graft.T.vocabHash]]): hash-once-
+    * per-distinct-token via a broadcast dim below the cap, row-local
+    * md5 above it — the dim is vocabulary-sized and may not broadcast
+    * at corpus scale. */
+  private[queries] def fingerprintsOf(s: SparkSession, d: String,
+      docs: DataFrame): DataFrame = {
     val perTok = docs
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("ord", "tok")))
-    val dim = perTok.select(col("tok")).distinct()
-      .withColumn("h", phash(col("tok"))) // hash distinct tokens once
-    perTok
-      .join(broadcast(dim), Seq("tok"))
+    vocabHash(s, d, perTok)
       .groupBy("doc_id")
       .agg((sum((col("h") * (col("ord") + 1L)) % 1000000007L)
         % 1000000007L).as("fp"))

@@ -468,6 +468,86 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  /** The vocab fence extended to the token-HASH sites a join hint
+    * can't cover: fingerprintsOf (q35, q55 stage 2) and
+    * simhashSignatures (q29) hash tokens through a broadcast
+    * distinct-token dim — vocabulary-sized, the one broadcast side
+    * that grows with the corpus. Above the cap T.vocabHash computes
+    * the hash ROW-LOCAL instead (the same md5 per token ⇒ identical
+    * values): no dim join, no broadcast, and no corpus shuffle on tok
+    * at any scale — md5-per-occurrence is embarrassingly parallel. */
+  test("vocabHash fence: q35/q29 hash via broadcast dim below the cap, row-local above, identical rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vhash").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    graft.T.snapScalar(tmp, "vocab:documents")(graft.T.VocabBroadcastCap + 1)
+    // q35's ONLY join is the vocabHash dim — above the fence its plan
+    // must carry no join of any kind
+    val below35 = planString(SparkEntry.queries("q35_fingerprint")(spark, sfDir))
+    assert(below35.contains("BroadcastHashJoin"),
+      s"q35 below the cap must hash via the broadcast dim:\n$below35")
+    val above35 = planString(SparkEntry.queries("q35_fingerprint")(spark, tmp))
+    assert(!above35.contains("Join"),
+      s"q35 above the cap must hash row-local — no join at all:\n$above35")
+    // q29 keeps its band-blocked self-join; the vocabHash dim joins
+    // vanish (strictly fewer BHJs) and nothing degrades to a sort
+    val bhj = (p: String) => "BroadcastHashJoin".r.findAllIn(p).size
+    val below29 = planString(SparkEntry.queries("q29_simhash_neardup")(spark, sfDir))
+    val above29 = planString(SparkEntry.queries("q29_simhash_neardup")(spark, tmp))
+    assert(bhj(above29) < bhj(below29),
+      s"q29 above the cap must drop the dim broadcast:\n$above29")
+    assert(!above29.contains("SortMergeJoin") && !above29.contains("ShuffledHashJoin"),
+      s"row-local hashing must not introduce a corpus shuffle join:\n$above29")
+    for (name <- Seq("q35_fingerprint", "q29_simhash_neardup")) {
+      val a = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
+      val b = SparkEntry.queries(name)(spark, tmp).collect().toSeq
+      assert(a == b, s"$name results changed across the vocabHash flip")
+    }
+  }
+
+  /** The id-set fence (T.hintIdSet): q55's near-dup victim set has no
+    * a priori bound except the corpus doc count (victims ∝ duplicate
+    * rate × corpus), so its anti-join broadcast hint flips to a
+    * shuffled hash build past IdBroadcastCap. Seeding the shared
+    * doc-count scalar ALSO flips the corpus-derived band ladder
+    * (r 4→8 — q28's bw discipline reads the same count), so across
+    * THIS flip row-identity is asserted at the helper level on a
+    * frame the scalar cannot influence; the query-level assertions
+    * are plan-shape. */
+  test("id-set fence: q55's victim anti-join broadcasts below the cap, shuffle-hash above") {
+    // STATIC plans here: the fence controls the planner's strategy
+    // choice, and at test scale the victim set can be EMPTY, in which
+    // case AQE elides the anti-join entirely from the executed plan —
+    // correct behavior that would hide the strategy under test.
+    val sp = (df: org.apache.spark.sql.DataFrame) =>
+      df.queryExecution.sparkPlan.toString
+    val anti = (kind: String, p: String) =>
+      s"$kind .*LeftAnti".r.findFirstIn(p).isDefined
+    val below = sp(SparkEntry.queries("q55_curation_pipeline")(spark, sfDir))
+    assert(anti("BroadcastHashJoin", below),
+      s"q55 below the cap must broadcast the victim id set:\n$below")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idfence").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    graft.T.snapScalar(tmp, "count:documents")(graft.T.IdBroadcastCap + 1)
+    val above = sp(SparkEntry.queries("q55_curation_pipeline")(spark, tmp))
+    assert(anti("ShuffledHashJoin", above),
+      s"q55 above the cap must hash-build the victim set on the shuffle:\n$above")
+    assert(!anti("SortMergeJoin", above),
+      s"the survivor frame must never be SORTED for the anti-join:\n$above")
+    // strategy-only: identical rows across the flip on a frame the
+    // seeded scalar can't touch
+    import spark.implicits._
+    val left = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val ids = Seq(2L, 4L).toDF("doc_id")
+    val keepB = left.join(graft.T.hintIdSet(spark, sfDir, "documents", ids),
+      Seq("doc_id"), "left_anti").collect().map(_.getLong(0)).sorted.toSeq
+    val keepS = left.join(graft.T.hintIdSet(spark, tmp, "documents", ids),
+      Seq("doc_id"), "left_anti").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keepB == Seq(1L, 3L) && keepS == keepB,
+      "hintIdSet changed anti-join results across the fence flip")
+  }
+
   /** The suite-wide pair-blowup invariant, stated once over the WHOLE
     * inventory instead of per-query: no executed plan contains a
     * CartesianProduct, and every BroadcastNestedLoopJoin is one of the
