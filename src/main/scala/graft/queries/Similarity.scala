@@ -94,9 +94,9 @@ object Similarity {
     * The k-row centroid table stays broadcast-able far past any
     * plausible single-cluster corpus (k = n/512; 1B vectors → 2M×65
     * longs ≈ 1 GB is past the comfortable broadcast ceiling — at THAT
-    * scale real IVF systems assign hierarchically (coarse centroids
-    * over centroids), which is the documented extension seam, not a
-    * different join shape). */
+    * scale real IVF systems assign hierarchically, which is what
+    * [[assignRows]] does past [[TwoLevelK]]: coarse centroids over
+    * centroids, same bounded-broadcast join shapes). */
   private[queries] val IvfClusterTarget = 512L
 
   /** Upper ladder for k at extreme corpus sizes: past the crossover
@@ -107,8 +107,8 @@ object Similarity {
     * broadcast ceiling, the same disease as an unfenced vocab
     * broadcast); the √n cap holds it at ~126k rows ≈ 65 MB at 10⁹
     * while cluster sizes grow as √n/4 (assignment work n·k = 4n^1.5 —
-    * the point where real IVF goes two-level coarse/fine, the
-    * documented extension seam in PLANS.md). Below the crossover the
+    * the point where real IVF goes two-level coarse/fine, which
+    * [[assignRows]] engages past [[TwoLevelK]]). Below the crossover the
     * min is the IDENTITY, so every test scale (sf0.01 2k, sf1 200k,
     * sf3 600k vectors) produces bit-identical k, centroids, and
     * results to the pure linear ladder. */
@@ -248,7 +248,7 @@ object Similarity {
     * count — the one inexact step of textbook Lloyd's — is never
     * performed. Output: input columns + `cid` + the winning rounded
     * cosine `ccos` (the k-means callers ignore it; q93 emits it). */
-  private def assignTo(v: DataFrame, c: DataFrame, keep: Int): DataFrame = {
+  private[queries] def assignTo(v: DataFrame, c: DataFrame, keep: Int): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
     v.join(broadcast(c), lit(true))
       .withColumn("ccos",
@@ -293,7 +293,8 @@ object Similarity {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Seq[Long], Double)]]()
 
-  private def lloyd(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[queries] def lloydRowsOf(s: SparkSession, d: String)
+      : (DataFrame, Array[(Long, Seq[Long], Double)]) = {
     val qv = qvecs(s, d)
     // keyed on the dir's CONTENT fingerprint, not the path: an
     // in-place rewrite of embeddings.parquet within one JVM (test
@@ -301,15 +302,145 @@ object Similarity {
     // replay the previous corpus's index (T.snapScalar discipline)
     val rows = centroidCache.computeIfAbsent(
       s"$d@${graft.T.dirFingerprint(d)}", _ => {
-      val c0 = qv.filter(col("vec_id") < lit(ivfK(s, d)))
-        .select(col("vec_id").as("cid"), col("q").as("cs"), col("qn").as("cn"))
-      val c1 = recompute(assignTo(qv, c0, 1).select(col("cid"), col("q")))
-      val c2 = recompute(assignTo(qv, c1, 1).select(col("cid"), col("q")))
-      c2.select(col("cid"), col("cs"), col("cn")).collect().map(r =>
-        (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
+      // each centroid generation is collected (≤k rows — the same
+      // magnitude every consumer already broadcasts) so the TRAINING
+      // assignments ride the same [[assignRows]] fence as serving:
+      // below TwoLevelK the chain is value-identical to the unrolled
+      // single-level form the oracle replays; above it each of the two
+      // training passes goes coarse/fine too — n·k per iteration would
+      // otherwise dominate the index build at 10⁸-10⁹ vectors
+      def collectC(df: DataFrame): Array[(Long, Seq[Long], Double)] =
+        df.select(col("cid"), col("cs"), col("cn")).collect().map(r =>
+          (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
+      val c0 = collectC(qv.filter(col("vec_id") < lit(ivfK(s, d)))
+        .select(col("vec_id").as("cid"), col("q").as("cs"), col("qn").as("cn")))
+      val c1 = collectC(recompute(
+        assignRows(s, qv, c0, 1).select(col("cid"), col("q"))))
+      collectC(recompute(
+        assignRows(s, qv, c1, 1).select(col("cid"), col("q"))))
     })
+    (qv, rows)
+  }
+
+  private def lloyd(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (qv, rows) = lloydRowsOf(s, d)
     import s.implicits._
     (qv, rows.toSeq.toDF("cid", "cs", "cn"))
+  }
+
+  /** Cluster-count threshold past which assignment goes TWO-LEVEL
+    * (coarse/fine). Single-level assignment scores every vector
+    * against all k centroids — n·k work, which under the √n ladder
+    * trends to 4·n^1.5 (the reason real IVF systems route through
+    * coarse centroids past ~10⁷ vectors). k = 2048 corresponds to
+    * n ≈ 1.05M on the linear ladder — ABOVE every test and oracle
+    * scale (sf3: k = 1172), so the sub-fence regime stays bit-exact
+    * against the SQL replay, and the engaged regime is exercised by
+    * the seeded-scalar tests (agreement + plan shape), the
+    * fence-family discipline. */
+  private[queries] val TwoLevelK = 2048L
+
+  /** Coarse groups each vector probes before the fine argmax — the
+    * standard IVF multi-probe knob: 1 would make a vector near a
+    * coarse boundary miss its true centroid; each extra probe costs
+    * one more k/√k fine fan-out. */
+  private[queries] val CoarseProbes = 2
+
+  /** Driver-side deterministic grouping of the k fine centroids into
+    * kc = ⌈√k⌉ coarse groups: seeds = the kc lowest-cid centroids, two
+    * Lloyd's passes by cosine (ties → lower gid), empty groups dropped.
+    * Returns (coarse (gid, gs: floor-mean of member cs, gn), fine
+    * (gid, cid, cs, cn)). All driver arithmetic is fixed-order over
+    * the cid-sorted array — deterministic across runs. The floor-mean
+    * (not the sum) keeps gs elements in the member-cs magnitude range
+    * so the Spark-side BIGINT dot against a quantized vector can
+    * never overflow (a SUM of 10⁹ member vectors would). */
+  private[queries] def coarseGroups(rows: Array[(Long, Seq[Long], Double)])
+      : (Array[(Long, Seq[Long], Double)], Array[(Long, Long, Seq[Long], Double)]) = {
+    val sorted = rows.sortBy(_._1)
+    val k = sorted.length
+    val kc = math.ceil(math.sqrt(k.toDouble)).toInt
+    val dim = sorted.head._2.length
+    val vecs = sorted.map(_._2.toArray)
+    val nrm = sorted.map(_._3)
+    var seeds: Array[Array[Double]] =
+      vecs.take(kc).map(_.map(_.toDouble))
+    var seedNrm: Array[Double] = nrm.take(kc)
+    var gidOf: Array[Int] = Array.fill(k)(0)
+    for (_ <- 0 until 2) {
+      var i = 0
+      while (i < k) {
+        var best = 0; var bestCos = -2.0
+        var g = 0
+        while (g < kc) {
+          val den = nrm(i) * seedNrm(g)
+          var dot = 0.0
+          var j = 0
+          while (j < dim) { dot += vecs(i)(j) * seeds(g)(j); j += 1 }
+          val cos = if (den > 0) dot / den else -1.0
+          if (cos > bestCos) { bestCos = cos; best = g }
+          g += 1
+        }
+        gidOf(i) = best
+        i += 1
+      }
+      val sums = Array.fill(kc)(new Array[Double](dim))
+      val cnt = new Array[Long](kc)
+      var i2 = 0
+      while (i2 < k) {
+        val g = gidOf(i2); cnt(g) += 1
+        var j = 0
+        while (j < dim) { sums(g)(j) += vecs(i2)(j).toDouble; j += 1 }
+        i2 += 1
+      }
+      seeds = Array.tabulate(kc)(g =>
+        if (cnt(g) > 0) sums(g).map(_ / cnt(g)) else seeds(g))
+      seedNrm = seeds.map(v => math.sqrt(v.map(x => x * x).sum))
+    }
+    val live = gidOf.distinct.sorted
+    val coarse = live.map { g =>
+      val gs: Seq[Long] = seeds(g).map(x => math.floor(x).toLong).toSeq
+      val gn = math.sqrt(gs.map(x => x.toDouble * x.toDouble).sum)
+      (g.toLong, gs, gn)
+    }
+    val fine = sorted.indices.map(i =>
+      (gidOf(i).toLong, sorted(i)._1, sorted(i)._2, sorted(i)._3)).toArray
+    (coarse, fine)
+  }
+
+  /** Assignment of `v` against a driver-resident centroid table:
+    * single-level ([[assignTo]] — the oracle-replayed shape) at
+    * k ≤ [[TwoLevelK]], coarse/fine above it. The two-level path
+    * routes each vector to its [[CoarseProbes]] best coarse groups
+    * (a ⌈√k⌉-row broadcast nested loop) and runs the fine argmax only
+    * over those groups' centroids via a broadcast HASH join on gid —
+    * n·(√k + probes·k/√k) ≈ 3n√k scored dots instead of n·k, and the
+    * per-row candidate stream is bounded by construction. Approximate
+    * by design above the fence (a vector whose true centroid lives in
+    * an unprobed coarse group mis-assigns — the standard IVF
+    * trade-off); the seeded-scalar test measures the agreement rate
+    * against the exhaustive argmax on a deterministic corpus. */
+  private[queries] def assignRows(s: SparkSession, v: DataFrame,
+      rows: Array[(Long, Seq[Long], Double)], keep: Int): DataFrame = {
+    import s.implicits._
+    if (rows.length <= TwoLevelK) assignTo(v, rows.toSeq.toDF("cid", "cs", "cn"), keep)
+    else {
+      val (coarse, fine) = coarseGroups(rows)
+      val wg = Window.partitionBy("vec_id").orderBy(col("gcos").desc, col("gid").asc)
+      val routed = v.join(broadcast(coarse.toSeq.toDF("gid", "gs", "gn")), lit(true))
+        .withColumn("gcos",
+          round(ldot("q", "gs").cast("double") / (col("qn") * col("gn")), 6))
+        .withColumn("grn", row_number().over(wg))
+        .filter(col("grn") <= CoarseProbes)
+        .drop("grn", "gcos", "gs", "gn")
+      val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+      routed.join(broadcast(fine.toSeq.toDF("gid", "cid", "cs", "cn")), Seq("gid"))
+        .withColumn("ccos",
+          round(ldot("q", "cs").cast("double") / (col("qn") * col("cn")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= keep)
+        .drop("rn", "cs", "cn", "gid")
+    }
   }
 
   /** Oracle mirror of [[lloyd]]: the same unrolled seed → assign →
@@ -355,8 +486,8 @@ object Similarity {
     * step); each probe vector (the [[probeStride]] sample) retrieves its top-5
     * cosine neighbors from its own cluster only. */
   private def q31(s: SparkSession, d: String): DataFrame = {
-    val (qv, c2) = lloyd(s, d)
-    val assign = assignTo(qv, c2, 1)
+    val (qv, c2rows) = lloydRowsOf(s, d)
+    val assign = assignRows(s, qv, c2rows, 1)
       .select(col("vec_id"), col("cid").as("cluster"), col("v"), col("nrm"))
     val q = probeSample(assign, probeStride(s, d))
       .select(col("vec_id").as("qid"), col("cluster"),
@@ -413,8 +544,8 @@ object Similarity {
     * candidates); the oracle encodes the same blocking, and q30
     * remains the exactness baseline. */
   private def q52(s: SparkSession, d: String): DataFrame = {
-    val (qv, c2) = lloyd(s, d)
-    val assign = assignTo(qv, c2, 2)
+    val (qv, c2rows) = lloydRowsOf(s, d)
+    val assign = assignRows(s, qv, c2rows, 2)
       .select(col("vec_id"), col("cid").as("cluster"), col("v"), col("nrm"))
     val a = assign.select(col("vec_id").as("va"), col("cluster"),
       col("v").as("av"), col("nrm").as("na"))
@@ -763,8 +894,8 @@ object Similarity {
     * the counts frame partial-aggregates to k rows, and the totals
     * attach via the standard withScalar broadcast. */
   private def q97(s: SparkSession, d: String): DataFrame = {
-    val (qv, c2) = lloyd(s, d)
-    val counts = assignTo(qv, c2, 1)
+    val (qv, c2rows) = lloydRowsOf(s, d)
+    val counts = assignRows(s, qv, c2rows, 1)
       .groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
     val tot = counts.agg(sum(col("n_vecs")).as("n_total"),
       sum(col("n_vecs") * col("n_vecs")).as("ssq"))
