@@ -26,14 +26,24 @@ object Curation {
     * Scale shape: eval sets are benchmarks — tiny next to the corpus —
     * so the distinct eval-shingle frame BROADCASTS and the overlap
     * count is a map-side hash semijoin + partial-aggregatable groupBy
-    * on doc_id; the corpus is never shuffled on shingle. */
+    * on doc_id; the corpus is never shuffled on shingle. That
+    * tininess is an assumption about the DATA, though, not a bound by
+    * construction, so the hint rides a fence on a memoized
+    * eval-shingle count: if the held-out split ever outgrows the
+    * broadcast ceiling, the join flips to a shuffled hash build
+    * (hint-only — values unchanged; q84's bloom gate remains the
+    * shuffle-free path at that scale). */
   private def q58(s: SparkSession, d: String): DataFrame = {
     val sh = Dedup.shinglesBy(s, d, "doc_id", "source")
     val evalSh = sh.filter(col("source") === "src0")
       .select(col("shingle")).distinct()
       .withColumn("hit", lit(1L))
+    val evalHinted =
+      if (snapScalar(d, "evalsh:documents")(evalSh.count()) <= VocabBroadcastCap)
+        broadcast(evalSh)
+      else evalSh.hint("shuffle_hash")
     sh.filter(col("source") =!= "src0")
-      .join(broadcast(evalSh), Seq("shingle"), "left")
+      .join(evalHinted, Seq("shingle"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
       // Raw IEEE ratio (see the q86 half-tie note in Similarity): the
@@ -73,12 +83,15 @@ object Curation {
     * quasi-identifiers masked (digits in the customer name) and
     * generalized (timestamp coarsened to the hour, value bucketed to
     * 50s) for k-anonymity-style protection. Row-local masking over a
-    * broadcast customer dim — no corpus shuffle. */
+    * broadcast customer dim — no corpus shuffle. The dim is a USER
+    * table, which grows with the platform rather than being bounded
+    * by construction like region/nation, so the hint rides the id
+    * fence (T.hintIdSet): shuffled hash build past 2M customers. */
   private def q59(s: SparkSession, d: String): DataFrame = {
     val ev = tbl(s, d, "events")
     val cust = tbl(s, d, "customer")
       .select(col("c_custkey"), col("c_name"))
-    ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+    ev.join(hintIdSet(s, d, "customer", cust), ev("user_id") === cust("c_custkey"))
       .select(
         col("event_id"),
         phash(concat(lit("u:"), col("user_id"))).as("user_token"),

@@ -548,6 +548,45 @@ class PlanShapeSpec extends SparkSpec {
       "hintIdSet changed anti-join results across the fence flip")
   }
 
+  /** q58's eval-shingle broadcast and q59's customer-dim broadcast are
+    * bounded by DATA assumptions (eval sets are benchmarks; user
+    * tables are small), not by construction — so both ride fences:
+    * q58 on a memoized eval-shingle count, q59 on the customer row
+    * count (T.hintIdSet). Hint-only on frames nothing else derives
+    * from, so row identity across the flip is asserted directly. */
+  test("q58/q59 fences: eval-shingle and customer-dim broadcasts flip to shuffled hash past their caps") {
+    // q58: seed the eval-shingle scalar above the vocab cap
+    val tmp58 = java.nio.file.Files.createTempDirectory("graft-evfence").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").parquet(s"$tmp58/documents.parquet")
+    graft.T.snapScalar(tmp58, "evalsh:documents")(graft.T.VocabBroadcastCap + 1)
+    val below58 = planString(SparkEntry.queries("q58_decontaminate")(spark, sfDir))
+    assert(below58.contains("BroadcastHashJoin") && !below58.contains("ShuffledHashJoin"),
+      s"q58 below the cap must broadcast the eval shingles:\n$below58")
+    val above58 = planString(SparkEntry.queries("q58_decontaminate")(spark, tmp58))
+    assert(above58.contains("ShuffledHashJoin") && !above58.contains("SortMergeJoin"),
+      s"q58 above the cap must hash-build, never sort the corpus:\n$above58")
+    // q59: seed the customer count above the id cap
+    val tmp59 = java.nio.file.Files.createTempDirectory("graft-custfence").toString
+    for (t <- Seq("events", "customer"))
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$tmp59/$t.parquet")
+    graft.T.snapScalar(tmp59, "count:customer")(graft.T.IdBroadcastCap + 1)
+    val below59 = planString(SparkEntry.queries("q59_pii_pseudonymize")(spark, sfDir))
+    assert(below59.contains("BroadcastHashJoin") && !below59.contains("ShuffledHashJoin"),
+      s"q59 below the cap must broadcast the customer dim:\n$below59")
+    val above59 = planString(SparkEntry.queries("q59_pii_pseudonymize")(spark, tmp59))
+    assert(above59.contains("ShuffledHashJoin") && !above59.contains("SortMergeJoin"),
+      s"q59 above the cap must hash-build the dim on the shuffle:\n$above59")
+    // hint-only: byte-identical inputs ⇒ row-identical outputs
+    for ((name, alt) <- Seq("q58_decontaminate" -> tmp58,
+        "q59_pii_pseudonymize" -> tmp59)) {
+      val a = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
+      val b = SparkEntry.queries(name)(spark, alt).collect().toSeq
+      assert(a == b, s"$name results changed across the fence flip")
+    }
+  }
+
   /** The suite-wide pair-blowup invariant, stated once over the WHOLE
     * inventory instead of per-query: no executed plan contains a
     * CartesianProduct, and every BroadcastNestedLoopJoin is one of the
