@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * (anselumana/binance-etl; citations per query) over the driver's
   * test tables, with an ANSI-SQL DuckDB oracle. All are plain
   * `org.apache.spark.sql` — Catalyst handles pushdown/pruning/join
-  * selection; the only hints used are `broadcast` where a dimension is
-  * known-small (q11).
+  * selection; the only hints used are fenced dimension broadcasts
+  * (T.hintIdSet — q11/q101/q102 and q59's customer dim) and the
+  * bounded nation/region broadcasts in q64.
   */
 object Relational {
 
@@ -170,12 +171,16 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_orderkey""".stripMargin
 
-  /** q11: broadcast dimension join — part is small relative to lineitem,
-    * so broadcast it explicitly (no shuffle of the fact side). */
+  /** q11: broadcast dimension join — part is small RELATIVE to
+    * lineitem but still grows with the platform (a catalog, not a
+    * bounded enum like region/nation), so the hint rides the id fence
+    * (T.hintIdSet): explicit broadcast below 2M parts — no shuffle of
+    * the fact side, every test scale — and a shuffled hash build past
+    * the cap instead of an OOM'd driver collect. */
   private def q11(s: SparkSession, d: String): DataFrame = {
     val l = tbl(s, d, "lineitem")
     val p = tbl(s, d, "part")
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"), "inner")
+    l.join(hintIdSet(s, d, "part", p), l("l_partkey") === p("p_partkey"), "inner")
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n"),
         sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
@@ -391,7 +396,9 @@ object Relational {
     * date. The two-fact-join pattern q64 doesn't cover: orders ⋈
     * lineitem is a genuine big×big equality join (SMJ/shuffle-hash at
     * scale, both sides date-FILTERED AT THE SCAN before the join),
-    * while the segment-filtered customer dim broadcasts. Top-10 rides
+    * while the segment-filtered customer dim broadcasts behind the id
+    * fence (T.hintIdSet — customer grows with the platform; shuffled
+    * hash build past 2M rows). Top-10 rides
     * TakeOrderedAndProject — no global sort materializes. Revenue is
     * decimal-exact, so the DESC ordering and the tie-break
     * (l_orderkey) agree across engines. */
@@ -407,7 +414,7 @@ object Relational {
       .filter(col("l_shipdate") > lit(cut))
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(hintIdSet(s, d, "customer", c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
         .cast("double").as("revenue"))
@@ -442,10 +449,12 @@ object Relational {
     * in for partsupp (the driver's schema has no partsupp table): the
     * supplier×part relation is derived from actual shipments.
     *
-    * Scale shape: both dims broadcast (part onto the fact scan, the
-    * ≤suppliers denylist as a broadcast LEFT ANTI); the distinct-agg
-    * shuffles (brand, size, suppkey) partials — corpus-scale data
-    * moves once. */
+    * Scale shape: both dims broadcast below the id fence (part onto
+    * the fact scan, the ≤suppliers denylist as a broadcast LEFT ANTI;
+    * both are catalogs that grow with the platform, so past 2M rows
+    * each flips to a shuffled hash build via T.hintIdSet); the
+    * distinct-agg shuffles (brand, size, suppkey) partials —
+    * corpus-scale data moves once. */
   private def q102(s: SparkSession, d: String): DataFrame = {
     val li = tbl(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"))
     val p = tbl(s, d, "part")
@@ -454,8 +463,9 @@ object Relational {
         col("p_size").cast("long").as("p_size"))
     val deny = tbl(s, d, "supplier")
       .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(deny), col("l_suppkey") === col("s_suppkey"), "left_anti")
+    li.join(hintIdSet(s, d, "part", p), col("l_partkey") === col("p_partkey"))
+      .join(hintIdSet(s, d, "supplier", deny),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))

@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   * HOFs (the shared [[graft.functions.GramHash]] scheme, so batch and
   * stream provably agree on matches), and the eval set joins as a
   * stream-static broadcast hash join (re-planned per micro-batch, no
-  * streaming state store at all). State held: zero bytes. A keyed
+  * streaming state store at all) — FENCED like its batch twin q58:
+  * the eval side is counted ONCE at stream-build time (it is static),
+  * and past [[graft.T.VocabBroadcastCap]] distinct grams the hint
+  * flips to a shuffled hash build instead of OOMing every micro-batch.
+  * State held: zero bytes. A keyed
   * per-doc rollup is deliberately NOT done here — hits stream out
   * append-mode at line rate and the consumer aggregates at whatever
   * granularity it wants (the spec rolls up per doc and asserts parity
@@ -29,12 +33,21 @@ object StreamingDecontaminate {
     * left to the caller): a raw gram frame with the same hash from
     * several eval docs would multiply per-doc hit counts and silently
     * break the q84 parity contract. */
-  def apply(docs: DataFrame, evalGrams: DataFrame): DataFrame =
+  def apply(docs: DataFrame, evalGrams: DataFrame): DataFrame = {
+    val eval = evalGrams.select(col("h")).distinct()
+    // The eval side is static, so ONE setup-time count decides the
+    // join build for the stream's whole lifetime (same assumption as
+    // batch q58's fence: eval sets are benchmarks, but the fence makes
+    // the bound enforced rather than assumed).
+    val hinted =
+      if (eval.count() <= graft.T.VocabBroadcastCap) broadcast(eval)
+      else eval.hint("shuffle_hash")
     docs
       .select(col("doc_id"),
         GramHash.tokenHashes(split(col("text"), " ")).as("hh"))
       .select(col("doc_id"),
         explode(GramHash.gram8FromTokenHashes(col("hh"))).as("h"))
-      .join(broadcast(evalGrams.select(col("h")).distinct()), Seq("h"))
+      .join(hinted, Seq("h"))
       .select(col("doc_id"), col("h"))
+  }
 }

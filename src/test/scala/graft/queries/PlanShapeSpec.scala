@@ -587,6 +587,45 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  /** The TPC-H-family dims part/customer/supplier are CATALOGS — small
+    * relative to the facts but linear in the platform, unlike the
+    * bounded-enum region/nation — so their forced broadcasts in
+    * q11/q101/q102 ride the same id fence as q59's customer dim.
+    * Seeding the three row-count scalars above T.IdBroadcastCap on a
+    * byte-identical table copy must flip every fenced join to a
+    * shuffled hash build (never a sort of the fact side) while leaving
+    * results row-identical. */
+  test("q11/q101/q102 fences: part/customer/supplier dim broadcasts flip to shuffled hash past the id cap") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dimfence").toString
+    for (t <- Seq("lineitem", "part", "orders", "customer", "supplier"))
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+    for (t <- Seq("part", "customer", "supplier"))
+      graft.T.snapScalar(tmp, s"count:$t")(graft.T.IdBroadcastCap + 1)
+    val cases = Seq(
+      ("q11_broadcast_dim", 1),       // part
+      ("q101_ship_priority", 1),      // customer (li⋈o stays unhinted)
+      ("q102_supplier_diversity", 2)) // part + supplier denylist
+    for ((name, nFenced) <- cases) {
+      val below = planString(SparkEntry.queries(name)(spark, sfDir))
+      assert(below.contains("BroadcastHashJoin") && !below.contains("ShuffledHashJoin"),
+        s"$name below the cap must broadcast its dims:\n$below")
+      val aboveDf = SparkEntry.queries(name)(spark, tmp)
+      // Fenced-join cardinality on the STATIC plan: q102's supplier
+      // denylist is EMPTY at test sf, so AQE elides that anti-join
+      // from the executed plan entirely (the q55 precedent).
+      val aboveStatic = aboveDf.queryExecution.sparkPlan.toString
+      assert("ShuffledHashJoin".r.findAllIn(aboveStatic).size == nFenced,
+        s"$name above the cap must hash-build exactly $nFenced fenced joins:\n$aboveStatic")
+      val above = planString(aboveDf)
+      assert(!above.contains("SortMergeJoin"),
+        s"$name above the cap must never sort the fact side:\n$above")
+      val a = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
+      val b = aboveDf.collect().toSeq
+      assert(a == b, s"$name results changed across the fence flip")
+    }
+  }
+
   /** The suite-wide pair-blowup invariant, stated once over the WHOLE
     * inventory instead of per-query: no executed plan contains a
     * CartesianProduct, and every BroadcastNestedLoopJoin is one of the

@@ -63,4 +63,22 @@ class StreamingDecontaminateSpec extends SparkSpec {
     assert(streamed == batch,
       s"stream hits $streamed must equal batch q84 $batch")
   }
+
+  /** The stream-static eval broadcast rides the batch q58 fence: the
+    * static side is counted once at stream-build time, and past
+    * T.VocabBroadcastCap the per-micro-batch broadcast flips to a
+    * shuffled hash build. apply() is plan-level, so the flip is
+    * asserted on batch frames (same plan the micro-batches replay). */
+  test("eval-gram fence: broadcast below the vocab cap, shuffled hash build above") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val small = spark.range(10).select(col("id").as("h"))
+    val below = planString(StreamingDecontaminate(docs, small))
+    assert(below.contains("BroadcastHashJoin") && !below.contains("ShuffledHashJoin"),
+      s"small eval set must broadcast:\n$below")
+    val big = spark.range(graft.T.VocabBroadcastCap + 1).select(col("id").as("h"))
+    val above = planString(StreamingDecontaminate(docs, big))
+    assert(above.contains("ShuffledHashJoin") && !above.contains("SortMergeJoin"),
+      s"oversized eval set must hash-build, never sort the doc stream:\n$above")
+  }
 }
