@@ -40,7 +40,12 @@ object StreamingIngestDedup {
 
   /** The static side, built once from the existing corpus
     * (doc_id, text): capped shingle frame, per-doc capped sizes, and
-    * the (tiny) dropped-hot-shingle set. All three are cache-backed;
+    * the dropped-hot-shingle set — whose broadcast in [[gate]] is
+    * bounded BY CONSTRUCTION, not assumption: a hot shingle has
+    * df > max(1000, 0.001·n), so |hot| ≤ Σdf / (0.001·n) = 1000·k̄
+    * (k̄ = mean shingles per doc), a constant independent of corpus
+    * size — unlike the vocab-sized frames the T.hintVocab fence
+    * gates. All three are cache-backed;
     * [[Index.release]] must be called when an index is replaced
     * (the refresh cadence) — otherwise each rebuild pins another
     * corpus-scale trio in the block manager for the session's life. */

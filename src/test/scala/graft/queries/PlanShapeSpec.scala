@@ -587,6 +587,48 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  /** The vocab fence ENGAGED on data that genuinely exceeds the cap —
+    * not a seeded scalar on a small corpus, but 580k+1 real distinct
+    * tokens (20k docs × 29 unique tokens + one shared token), so
+    * `T.vocabCount` itself crosses `T.VocabBroadcastCap` and the
+    * shuffled-hash path carries a 580k-row build side for real. The
+    * broadcast twin re-reads the same bytes with the scalar seeded
+    * BELOW the cap (the mirror of the usual flip direction), proving
+    * value identity of the two join strategies on engaged-scale data
+    * distributively (exceptAll, no driver collect of the frames). */
+  test("vocab fence engaged: q46/q75 hash-build a real 580k-token vocab, rows identical to the broadcast path") {
+    import org.apache.spark.sql.functions._
+    val nDocs = 20000
+    val uniqPerDoc = 29
+    val uniq = (0 until uniqPerDoc).map(i =>
+      concat(lit("t"), col("id"), lit(s"_$i")))
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (lit("the") +: uniq): _*).as("text"),
+      lit("en").as("lang"), lit("src1").as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val eng = java.nio.file.Files.createTempDirectory("graft-vocabeng").toString
+    docs.write.mode("overwrite").parquet(s"$eng/documents.parquet")
+    val vc = graft.T.vocabCount(spark, eng)
+    assert(vc > graft.T.VocabBroadcastCap,
+      s"fixture must genuinely exceed the cap, got $vc")
+    val bc = java.nio.file.Files.createTempDirectory("graft-vocabengbc").toString
+    spark.read.parquet(s"$eng/documents.parquet")
+      .write.mode("overwrite").parquet(s"$bc/documents.parquet")
+    graft.T.snapScalar(bc, "vocab:documents")(1L)
+    for (q <- Seq("q46_tfidf", "q75_unigram_surprisal")) {
+      val engDf = SparkEntry.queries(q)(spark, eng)
+      val engPlan = planString(engDf)
+      assert(engPlan.contains("ShuffledHashJoin") && !engPlan.contains("SortMergeJoin"),
+        s"$q must hash-build the engaged vocab, never sort the corpus:\n$engPlan")
+      val bcDf = SparkEntry.queries(q)(spark, bc)
+      assert(planString(bcDf).contains("BroadcastHashJoin"),
+        s"$q seeded below the cap must broadcast")
+      assert(engDf.exceptAll(bcDf).isEmpty && bcDf.exceptAll(engDf).isEmpty,
+        s"$q results differ between the engaged and broadcast paths")
+    }
+  }
+
   /** The TPC-H-family dims part/customer/supplier are CATALOGS — small
     * relative to the facts but linear in the platform, unlike the
     * bounded-enum region/nation — so their forced broadcasts in
