@@ -214,6 +214,126 @@ object T {
     if (snapCount(spark, dir, table) <= IdBroadcastCap) broadcast(df)
     else df.hint("shuffle_hash")
 
+  /** Distributed exact rank — the scale-safe replacement for a
+    * row_number/ntile window whose partition is the whole corpus (or a
+    * corpus-sized group, e.g. a one-language corpus): a global window
+    * funnels every row through ONE task, which is the last
+    * single-partition pattern that cannot survive 100 TB.
+    *
+    * Shape (ONE corpus shuffle, everything else bounded):
+    *   1. `repartitionByRange(P, part ++ sort)` + local sort — the only
+    *      corpus-scale exchange. The explicit partition count makes
+    *      the exchange REPARTITION_BY_NUM, which AQE leaves alone
+    *      (no coalesce/local-read), so partition ids are stable
+    *      across the two consumers below.
+    *   2. `monotonically_increasing_id()` stamps (pid << 33 | record#)
+    *      per physical partition in sorted order — the classic
+    *      zipWithIndex idiom, no second shuffle and no per-pid window.
+    *   3. a (part, pid) count/min aggregate (≤ groups·P rows) turns
+    *      record numbers into global ranks: per-group running offsets
+    *      via a window over the TINY agg frame, broadcast back.
+    *
+    * rank = offset + record − min(record in this (group, pid)) + 1 —
+    * exact and gap-free because the local sort orders (part ++ sort)
+    * so each group's records are contiguous within a partition.
+    * `sortCols` extended by `partCols` must be a TOTAL order or ranks
+    * are nondeterministic (both call sites tie-break on doc_id).
+    *
+    * The local sort is protected from EliminateSorts by the
+    * NONDETERMINISTIC mid projection directly above it (the rule stops
+    * recursing at non-deterministic projects); DistRankSpec pins the
+    * ground truth against single-partition row_number so any optimizer
+    * drift fails loudly.
+    *
+    * CORRECTNESS HINGES ON STAGE REUSE: the offset aggregate and the
+    * join both consume the range exchange, and a range partitioner
+    * re-executed in a second stage samples with a different seed —
+    * boundary rows could land in different pids per consumer and
+    * silently corrupt ranks. Every remaining column of `df` is
+    * therefore APPENDED to the range/sort keys (a no-op ordering-wise:
+    * sortCols is already total), so column pruning cannot differentiate
+    * the two subtrees and AQE's canonical-plan stage cache reuses ONE
+    * materialized exchange (`ReusedExchange`, asserted in
+    * DistRankSpec — if a Spark upgrade ever breaks the reuse, that
+    * assertion fails before any silent rank drift can).
+    *
+    * Output: input columns + `_dr_rank` (1-based rank within its
+    * partCols group under sortCols) + `_dr_cnt` (group row count). */
+  def distRank(df: DataFrame, partCols: Seq[String],
+      sortCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rest = df.columns.filterNot((partCols ++ sortCols).contains)
+    val keys = (partCols ++ sortCols ++ rest).map(col)
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val stamped = df.repartitionByRange(p, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("_dr_mid", monotonically_increasing_id())
+      .withColumn("_dr_pid", shiftright(col("_dr_mid"), 33))
+      .withColumn("_dr_rec", col("_dr_mid").bitwiseAND(lit((1L << 33) - 1)))
+    val offs = stamped
+      .groupBy((partCols :+ "_dr_pid").map(col): _*)
+      .agg(count(lit(1)).as("_dr_c"), min(col("_dr_rec")).as("_dr_base"))
+      .withColumn("_dr_off",
+        sum(col("_dr_c")).over(Window.partitionBy(partCols.map(col): _*)
+          .orderBy(col("_dr_pid"))) - col("_dr_c"))
+      .withColumn("_dr_cnt",
+        sum(col("_dr_c")).over(Window.partitionBy(partCols.map(col): _*)))
+      .select((partCols :+ "_dr_pid" :+ "_dr_base" :+ "_dr_off" :+ "_dr_cnt")
+        .map(col): _*)
+    stamped.join(broadcast(offs), partCols :+ "_dr_pid")
+      .withColumn("_dr_rank",
+        col("_dr_off") + col("_dr_rec") - col("_dr_base") + lit(1L))
+      // a using-columns join moves the keys first; pin the output to
+      // input order + (_dr_rank, _dr_cnt) so both fencedRank branches
+      // emit the identical schema
+      .select((df.columns.toSeq :+ "_dr_rank" :+ "_dr_cnt").map(col): _*)
+  }
+
+  /** Corpus-partition rank fence: below this many rows a plain
+    * rank/count window is CHEAPER than [[distRank]]'s extra stages
+    * (one task sorting ≤4M slim (key, id) rows ≈ ~100 MB — fine), and
+    * it is every test scale; above it the single window task becomes
+    * the straggler that cannot survive 100 TB, so the rank flips to
+    * the distributed form. Values identical by construction: same
+    * total order, same rank semantics. */
+  private[graft] val WindowRankCap = 4000000L
+
+  /** [[distRank]] behind the [[WindowRankCap]] fence: partition-window
+    * rank+count below the cap (keyed on the memoized `table` row count
+    * — the ranked frame at both call sites has at most one row per
+    * document), distributed rank above it. Emits the same
+    * `_dr_rank`/`_dr_cnt` columns either way. */
+  def fencedRank(spark: SparkSession, dir: String, table: String,
+      df: DataFrame, partCols: Seq[String], sortCols: Seq[String]): DataFrame =
+    if (snapCount(spark, dir, table) <= WindowRankCap) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(partCols.map(col): _*)
+        .orderBy(sortCols.map(col): _*)
+      // the count rides the SAME (partition, order) spec with an
+      // explicit unbounded frame so both functions fold into ONE
+      // WindowExec pass instead of two
+      df.withColumn("_dr_rank", row_number().over(w).cast("long"))
+        .withColumn("_dr_cnt", count(lit(1)).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    } else distRank(df, partCols, sortCols)
+
+  /** Exact integer division for non-negative longs (Spark's `/` on
+    * longs returns double). */
+  private def intDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** ntile(k) recomputed from an exact 1-based rank and the partition
+    * row count — bit-identical to SQL NTILE (first n%k buckets get the
+    * extra row), so a [[distRank]] chain can replace an ntile window
+    * without touching a DuckDB oracle. */
+  def ntileFromRank(k: Int, rank: Column, n: Column): Column = {
+    val r = pmod(n, lit(k.toLong))
+    val q = intDiv(n, lit(k.toLong))
+    val b = r * (q + 1)
+    when(rank <= b, intDiv(rank - 1, q + 1) + 1)
+      .otherwise(r + intDiv(rank - lit(1L) - b, q) + 1)
+  }
+
   /** Portable 32-bit hash of a string column (agrees with DuckDB). */
   def phash(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")

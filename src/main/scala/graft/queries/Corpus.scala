@@ -134,15 +134,22 @@ object Corpus {
     * bucket (CCNet trains its LM on head).
     *
     * Scale shape: corpus-scale work is q75's shared tf/vocab chain;
-    * the tercile itself is an ntile window over the (doc_id, score)
-    * frame — O(docs) scored longs, never text, the q79 exact-quantile
-    * posture (q61's histogram bounds are the approximate path when
-    * even that sort is too much). Ordering (mean_surprisal, doc_id) is
-    * total, so ntile is deterministic in both engines. */
+    * the tercile is an exact rank behind the T.WindowRankCap fence —
+    * a plain global window below 4M docs (one task sorting slim
+    * (score, doc_id) longs; every test scale), the DISTRIBUTED
+    * T.distRank above it (one range shuffle + bounded offset
+    * broadcast) — with ntile recomputed from rank in closed form
+    * (T.ntileFromRank), bit-identical to the oracle's global ntile
+    * window on BOTH branches, so a 100 TB corpus never funnels
+    * through a single window task (q61's histogram bounds remain the
+    * approximate path when even one distributed sort is too much).
+    * Ordering (mean_surprisal, doc_id) is total, so ranks are
+    * deterministic in both engines. */
   private def q96(s: SparkSession, d: String): DataFrame =
-    surprisalFrame(s, d)
-      .withColumn("t", ntile(3).over(
-        Window.orderBy(col("mean_surprisal"), col("doc_id"))))
+    fencedRank(s, d, "documents", surprisalFrame(s, d), Nil,
+      Seq("mean_surprisal", "doc_id"))
+      .withColumn("t",
+        ntileFromRank(3, col("_dr_rank"), col("_dr_cnt")))
       .select(col("doc_id"), col("n_tokens"), col("mean_surprisal"),
         when(col("t") === 1, "head").when(col("t") === 2, "middle")
           .otherwise("tail").as("bucket"))

@@ -314,21 +314,28 @@ object Curation {
     * them — the length filter a curation pipeline applies before
     * quality scoring.
     *
-    * Scale shape: the sort window runs over the (doc_id, lang, count)
-    * frame — O(docs) rows, never the corpus text — partitioned per
-    * language; the bounds table (one row per language) broadcasts back
-    * onto the counts for the outlier test. q61 is the
+    * Scale shape: ranking runs over the (doc_id, lang, count) frame —
+    * O(docs) rows, never the corpus text — behind the T.WindowRankCap
+    * fence: per-lang windows below 4M docs (every test scale), the
+    * DISTRIBUTED exact rank (T.distRank: one range shuffle + bounded
+    * offset broadcast) above it, so even a one-language corpus — the
+    * common case — never funnels through a single window task; the
+    * bounds table (one row per language) broadcasts back onto the
+    * counts for the outlier test. q61 is the
     * shuffle-volume-independent sketch path at 100 TB; this is its
     * exact baseline, the q39↔q61 pairing generalized per group. */
   private def q79(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
     val toks = tbl(s, d, "documents")
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val ranked = toks
-      .withColumn("rn", row_number().over(
-        w.partitionBy("lang").orderBy(col("n_tokens"), col("doc_id"))).cast("long"))
-      .withColumn("cnt", count(lit(1)).over(w.partitionBy("lang")))
+    // Per-lang rank + count via the fenced rank: lang-partitioned
+    // windows below T.WindowRankCap, the distributed T.distRank above
+    // it — a one-language corpus would otherwise put ~every doc
+    // through ONE window task.
+    val ranked = fencedRank(s, d, "documents", toks,
+      Seq("lang"), Seq("n_tokens", "doc_id"))
+      .withColumnRenamed("_dr_rank", "rn")
+      .withColumnRenamed("_dr_cnt", "cnt")
     val bounds = ranked.groupBy(col("lang")).agg(
       min(when(col("rn") === expr("(cnt * 5 + 99) div 100"), col("n_tokens")))
         .as("lo"),
