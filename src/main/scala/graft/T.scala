@@ -260,10 +260,11 @@ object T {
     * Output: input columns + `_dr_rank` (1-based rank within its
     * partCols group under sortCols) + `_dr_cnt` (group row count). */
   def distRank(df: DataFrame, partCols: Seq[String],
-      sortCols: Seq[String]): DataFrame = {
+      sortCols: Seq[String], desc: Set[String] = Set.empty): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rest = df.columns.filterNot((partCols ++ sortCols).contains)
-    val keys = (partCols ++ sortCols ++ rest).map(col)
+    val keys = (partCols ++ sortCols ++ rest).map(n =>
+      if (desc(n)) col(n).desc else col(n))
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val stamped = df.repartitionByRange(p, keys: _*)
       .sortWithinPartitions(keys: _*)
@@ -304,18 +305,73 @@ object T {
     * document), distributed rank above it. Emits the same
     * `_dr_rank`/`_dr_cnt` columns either way. */
   def fencedRank(spark: SparkSession, dir: String, table: String,
-      df: DataFrame, partCols: Seq[String], sortCols: Seq[String]): DataFrame =
+      df: DataFrame, partCols: Seq[String], sortCols: Seq[String],
+      desc: Set[String] = Set.empty): DataFrame =
     if (snapCount(spark, dir, table) <= WindowRankCap) {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(partCols.map(col): _*)
-        .orderBy(sortCols.map(col): _*)
+      val order = sortCols.map(n => if (desc(n)) col(n).desc else col(n))
+      val w = Window.partitionBy(partCols.map(col): _*).orderBy(order: _*)
       // the count rides the SAME (partition, order) spec with an
       // explicit unbounded frame so both functions fold into ONE
       // WindowExec pass instead of two
       df.withColumn("_dr_rank", row_number().over(w).cast("long"))
         .withColumn("_dr_cnt", count(lit(1)).over(w.rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)))
-    } else distRank(df, partCols, sortCols)
+    } else distRank(df, partCols, sortCols, desc)
+
+  /** [[distRank]]'s sibling for an exact per-group EXCLUSIVE prefix
+    * sum of `weightCol` under `sortCols` order — the distributed form
+    * of `sum(w) OVER (PARTITION BY g ORDER BY s ROWS UNBOUNDED
+    * PRECEDING) - w`, which otherwise funnels a corpus-sized group
+    * (one-language shard packing) through one window task.
+    *
+    * Same stamped range exchange and stage-reuse discipline as
+    * distRank; the within-partition running sum genuinely needs a
+    * window, so it rides a SECOND exchange hash-keyed on
+    * (group, pid) — pid spreads a hot group over every range
+    * partition, so both exchanges stay balanced and no task sees more
+    * than ~n/P rows. Output: input columns + `_dr_psum` (exclusive
+    * prefix sum, exact under an integral weight type). */
+  def distCumSum(df: DataFrame, partCols: Seq[String],
+      sortCols: Seq[String], weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rest = df.columns.filterNot((partCols ++ sortCols).contains)
+    val keys = (partCols ++ sortCols ++ rest).map(col)
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val stamped = df.repartitionByRange(p, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("_dr_mid", monotonically_increasing_id())
+      .withColumn("_dr_pid", shiftright(col("_dr_mid"), 33))
+    val offs = stamped
+      .groupBy((partCols :+ "_dr_pid").map(col): _*)
+      .agg(sum(col(weightCol)).as("_dr_c"))
+      .withColumn("_dr_off",
+        sum(col("_dr_c")).over(Window.partitionBy(partCols.map(col): _*)
+          .orderBy(col("_dr_pid"))) - col("_dr_c"))
+      .select((partCols :+ "_dr_pid" :+ "_dr_off").map(col): _*)
+    val wIn = Window.partitionBy((partCols :+ "_dr_pid").map(col): _*)
+      .orderBy(sortCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stamped.join(broadcast(offs), partCols :+ "_dr_pid")
+      .withColumn("_dr_psum",
+        col("_dr_off") + sum(col(weightCol)).over(wIn) - col(weightCol))
+      .select((df.columns.toSeq :+ "_dr_psum").map(col): _*)
+  }
+
+  /** [[distCumSum]] behind the [[WindowRankCap]] fence — plain
+    * per-group running-sum window below the cap (every test scale),
+    * the distributed two-exchange form above it. */
+  def fencedCumSum(spark: SparkSession, dir: String, table: String,
+      df: DataFrame, partCols: Seq[String], sortCols: Seq[String],
+      weightCol: String): DataFrame =
+    if (snapCount(spark, dir, table) <= WindowRankCap) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(partCols.map(col): _*)
+        .orderBy(sortCols.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("_dr_psum",
+        sum(col(weightCol)).over(w) - col(weightCol))
+    } else distCumSum(df, partCols, sortCols, weightCol)
 
   /** Exact integer division for non-negative longs (Spark's `/` on
     * longs returns double). */

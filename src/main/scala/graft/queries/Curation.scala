@@ -143,24 +143,22 @@ object Curation {
     * documents are packed into shards of ~2000 whitespace tokens.
     * Packing is PER STRATUM (language): a running token sum over
     * (lang, doc_id) order assigns shard_id = prefix_tokens div budget,
-    * so shards are deterministic, contiguous in doc order, and the
-    * window parallelizes across strata (per-language shards are the
-    * production layout anyway — no global single-partition cumsum,
-    * which would be the scale anti-pattern here). Integer division on
-    * exact BIGINT sums; no float anywhere. */
-  private def q63(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    tbl(s, d, "documents")
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      .withColumn("shard_id", expr("(cum - n_tokens) div 2000"))
+    * so shards are deterministic and contiguous in doc order. The
+    * running sum rides the T.WindowRankCap fence: per-lang cumsum
+    * windows below 4M docs (every test scale), the distributed
+    * T.distCumSum above it — a one-language corpus would otherwise
+    * put every doc through ONE window task, the same hazard the
+    * q79/q87/q96 ranks fence. Integer division on exact BIGINT sums;
+    * no float anywhere. */
+  private def q63(s: SparkSession, d: String): DataFrame =
+    fencedCumSum(s, d, "documents",
+      tbl(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      Seq("lang"), Seq("doc_id"), "n_tokens")
+      .withColumn("shard_id", expr("_dr_psum div 2000"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("shard_id"))
       .orderBy("doc_id")
-  }
 
   private val q63Sql =
     """WITH tok AS (
@@ -451,23 +449,22 @@ object Curation {
     *
     * Scale shape: the quality score aggregates per-doc (map-side
     * combinable), the doc_id-keyed join back to (doc_id, source) rides
-    * the same hash keys, and the per-source ranking window touches the
+    * the same hash keys, and the per-source ranking touches the
     * O(docs) scored rows, never text. Skewed sources (one giant
-    * domain) are the known hazard: the window's per-source sort is the
-    * q79 shape, and AQE's skew handling applies to the exchange ahead
-    * of it. */
-  private def q87(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(col("quality").desc, col("doc_id").asc)
-    tbl(s, d, "documents").select(col("doc_id"), col("source"))
-      .join(TextAnalysis.q33Frame(tbl(s, d, "documents"))
-        .select(col("doc_id"), col("quality")), Seq("doc_id"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 8)
-      .select(col("source"), col("rk").cast("long").as("rk"),
+    * domain — the web crawl that IS most of the corpus) were the known
+    * hazard, so the rank rides the T.WindowRankCap fence: per-source
+    * windows below 4M docs, T.distRank above (desc on quality), where
+    * a hot source spreads over every range partition. */
+  private def q87(s: SparkSession, d: String): DataFrame =
+    fencedRank(s, d, "documents",
+      tbl(s, d, "documents").select(col("doc_id"), col("source"))
+        .join(TextAnalysis.q33Frame(tbl(s, d, "documents"))
+          .select(col("doc_id"), col("quality")), Seq("doc_id")),
+      Seq("source"), Seq("quality", "doc_id"), desc = Set("quality"))
+      .filter(col("_dr_rank") <= 8)
+      .select(col("source"), col("_dr_rank").as("rk"),
         col("doc_id"), col("quality"))
       .orderBy("source", "rk")
-  }
 
   private val q87Sql =
     s"""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),

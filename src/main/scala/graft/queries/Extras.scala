@@ -153,20 +153,22 @@ object Extras {
 
   /** q39: exact median per group by explicit middle-row selection
     * (engine-native percentile_cont interpolation orders differ;
-    * picking the middle one/two rows and averaging is deterministic). */
-  private def q39(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("event_type")
-      .orderBy(col("value").asc, col("event_id").asc)
-    tbl(s, d, "events")
-      .select(col("event_type"), col("event_id"), col("value"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    * picking the middle one/two rows and averaging is deterministic).
+    * Event types are a bounded enum, so each rank partition is a
+    * corpus-sized slice — the rank rides the T.WindowRankCap fence
+    * (per-type windows below 4M events, T.distRank above), like
+    * q79/q96. q61 stays the shuffle-light sketch path. */
+  private def q39(s: SparkSession, d: String): DataFrame =
+    fencedRank(s, d, "events",
+      tbl(s, d, "events")
+        .select(col("event_type"), col("event_id"), col("value")),
+      Seq("event_type"), Seq("value", "event_id"))
+      .withColumnRenamed("_dr_rank", "rn").withColumnRenamed("_dr_cnt", "n")
       .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"))
       .groupBy(col("event_type"))
       .agg((sum(col("value")) / count(lit(1)).cast("double")).as("median"),
         max(col("n")).as("n"))
       .orderBy("event_type")
-  }
 
   private val q39Sql =
     """WITH r AS (

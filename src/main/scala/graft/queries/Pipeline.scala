@@ -3,7 +3,6 @@ package graft.queries
 import graft.T._
 import graft.functions.MinHashLsh
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation pipeline (north-star extension):
@@ -42,11 +41,17 @@ object Pipeline {
     // 2. exact dedup among survivors: min doc_id per fingerprint —
     // the bare fingerprint core, not q35 (same sort/window argument).
     val fp = TextAnalysis.fingerprintsOf(s, d, tbl(s, d, "documents"))
-    val wFp = Window.partitionBy("fp").orderBy(col("doc_id").asc)
+    // keep-first per fingerprint as a PARTIAL-AGGREGATABLE struct-min
+    // (doc_id leads the struct, so min = lowest doc_id's whole row)
+    // instead of a rank window: map-side combine collapses a
+    // mega-duplicated fingerprint before the shuffle, where a window
+    // would buffer the whole dup group in one task.
     val exactKept = quality.join(fp, Seq("doc_id"))
-      .withColumn("rn", row_number().over(wFp))
-      .filter(col("rn") === 1)
-      .drop("rn", "fp")
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("n_tokens"), col("quality")))
+        .as("_k"))
+      .select(col("_k.doc_id").as("doc_id"),
+        col("_k.n_tokens").as("n_tokens"), col("_k.quality").as("quality"))
     // 3. near-dup drop: LSH candidate pairs among survivors, drop db.
     // Survivor filter BEFORE the signature build — the md5+minhash
     // work is the pipeline's dominant CPU cost and must not be spent

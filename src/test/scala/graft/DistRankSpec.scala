@@ -84,6 +84,51 @@ class DistRankSpec extends SparkSpec {
       "fencedRank branches must be value-identical")
   }
 
+  test("desc distRank equals the descending per-group window (q87's shape)") {
+    val df = fixture(3000)
+    val got = T.distRank(df, Seq("lang"), Seq("v", "id"), desc = Set("v"))
+      .select(col("id"), col("_dr_rank"))
+    val w = Window.partitionBy("lang").orderBy(col("v").desc, col("id"))
+    val want = df.select(col("id"),
+      row_number().over(w).cast("long").as("rn"))
+    assert(got.join(want, "id").filter(col("_dr_rank") =!= col("rn")).isEmpty,
+      "desc distributed ranks must equal the descending window's")
+  }
+
+  test("distCumSum equals the per-group running-sum window; fence flips") {
+    val df = fixture(3000)
+    val got = T.distCumSum(df, Seq("lang"), Seq("id"), "v")
+      .select(col("id"), col("_dr_psum"))
+    val w = Window.partitionBy("lang").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.select(col("id"),
+      (sum(col("v")).over(w) - col("v")).as("ps"))
+    assert(got.join(want, "id").filter(col("_dr_psum") =!= col("ps")).isEmpty,
+      "distributed exclusive prefix sums must equal the window's")
+    // the stamped range exchange is shared by the offset agg and the
+    // within-partition window chain — same reuse requirement as
+    // distRank, same silent-corruption risk if it ever degrades
+    val plan = planString(T.distCumSum(df, Seq("lang"), Seq("id"), "v"))
+    val nRange = plan.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange"))
+    assert(nRange == 1 && plan.contains("ReusedExchange"),
+      s"one materialized range exchange, reused:\n$plan")
+    // fence: window below the cap, distributed form above, same values
+    val dir = java.nio.file.Files.createTempDirectory("graft-csfence").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val below = T.fencedCumSum(spark, dir, "documents", df, Seq("lang"), Seq("id"), "v")
+    assert(!planString(below).contains("Exchange rangepartitioning"),
+      "below the cap the cumsum must be a plain window")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-csfence2").toString
+    df.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    T.snapScalar(dir2, "count:documents")(T.WindowRankCap + 1)
+    val above = T.fencedCumSum(spark, dir2, "documents", df, Seq("lang"), Seq("id"), "v")
+    assert(planString(above).contains("Exchange rangepartitioning"),
+      "above the cap the cumsum must be the distributed form")
+    assert(above.exceptAll(below).isEmpty && below.exceptAll(above).isEmpty,
+      "fencedCumSum branches must be value-identical")
+  }
+
   test("ntileFromRank is bit-identical to SQL NTILE at every remainder") {
     import spark.implicits._
     for (n <- Seq(1, 2, 3, 4, 5, 6, 7, 100, 101); k <- Seq(3, 4)) {
