@@ -458,15 +458,18 @@ object Corpus {
         tbl(s, d, "documents")
           .join(cc.select(col("doc_id")), Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), col("quality"))
-    val wBest = Window.partitionBy("cluster")
-      .orderBy(col("quality").desc, col("doc_id").asc)
+    // keep-best per cluster as a PARTIAL-AGGREGATABLE struct-max —
+    // (quality DESC, doc_id ASC) becomes max(struct(quality, -doc_id))
+    // — plus the member count in the same agg: map-side combine
+    // collapses a mega-cluster (pathological boilerplate) before the
+    // shuffle, where the former rank window buffered the whole
+    // cluster in one task.
     cc.join(quality, Seq("doc_id"))
-      .withColumn("rn", row_number().over(wBest))
-      .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy("cluster")))
-      .filter(col("rn") === 1)
-      .select(col("cluster"), col("doc_id").as("kept_doc_id"),
-        col("quality").as("kept_quality"), col("n_members"))
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("negid"))).as("_b"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), (-col("_b.negid")).as("kept_doc_id"),
+        col("_b.quality").as("kept_quality"), col("n_members"))
       .orderBy("cluster")
   }
 

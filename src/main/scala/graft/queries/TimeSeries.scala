@@ -112,25 +112,23 @@ object TimeSeries {
     * order per side, the depth-chart query implied by the reference's
     * depth schema (README.md:50-61). Exact decimal running sums.
     *
-    * SCALE HAZARD (do not copy this window shape onto big keys): the
-    * testdata analog partitions on `event_type` — 5 values — so the
-    * whole corpus funnels through ≤5 window partitions; that is
-    * inherent to a cumulative depth chart, whose real key is
-    * (symbol, side) — fine-grained at production cardinality, where
-    * each partition is ONE BOOK's levels (thousands of rows), never a
-    * corpus stripe. A running sum over a genuinely low-cardinality
-    * key at 100 TB needs the q63 per-stratum discipline (partial
-    * aggregate per stratum, then a prefix-sum over the O(strata)
-    * frame) instead of a row-level window. */
-  private def q20(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("event_type")
-      .orderBy(col("value").asc, col("event_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tbl(s, d, "events")
-      .select(col("event_type"), col("event_id"), col("value"))
-      .withColumn("cum_qty", sum(dec(col("value"))).over(w).cast("double"))
+    * Scale shape: the testdata analog partitions on `event_type` — 5
+    * values — so each running-sum partition is a corpus stripe (the
+    * real key is (symbol, side), fine-grained at production
+    * cardinality, where each partition is ONE BOOK's levels). The
+    * cumsum therefore rides the T.WindowRankCap fence: per-type
+    * windows below 4M events, the distributed T.distCumSum above —
+    * inclusive sum recovered as exclusive-prefix + own value, exact
+    * in DECIMAL on both branches. */
+  private def q20(s: SparkSession, d: String): DataFrame =
+    fencedCumSum(s, d, "events",
+      tbl(s, d, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("dv", dec(col("value"))),
+      Seq("event_type"), Seq("value", "event_id"), "dv")
+      .withColumn("cum_qty", (col("_dr_psum") + col("dv")).cast("double"))
+      .select(col("event_type"), col("event_id"), col("value"), col("cum_qty"))
       .orderBy("event_type", "value", "event_id")
-  }
 
   private val q20Sql =
     """SELECT event_type, event_id, value,
