@@ -373,6 +373,30 @@ object T {
         sum(col(weightCol)).over(w) - col(weightCol))
     } else distCumSum(df, partCols, sortCols, weightCol)
 
+  /** [[distRank]]-backed LEAD — the distributed form of
+    * `lead(c, 1) OVER (PARTITION BY g ORDER BY s)` for corpus-striped
+    * partition keys (q81's (event_type, day)): rank every row, then
+    * left-join each row to rank+1 within its group. Below
+    * [[WindowRankCap]] the plain lead window is cheaper and is every
+    * test scale. `sortCols` must be a total order. Output: input
+    * columns + `_dr_lead` (next row's `leadCol`, NULL at the group
+    * end — exactly lead's contract). */
+  def fencedLead(spark: SparkSession, dir: String, table: String,
+      df: DataFrame, partCols: Seq[String], sortCols: Seq[String],
+      leadCol: String): DataFrame =
+    if (snapCount(spark, dir, table) <= WindowRankCap) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(partCols.map(col): _*)
+        .orderBy(sortCols.map(col): _*)
+      df.withColumn("_dr_lead", lead(col(leadCol), 1).over(w))
+    } else {
+      val ranked = distRank(df, partCols, sortCols).drop("_dr_cnt")
+      val next = ranked
+        .select((partCols.map(col) :+ (col("_dr_rank") - 1).as("_dr_rank") :+
+          col(leadCol).as("_dr_lead")): _*)
+      ranked.join(next, partCols :+ "_dr_rank", "left").drop("_dr_rank")
+    }
+
   /** Exact integer division for non-negative longs (Spark's `/` on
     * longs returns double). */
   private def intDiv(a: Column, b: Column): Column =

@@ -401,19 +401,33 @@ object Extras {
 
   /** q44: rank-function family with a total order — rank, dense_rank,
     * ntile, percent_rank, cume_dist (ratios are int-derived double
-    * divisions, deterministic). */
-  private def q44(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("event_type")
-      .orderBy(col("value").asc, col("event_id").asc)
-    tbl(s, d, "events")
-      .select(col("event_type"), col("event_id"), col("value"))
-      .withColumn("rnk", rank().over(w).cast("long"))
-      .withColumn("drnk", dense_rank().over(w).cast("long"))
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
-      .withColumn("prank", percent_rank().over(w))
-      .withColumn("cdist", cume_dist().over(w))
+    * divisions, deterministic). The (value, event_id) order is TOTAL,
+    * so every function is a closed form of (row_number, n): rank =
+    * dense_rank = row_number, ntile via T.ntileFromRank, percent_rank
+    * = (rn-1)/(n-1), cume_dist = rn/n — which lets the whole family
+    * ride the T.WindowRankCap fence (per-type windows below 4M
+    * events, T.distRank above; event types are a bounded enum, so
+    * each partition is a corpus stripe). The oracle keeps the native
+    * window functions: values coincide by the total order. */
+  private def q44(s: SparkSession, d: String): DataFrame =
+    fencedRank(s, d, "events",
+      tbl(s, d, "events")
+        .select(col("event_type"), col("event_id"), col("value")),
+      Seq("event_type"), Seq("value", "event_id"))
+      .withColumn("rnk", col("_dr_rank"))
+      .withColumn("drnk", col("_dr_rank"))
+      .withColumn("quartile", ntileFromRank(4, col("_dr_rank"), col("_dr_cnt")))
+      .withColumn("prank",
+        // SQL percent_rank is 0 for a single-row partition; the raw
+        // closed form would be 0/0 there
+        when(col("_dr_cnt") === 1, 0.0).otherwise(
+          (col("_dr_rank") - 1).cast("double") /
+            (col("_dr_cnt") - 1).cast("double")))
+      .withColumn("cdist",
+        col("_dr_rank").cast("double") / col("_dr_cnt").cast("double"))
+      .select(col("event_type"), col("event_id"), col("value"),
+        col("rnk"), col("drnk"), col("quartile"), col("prank"), col("cdist"))
       .orderBy("event_type", "rnk")
-  }
 
   private val q44Sql =
     """SELECT event_type, event_id, value,

@@ -13,24 +13,27 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
-  /** q17: tumbling-window OHLCV (1 day) — open/close picked by fully
-    * tie-broken row_number windows (deterministic vs DuckDB, unlike
-    * bare min_by/max_by on tied timestamps). */
+  /** q17: tumbling-window OHLCV (1 day) — open/close picked as fully
+    * tie-broken struct argmin/argmax (deterministic vs DuckDB, unlike
+    * bare min_by/max_by on tied timestamps: event_id inside the
+    * struct breaks every tie before `value` can matter).
+    *
+    * Scale shape: ONE partial-aggregatable groupBy — map-side combine
+    * reduces each scan partition to O(days) partial rows, so the
+    * exchange carries days, not events. The previous two per-day
+    * row_number windows shuffled and buffered the whole corpus in
+    * O(days) stripes just to pick first/last. */
   private def q17(s: SparkSession, d: String): DataFrame = {
     val e = tbl(s, d, "events")
       .withColumn("day", date_trunc("day", col("ts")))
-    val wAsc = Window.partitionBy("day")
-      .orderBy(col("ts").asc, col("event_id").asc)
-    val wDesc = Window.partitionBy("day")
-      .orderBy(col("ts").desc, col("event_id").desc)
-    e.withColumn("rn_f", row_number().over(wAsc))
-      .withColumn("rn_l", row_number().over(wDesc))
-      .groupBy(col("day"))
+    e.groupBy(col("day"))
       .agg(
-        max(when(col("rn_f") === 1, col("value"))).as("open"),
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open"),
         max(col("value")).as("high"),
         min(col("value")).as("low"),
-        max(when(col("rn_l") === 1, col("value"))).as("close"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"),
         sum(dec(col("value"))).cast("double").as("volume"),
         count(lit(1)).as("n"))
       .select(ms(col("day")).as("day_ms"), col("open"), col("high"),
@@ -230,9 +233,14 @@ object TimeSeries {
     val e = tbl(s, d, "events")
       .withColumn("day", date_trunc("day", col("ts")))
       .withColumn("ts_ms", ms(col("ts")))
-    val w = Window.partitionBy("event_type", "day")
-      .orderBy(col("ts_ms").asc, col("event_id").asc)
-    e.withColumn("gap_ms", lead(col("ts_ms"), 1).over(w) - col("ts_ms"))
+    // (event_type, day) partitions are corpus stripes — the lead rides
+    // the T.WindowRankCap fence (plain lead window below 4M events,
+    // rank + rank-shifted self-join above; T.fencedLead).
+    fencedLead(s, d, "events",
+      e.select(col("event_type"), col("day"), col("ts_ms"),
+        col("event_id"), col("value")),
+      Seq("event_type", "day"), Seq("ts_ms", "event_id"), "ts_ms")
+      .withColumn("gap_ms", col("_dr_lead") - col("ts_ms"))
       .groupBy(col("event_type"), col("day"))
       .agg(
         count(lit(1)).as("n_events"),

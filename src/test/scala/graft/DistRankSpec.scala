@@ -129,6 +129,31 @@ class DistRankSpec extends SparkSpec {
       "fencedCumSum branches must be value-identical")
   }
 
+  test("fencedLead: lead window below the cap, rank-shifted self-join above, identical values") {
+    val df = fixture(3000)
+    val dir = java.nio.file.Files.createTempDirectory("graft-leadfence").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val below = T.fencedLead(spark, dir, "documents", df,
+      Seq("lang"), Seq("v", "id"), "v")
+    assert(!planString(below).contains("Exchange rangepartitioning"),
+      "below the cap the lead must be a plain window")
+    val w = Window.partitionBy("lang").orderBy(col("v"), col("id"))
+    val want = df.select(col("id"), lead(col("v"), 1).over(w).as("ld"))
+    assert(below.join(want, "id")
+        .filter(col("_dr_lead") <=> col("ld") === lit(false)).isEmpty,
+      "window-branch lead must equal the reference window")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-leadfence2").toString
+    df.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    T.snapScalar(dir2, "count:documents")(T.WindowRankCap + 1)
+    val above = T.fencedLead(spark, dir2, "documents", df,
+      Seq("lang"), Seq("v", "id"), "v")
+    assert(planString(above).contains("Exchange rangepartitioning"),
+      "above the cap the lead must be the distributed form")
+    assert(above.join(want, "id")
+        .filter(col("_dr_lead") <=> col("ld") === lit(false)).isEmpty,
+      "distributed lead must equal the reference window (incl. NULL group ends)")
+  }
+
   test("ntileFromRank is bit-identical to SQL NTILE at every remainder") {
     import spark.implicits._
     for (n <- Seq(1, 2, 3, 4, 5, 6, 7, 100, 101); k <- Seq(3, 4)) {
