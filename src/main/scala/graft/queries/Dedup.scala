@@ -507,10 +507,14 @@ object Dedup {
       .select(col("di"), col("de"),
         (col("i").cast("double") /
           (col("ni") + col("ne") - col("i")).cast("double")).as("jaccard"))
-    val w = Window.partitionBy("di").orderBy(col("jaccard").desc, col("de").asc)
-    val best = jac.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("di"), col("de").as("bm"), col("jaccard").as("bj"))
+    // best match per incoming doc as a PARTIAL-AGGREGATABLE struct-max
+    // ((jaccard DESC, de ASC) ≡ max(struct(jaccard, -de))): map-side
+    // combine collapses a hot candidate fan-out before the shuffle,
+    // where a rank window buffered it in one task.
+    val best = jac.groupBy(col("di"))
+      .agg(max(struct(col("jaccard"), (-col("de")).as("negde"))).as("_b"))
+      .select(col("di"), (-col("_b.negde")).as("bm"),
+        col("_b.jaccard").as("bj"))
     tbl(s, d, "documents").filter(col("source") === "src1")
       .select(col("doc_id"))
       .join(best, col("doc_id") === col("di"), "left")

@@ -100,10 +100,12 @@ object StreamingIngestDedup {
       .select(col("di"), col("de"),
         (col("i").cast("double") /
           (col("ni") + col("ne") - col("i")).cast("double")).as("jaccard"))
-    val w = Window.partitionBy("di").orderBy(col("jaccard").desc, col("de").asc)
-    val best = jac.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("di"), col("de").as("bm"), col("jaccard").as("bj"))
+    // best match per incoming doc as a partial-aggregatable struct-max
+    // (q92's shape: (jaccard DESC, de ASC) ≡ max(struct(jaccard, -de)))
+    val best = jac.groupBy(col("di"))
+      .agg(max(struct(col("jaccard"), (-col("de")).as("negde"))).as("_b"))
+      .select(col("di"), (-col("_b.negde")).as("bm"),
+        col("_b.jaccard").as("bj"))
     batch.select(col("doc_id"))
       .join(best, col("doc_id") === col("di"), "left")
       .select(col("doc_id"),
