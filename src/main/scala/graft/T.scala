@@ -245,25 +245,37 @@ object T {
     * ground truth against single-partition row_number so any optimizer
     * drift fails loudly.
     *
-    * CORRECTNESS HINGES ON STAGE REUSE: the offset aggregate and the
-    * join both consume the range exchange, and a range partitioner
-    * re-executed in a second stage samples with a different seed —
-    * boundary rows could land in different pids per consumer and
-    * silently corrupt ranks. Every remaining column of `df` is
-    * therefore APPENDED to the range/sort keys (a no-op ordering-wise:
-    * sortCols is already total), so column pruning cannot differentiate
-    * the two subtrees and AQE's canonical-plan stage cache reuses ONE
-    * materialized exchange (`ReusedExchange`, asserted in
-    * DistRankSpec — if a Spark upgrade ever breaks the reuse, that
-    * assertion fails before any silent rank drift can).
+    * THE STAMPED FRAME EXECUTES ONCE BY CONSTRUCTION: the offset
+    * aggregate and the join both consume it, and a range partitioner
+    * re-instantiated in a second copy of the exchange samples
+    * boundaries with a fresh seed — boundary rows could land in
+    * different pids per consumer and silently corrupt ranks. Until
+    * round 9 this leaned on AQE's canonical-plan exchange reuse
+    * (`ReusedExchange`), a test-time invariant that
+    * `spark.sql.exchange.reuse=false` or canonicalization drift in a
+    * future Spark would void ON THE >4M-ROW BRANCH ONLY. The stamped
+    * frame is now `persist()`ed (MEMORY_AND_DISK), so both consumers
+    * read ONE materialized pid assignment whatever the exchange-reuse
+    * machinery does — the columnar cache is the same order of disk
+    * cost as the shuffle files themselves, and a lost cached block
+    * recomputes from the (deterministic post-sort) shuffle output.
+    * Long-lived sessions that interleave corpus snapshots can reclaim
+    * the block-manager space with `spark.catalog.clearCache()` between
+    * corpora (the CacheManager dedupes repeated construction of the
+    * same rank within a snapshot, so per-query re-builds don't stack).
+    *
+    * NULL partition keys rank as a normal group — the join back to the
+    * offset frame uses null-SAFE key equality (`<=>`), matching the
+    * window branch's NULL-group semantics; a null-unsafe join would
+    * silently DROP null-keyed rows only above the fence (nullable keys
+    * are live at the q63/q79/q87 call sites: lang/source columns).
     *
     * Output: input columns + `_dr_rank` (1-based rank within its
     * partCols group under sortCols) + `_dr_cnt` (group row count). */
   def distRank(df: DataFrame, partCols: Seq[String],
       sortCols: Seq[String], desc: Set[String] = Set.empty): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rest = df.columns.filterNot((partCols ++ sortCols).contains)
-    val keys = (partCols ++ sortCols ++ rest).map(n =>
+    val keys = (partCols ++ sortCols).map(n =>
       if (desc(n)) col(n).desc else col(n))
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val stamped = df.repartitionByRange(p, keys: _*)
@@ -271,6 +283,7 @@ object T {
       .withColumn("_dr_mid", monotonically_increasing_id())
       .withColumn("_dr_pid", shiftright(col("_dr_mid"), 33))
       .withColumn("_dr_rec", col("_dr_mid").bitwiseAND(lit((1L << 33) - 1)))
+      .persist()
     val offs = stamped
       .groupBy((partCols :+ "_dr_pid").map(col): _*)
       .agg(count(lit(1)).as("_dr_c"), min(col("_dr_rec")).as("_dr_base"))
@@ -279,14 +292,16 @@ object T {
           .orderBy(col("_dr_pid"))) - col("_dr_c"))
       .withColumn("_dr_cnt",
         sum(col("_dr_c")).over(Window.partitionBy(partCols.map(col): _*)))
-      .select((partCols :+ "_dr_pid" :+ "_dr_base" :+ "_dr_off" :+ "_dr_cnt")
-        .map(col): _*)
-    stamped.join(broadcast(offs), partCols :+ "_dr_pid")
+      .select((partCols.map(n => col(n).as(s"_o_$n")) :+
+        col("_dr_pid").as("_o_pid") :+ col("_dr_base") :+ col("_dr_off") :+
+        col("_dr_cnt")): _*)
+    val cond = partCols.map(n => col(n) <=> col(s"_o_$n"))
+      .foldLeft(col("_dr_pid") === col("_o_pid"))(_ && _)
+    stamped.join(broadcast(offs), cond)
       .withColumn("_dr_rank",
         col("_dr_off") + col("_dr_rec") - col("_dr_base") + lit(1L))
-      // a using-columns join moves the keys first; pin the output to
-      // input order + (_dr_rank, _dr_cnt) so both fencedRank branches
-      // emit the identical schema
+      // pin the output to input order + (_dr_rank, _dr_cnt) so both
+      // fencedRank branches emit the identical schema
       .select((df.columns.toSeq :+ "_dr_rank" :+ "_dr_cnt").map(col): _*)
   }
 
@@ -299,15 +314,18 @@ object T {
     * total order, same rank semantics. */
   private[graft] val WindowRankCap = 4000000L
 
-  /** [[distRank]] behind the [[WindowRankCap]] fence: partition-window
-    * rank+count below the cap (keyed on the memoized `table` row count
-    * — the ranked frame at both call sites has at most one row per
-    * document), distributed rank above it. Emits the same
-    * `_dr_rank`/`_dr_cnt` columns either way. */
-  def fencedRank(spark: SparkSession, dir: String, table: String,
-      df: DataFrame, partCols: Seq[String], sortCols: Seq[String],
-      desc: Set[String] = Set.empty): DataFrame =
-    if (snapCount(spark, dir, table) <= WindowRankCap) {
+  /** [[distRank]] behind the [[WindowRankCap]] fence, keyed on an
+    * EXPLICIT upper bound `n` of the ranked frame's row count:
+    * partition-window rank+count while `n` fits the cap, distributed
+    * rank above it. Emits the same `_dr_rank`/`_dr_cnt` columns either
+    * way. `n` MUST bound `df`'s row count or the window branch holds
+    * far past the cap (the fence exists to stop a corpus-sized frame
+    * funneling through one window task) — call sites derive it from a
+    * memoized snapshot scalar ([[snapCount]]/[[vocabCount]]), never a
+    * fresh count job. */
+  def fencedRankN(n: Long, df: DataFrame, partCols: Seq[String],
+      sortCols: Seq[String], desc: Set[String] = Set.empty): DataFrame =
+    if (n <= WindowRankCap) {
       import org.apache.spark.sql.expressions.Window
       val order = sortCols.map(n => if (desc(n)) col(n).desc else col(n))
       val w = Window.partitionBy(partCols.map(col): _*).orderBy(order: _*)
@@ -319,14 +337,25 @@ object T {
           Window.unboundedPreceding, Window.unboundedFollowing)))
     } else distRank(df, partCols, sortCols, desc)
 
+  /** [[fencedRankN]] keyed on the memoized `table` row count. VALID
+    * ONLY when `df` has at most one row per `table` row (true at both
+    * call sites: ≤1 ranked row per document) — a fan-out frame (e.g.
+    * per-token rows) must use [[fencedRankN]] with its own bound
+    * instead, or the window branch persists far past the cap. */
+  def fencedRank(spark: SparkSession, dir: String, table: String,
+      df: DataFrame, partCols: Seq[String], sortCols: Seq[String],
+      desc: Set[String] = Set.empty): DataFrame =
+    fencedRankN(snapCount(spark, dir, table), df, partCols, sortCols, desc)
+
   /** [[distRank]]'s sibling for an exact per-group EXCLUSIVE prefix
     * sum of `weightCol` under `sortCols` order — the distributed form
     * of `sum(w) OVER (PARTITION BY g ORDER BY s ROWS UNBOUNDED
     * PRECEDING) - w`, which otherwise funnels a corpus-sized group
     * (one-language shard packing) through one window task.
     *
-    * Same stamped range exchange and stage-reuse discipline as
-    * distRank; the within-partition running sum genuinely needs a
+    * Same stamped-frame discipline as distRank (persist()ed so both
+    * consumers read ONE pid assignment; null-SAFE key equality on the
+    * offset join); the within-partition running sum genuinely needs a
     * window, so it rides a SECOND exchange hash-keyed on
     * (group, pid) — pid spreads a hot group over every range
     * partition, so both exchanges stay balanced and no task sees more
@@ -335,36 +364,39 @@ object T {
   def distCumSum(df: DataFrame, partCols: Seq[String],
       sortCols: Seq[String], weightCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rest = df.columns.filterNot((partCols ++ sortCols).contains)
-    val keys = (partCols ++ sortCols ++ rest).map(col)
+    val keys = (partCols ++ sortCols).map(col)
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val stamped = df.repartitionByRange(p, keys: _*)
       .sortWithinPartitions(keys: _*)
       .withColumn("_dr_mid", monotonically_increasing_id())
       .withColumn("_dr_pid", shiftright(col("_dr_mid"), 33))
+      .persist()
     val offs = stamped
       .groupBy((partCols :+ "_dr_pid").map(col): _*)
       .agg(sum(col(weightCol)).as("_dr_c"))
       .withColumn("_dr_off",
         sum(col("_dr_c")).over(Window.partitionBy(partCols.map(col): _*)
           .orderBy(col("_dr_pid"))) - col("_dr_c"))
-      .select((partCols :+ "_dr_pid" :+ "_dr_off").map(col): _*)
+      .select((partCols.map(n => col(n).as(s"_o_$n")) :+
+        col("_dr_pid").as("_o_pid") :+ col("_dr_off")): _*)
+    val cond = partCols.map(n => col(n) <=> col(s"_o_$n"))
+      .foldLeft(col("_dr_pid") === col("_o_pid"))(_ && _)
     val wIn = Window.partitionBy((partCols :+ "_dr_pid").map(col): _*)
       .orderBy(sortCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    stamped.join(broadcast(offs), partCols :+ "_dr_pid")
+    stamped.join(broadcast(offs), cond)
       .withColumn("_dr_psum",
         col("_dr_off") + sum(col(weightCol)).over(wIn) - col(weightCol))
       .select((df.columns.toSeq :+ "_dr_psum").map(col): _*)
   }
 
-  /** [[distCumSum]] behind the [[WindowRankCap]] fence — plain
+  /** [[distCumSum]] behind the [[WindowRankCap]] fence on an EXPLICIT
+    * row-count bound `n` (the [[fencedRankN]] contract) — plain
     * per-group running-sum window below the cap (every test scale),
     * the distributed two-exchange form above it. */
-  def fencedCumSum(spark: SparkSession, dir: String, table: String,
-      df: DataFrame, partCols: Seq[String], sortCols: Seq[String],
-      weightCol: String): DataFrame =
-    if (snapCount(spark, dir, table) <= WindowRankCap) {
+  def fencedCumSumN(n: Long, df: DataFrame, partCols: Seq[String],
+      sortCols: Seq[String], weightCol: String): DataFrame =
+    if (n <= WindowRankCap) {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(partCols.map(col): _*)
         .orderBy(sortCols.map(col): _*)
@@ -372,6 +404,15 @@ object T {
       df.withColumn("_dr_psum",
         sum(col(weightCol)).over(w) - col(weightCol))
     } else distCumSum(df, partCols, sortCols, weightCol)
+
+  /** [[fencedCumSumN]] keyed on the memoized `table` row count — valid
+    * only when `df` has at most one row per `table` row (the
+    * [[fencedRank]] contract). */
+  def fencedCumSum(spark: SparkSession, dir: String, table: String,
+      df: DataFrame, partCols: Seq[String], sortCols: Seq[String],
+      weightCol: String): DataFrame =
+    fencedCumSumN(snapCount(spark, dir, table), df, partCols, sortCols,
+      weightCol)
 
   /** [[distRank]]-backed LEAD — the distributed form of
     * `lead(c, 1) OVER (PARTITION BY g ORDER BY s)` for corpus-striped
@@ -391,16 +432,30 @@ object T {
       df.withColumn("_dr_lead", lead(col(leadCol), 1).over(w))
     } else {
       val ranked = distRank(df, partCols, sortCols).drop("_dr_cnt")
+      // null-SAFE group keys, like distRank's offset join: a NULL
+      // partition key is a normal lead group in the window branch, and
+      // a null-unsafe self-join would null out its leads above the cap
       val next = ranked
-        .select((partCols.map(col) :+ (col("_dr_rank") - 1).as("_dr_rank") :+
+        .select((partCols.map(n => col(n).as(s"_o_$n")) :+
+          (col("_dr_rank") - 1).as("_o_rank") :+
           col(leadCol).as("_dr_lead")): _*)
-      ranked.join(next, partCols :+ "_dr_rank", "left").drop("_dr_rank")
+      val cond = partCols.map(n => col(n) <=> col(s"_o_$n"))
+        .foldLeft(col("_dr_rank") === col("_o_rank"))(_ && _)
+      ranked.join(next, cond, "left")
+        .select((df.columns.toSeq :+ "_dr_lead").map(col): _*)
     }
 
   /** Exact integer division for non-negative longs (Spark's `/` on
-    * longs returns double). */
-  private def intDiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+    * longs returns double). The divisible numerator `a - pmod(a, b)`
+    * is divided in DECIMAL(38,0): the quotient is exactly integral, so
+    * the scale-6 decimal result is exact for ALL long operands — a
+    * double division would round past 2^53, and dividing the RAW `a`
+    * in decimal would carry the integer part up whenever the remainder
+    * fraction exceeds 0.9999995 (reachable once b > 2·10⁶, i.e. at
+    * corpus-scale ntile row counts). */
+  private[graft] def intDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)"))
+      .cast("long")
 
   /** ntile(k) recomputed from an exact 1-based rank and the partition
     * row count — bit-identical to SQL NTILE (first n%k buckets get the

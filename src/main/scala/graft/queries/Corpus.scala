@@ -257,8 +257,9 @@ object Corpus {
     * (4 cells per distinct token → 4096 partial-agg cells, shuffle
     * volume independent of corpus size — the CMS point); the probe
     * side is 20 rows × 4 cells joined against the broadcast-sized
-    * cell table. The heavy-hitter rank runs over the aggregated vocab
-    * (the q90 fence; at a 100M-type vocab swap in q61-style binning). */
+    * cell table. The heavy-hitter top-20 is orderBy+limit →
+    * TakeOrderedAndProject: per-partition top-k + driver merge, so no
+    * single task ever sorts the (corpus-growing) vocab. */
   private def q103(s: SparkSession, d: String): DataFrame = {
     def cmsCol(h: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
       pmod(pmod(h * (lit(2L) * r + 1L) + lit(7919L) * r + 13L,
@@ -271,10 +272,10 @@ object Corpus {
         explode(sequence(lit(0L), lit(3L))).as("r"))
       .groupBy(col("r"), cmsCol(col("h"), col("r")).as("c"))
       .agg(sum(col("cnt")).as("cell"))
-    val top = vocab
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("cnt").desc, col("tok"))))
-      .filter(col("rn") <= 20)
+    // top-20 via orderBy+limit → TakeOrderedAndProject (per-partition
+    // top-k + driver merge, the q62 shape) — never a global
+    // single-partition row_number sort of the vocab
+    val top = vocab.orderBy(col("cnt").desc, col("tok")).limit(20)
     top
       .select(col("tok"), col("cnt"), phash(col("tok")).as("h"),
         explode(sequence(lit(0L), lit(3L))).as("r"))
@@ -629,21 +630,27 @@ object Corpus {
     * rule; the cumulative mass is an exact decimal-free BIGINT sum.
     *
     * Scale shape: the corpus-sized work is the (tok) partial agg; the
-    * ranking window runs over the AGGREGATED vocabulary — like q73's
-    * mixture table, orders of magnitude smaller than the corpus (a
-    * 100M-type vocab would swap this exact rank for q61-style count
-    * binning; the three k cut-offs only need bin boundaries). */
+    * frequency rank over the AGGREGATED vocabulary rides the
+    * [[graft.T.fencedRankN]] fence keyed on the memoized vocab count —
+    * a plain window at every test scale, `T.distRank` once the vocab
+    * outgrows one task (10⁸–10⁹ types at 100 TB, the Heap's-law
+    * argument on T.VocabBroadcastCap). The cumulative mass then needs
+    * only the top-1000 rows (the largest k cutoff): a rank-bounded
+    * filter FIRST, so the cumsum window runs over ≤1000 rows —
+    * CONSTANT-bounded, scale-independent — never the whole vocab. */
   private def q90(s: SparkSession, d: String): DataFrame = {
     val vocab = tbl(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val wRank = Window.orderBy(col("cnt").desc, col("tok").asc)
-    withScalar(vocab, vocab.agg(sum(col("cnt")).as("total")))
-      .withColumn("k", row_number().over(wRank).cast("long"))
-      .withColumn("cum", sum(col("cnt")).over(
-        wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("k").isin(10L, 100L, 1000L))
-      .select(col("k"),
+    val top = fencedRankN(vocabCount(s, d), vocab, Nil, Seq("cnt", "tok"),
+        desc = Set("cnt"))
+      .filter(col("_dr_rank") <= 1000L)
+    val wCum = Window.orderBy(col("cnt").desc, col("tok").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withScalar(top, vocab.agg(sum(col("cnt")).as("total")))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .filter(col("_dr_rank").isin(10L, 100L, 1000L))
+      .select(col("_dr_rank").as("k"),
         (col("cum").cast("double") / col("total").cast("double")).as("coverage"))
       .orderBy("k")
   }

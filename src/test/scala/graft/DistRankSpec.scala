@@ -35,20 +35,89 @@ class DistRankSpec extends SparkSpec {
       "distributed ranks must equal the global window's")
     assert(got.filter(col("_dr_cnt") =!= 5000L).isEmpty,
       "_dr_cnt must be the global row count")
-    // the shape that makes it scale: ONE corpus range exchange, reused
-    // by both consumers; the local sort survives the optimizer
-    val plan = planString(T.distRank(df, Nil, Seq("v", "id")))
-    // a ReusedExchange line repeats its referent's description, so
-    // count only MATERIALIZED range exchanges
-    val nRange = plan.linesIterator.count(l =>
-      l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange"))
-    assert(nRange == 1, s"exactly one corpus-scale exchange:\n$plan")
-    assert(plan.contains("ReusedExchange"),
-      s"offset agg and join must share the range exchange:\n$plan")
-    assert(plan.contains("Sort ["),
-      s"the record-numbering local sort must survive EliminateSorts:\n$plan")
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
-      s"the offset frame must broadcast:\n$plan")
+    // the shape that makes it scale: the stamped frame is persist()ed,
+    // so BOTH consumers (offset agg + join probe) read ONE
+    // materialized pid assignment — correctness no longer leans on
+    // AQE's exchange-reuse machinery (round-10 ADVICE hardening)
+    val run = T.distRank(df, Nil, Seq("v", "id"))
+    val plan = executedPlan(run)
+    val planStr = plan.toString
+    val scans = allPlanNodes(plan).collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }
+    assert(scans.size == 2,
+      s"both consumers must read the cached stamped frame:\n$planStr")
+    assert(scans.forall(_.relation.cacheBuilder eq scans.head.relation.cacheBuilder),
+      s"the two scans must share ONE materialized cache:\n$planStr")
+    val cached = scans.head.relation.cachedPlan.toString
+    assert(cached.contains("Exchange rangepartitioning"),
+      s"the cached stamped frame must carry the range exchange:\n$cached")
+    assert(cached.contains("Sort ["),
+      s"the record-numbering local sort must survive EliminateSorts:\n$cached")
+    assert(planStr.contains("BroadcastHashJoin") &&
+      !planStr.contains("SortMergeJoin") && !planStr.contains("ShuffledHashJoin"),
+      s"the offset frame must broadcast:\n$planStr")
+  }
+
+  test("distRank ranks NULL partition keys as a normal group (null-safe offset join)") {
+    import spark.implicits._
+    // a null lang stripe alongside two real groups — above the fence a
+    // null-UNSAFE offset join would silently drop the whole stripe
+    val df = spark.range(3000).select(
+      col("id"),
+      pmod(col("id") * 2654435761L, lit(97L)).as("v"),
+      when(pmod(col("id"), lit(3L)) === 0L, lit(null).cast("string"))
+        .otherwise(concat(lit("l"), pmod(col("id"), lit(3L)))).as("lang"))
+    val got = T.distRank(df, Seq("lang"), Seq("v", "id"))
+      .select(col("id"), col("_dr_rank"), col("_dr_cnt"))
+    assert(got.count() == 3000L,
+      "no row may be dropped by the offset join, including the NULL group")
+    val w = Window.partitionBy("lang").orderBy(col("v"), col("id"))
+    val want = df.select(col("id"),
+      row_number().over(w).cast("long").as("rn"),
+      count(lit(1)).over(Window.partitionBy("lang")).as("cnt"))
+    assert(got.join(want, "id").filter(col("_dr_rank") =!= col("rn") ||
+        col("_dr_cnt") =!= col("cnt")).isEmpty,
+      "NULL-group distributed ranks must equal the window's")
+    // same guarantee for distCumSum's offset join and fencedLead's
+    // rank-shifted self-join (seeded above the cap to engage it)
+    val gotPs = T.distCumSum(df, Seq("lang"), Seq("id"), "v")
+    assert(gotPs.count() == 3000L)
+    val wps = Window.partitionBy("lang").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wantPs = df.select(col("id"),
+      (sum(col("v")).over(wps) - col("v")).as("ps"))
+    assert(gotPs.join(wantPs, "id").filter(col("_dr_psum") =!= col("ps")).isEmpty,
+      "NULL-group distributed prefix sums must equal the window's")
+    val dirN = java.nio.file.Files.createTempDirectory("graft-nulllead").toString
+    df.write.mode("overwrite").parquet(s"$dirN/documents.parquet")
+    T.snapScalar(dirN, "count:documents")(T.WindowRankCap + 1)
+    val gotLead = T.fencedLead(spark, dirN, "documents", df,
+      Seq("lang"), Seq("v", "id"), "v")
+    assert(gotLead.count() == 3000L)
+    val wantLead = df.select(col("id"),
+      lead(col("v"), 1).over(Window.partitionBy("lang")
+        .orderBy(col("v"), col("id"))).as("ld"))
+    assert(gotLead.join(wantLead, "id")
+        .filter(col("_dr_lead") <=> col("ld") === lit(false)).isEmpty,
+      "NULL-group distributed leads must equal the window's")
+  }
+
+  test("intDiv is exact past 2^53 (decimal division, not double)") {
+    import spark.implicits._
+    val cases = Seq(
+      ((1L << 54) + 2L, 2L),             // numerator rounds in a double
+      ((1L << 60) + 12345L, 7L),
+      (Long.MaxValue, 3L),
+      (Long.MaxValue, Long.MaxValue - 1L),
+      ((1L << 53) + 1L, 1L),
+      (0L, 5L))
+    cases.foreach { case (a, b) =>
+      val got = spark.range(1)
+        .select(T.intDiv(lit(a), lit(b)).as("q")).head.getLong(0)
+      assert(got == java.lang.Math.floorDiv(a, b),
+        s"intDiv($a, $b) = $got, want ${java.lang.Math.floorDiv(a, b)}")
+    }
   }
 
   test("grouped distRank equals per-group window rank and count") {
@@ -105,14 +174,16 @@ class DistRankSpec extends SparkSpec {
       (sum(col("v")).over(w) - col("v")).as("ps"))
     assert(got.join(want, "id").filter(col("_dr_psum") =!= col("ps")).isEmpty,
       "distributed exclusive prefix sums must equal the window's")
-    // the stamped range exchange is shared by the offset agg and the
-    // within-partition window chain — same reuse requirement as
-    // distRank, same silent-corruption risk if it ever degrades
-    val plan = planString(T.distCumSum(df, Seq("lang"), Seq("id"), "v"))
-    val nRange = plan.linesIterator.count(l =>
-      l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange"))
-    assert(nRange == 1 && plan.contains("ReusedExchange"),
-      s"one materialized range exchange, reused:\n$plan")
+    // the stamped frame is persist()ed and shared by the offset agg
+    // and the within-partition window chain — one materialized pid
+    // assignment by construction (same discipline as distRank)
+    val plan = executedPlan(T.distCumSum(df, Seq("lang"), Seq("id"), "v"))
+    val scans = allPlanNodes(plan).collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }
+    assert(scans.size == 2 &&
+      scans.forall(_.relation.cacheBuilder eq scans.head.relation.cacheBuilder),
+      s"both consumers must read ONE cached stamped frame:\n$plan")
     // fence: window below the cap, distributed form above, same values
     val dir = java.nio.file.Files.createTempDirectory("graft-csfence").toString
     df.write.mode("overwrite").parquet(s"$dir/documents.parquet")

@@ -295,6 +295,31 @@ class PlanShapeSpec extends SparkSpec {
     assertWindowsOverAggregates("q90_vocab_coverage")
   }
 
+  /** Round 10: q90's frequency rank over the aggregated vocab rides
+    * the WindowRankCap fence keyed on the memoized vocab count — the
+    * last corpus-growing frame that still funneled through one window
+    * task. Seeding the vocab scalar past the cap on byte-identical
+    * corpus bytes must flip the rank to T.distRank's range-exchange
+    * form while leaving the three coverage rows identical; the
+    * remaining cumsum window runs over ≤1000 rank-filtered rows
+    * (constant-bounded) on BOTH sides of the fence. */
+  test("q90 fence: vocab rank flips to distRank past WindowRankCap, identical rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q90fence").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    graft.T.snapScalar(tmp, "vocab:documents")(graft.T.WindowRankCap + 1)
+    val below = planString(SparkEntry.queries("q90_vocab_coverage")(spark, sfDir))
+    assert(!below.contains("Exchange rangepartitioning"),
+      s"below the cap the vocab rank must be a plain window:\n$below")
+    val aboveDf = SparkEntry.queries("q90_vocab_coverage")(spark, tmp)
+    val above = planString(aboveDf)
+    assert(above.contains("Exchange rangepartitioning"),
+      s"above the cap the vocab rank must be the distributed form:\n$above")
+    val a = SparkEntry.queries("q90_vocab_coverage")(spark, sfDir).collect().toSeq
+    val b = aboveDf.collect().toSeq
+    assert(a == b, "q90 results changed across the fence flip")
+  }
+
   test("q91 source overlap: gram stream built once, keyed join, no cartesian") {
     val plan = planString(SparkEntry.queries("q91_source_overlap")(spark, sfDir))
     assert(!plan.contains("CartesianProduct") &&
@@ -369,10 +394,14 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"the 4096-cell table must broadcast onto the 20-row probe:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"expected a broadcast probe join:\n$plan")
-    // q90's discipline: the heavy-hitter rank's single-partition pass
-    // must sit above the token aggregate (O(vocab) rows), never see
-    // corpus occurrences.
-    assertWindowsOverAggregates("q103_countmin_audit")
+    // round 10: the heavy-hitter top-20 is orderBy+limit →
+    // TakeOrderedAndProject (per-partition top-k + driver merge, the
+    // q62 shape) — never a global single-partition row_number sort of
+    // the corpus-growing vocab
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must ride TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no rank window may touch the vocab:\n$plan")
   }
 
   /** Asserts every window in the query's EXECUTED plan runs over an
