@@ -86,23 +86,28 @@ object Dedup {
   private[queries] def hotShingleCap(sh: DataFrame): DataFrame =
     sh.agg(capFromCount(countDistinct(col("doc_id"))).as("cap"))
 
-  /** Same cap WITHOUT re-exploding the corpus: every ≥3-token doc
-    * emits ≥1 shingle, so counting qualifying docs on a plain
-    * documents scan equals countDistinct(doc_id) over the shingle
-    * frame (the oracle cap CTE counts the same way). The qualifying
-    * count is a cached snapshot scalar ([[graft.T.snapScalar]]), so
-    * the documents scan behind it runs once per corpus per JVM
-    * instead of once per execution of each of the four consumers
-    * (q25/q83/q88/q92); the emitted 1-row cap frame keeps the
-    * downstream [[cappedShingles]] plumbing (and its injectable-cap
-    * test surface) unchanged. The driver-side formula is the same
-    * IEEE arithmetic as [[capFromCount]]: n is exact in a double, so
-    * floor(n·0.001) agrees bit-for-bit. */
-  private def hotShingleCapDocs(s: SparkSession, d: String): DataFrame = {
-    val n = snapScalar(d, "docs_ge3tok") {
+  /** Memoized qualifying-doc count (docs with ≥3 tokens — the shingle
+    * universe's row bound per doc), the scalar behind both the df cap
+    * and the [[cappedShingles]] skew fence. Every ≥3-token doc emits
+    * ≥1 shingle, so this plain documents-scan count equals
+    * countDistinct(doc_id) over the shingle frame (the oracle cap CTE
+    * counts the same way) WITHOUT re-exploding the corpus; cached per
+    * corpus snapshot ([[graft.T.snapScalar]]), so the scan runs once
+    * per JVM instead of once per execution of each of the four
+    * consumers (q25/q83/q88/q92). */
+  private[queries] def qualifyingDocs(s: SparkSession, d: String): Long =
+    snapScalar(d, "docs_ge3tok") {
       tbl(s, d, "documents")
         .filter(size(split(col("text"), " ")) >= 3).count()
     }
+
+  /** The fraction+floor cap over [[qualifyingDocs]] as a 1-row frame —
+    * keeps the downstream [[cappedShingles]] plumbing (and its
+    * injectable-cap test surface) unchanged. The driver-side formula
+    * is the same IEEE arithmetic as [[capFromCount]]: n is exact in a
+    * double, so floor(n·0.001) agrees bit-for-bit. */
+  private def hotShingleCapDocs(s: SparkSession, d: String): DataFrame = {
+    val n = qualifyingDocs(s, d)
     val cap = math.max(HotShingleDfFloor,
       math.floor(n * HotShingleDfFraction).toLong)
     // A 1-row LocalRelation with a DATA row (not a projected literal):
@@ -116,13 +121,40 @@ object Dedup {
 
   /** The capped shingle universe: `sh` minus shingles whose document
     * frequency exceeds the fraction+floor cap. Extra key columns
-    * (e.g. q92's `source`) ride through untouched. */
-  private[queries] def cappedShingles(sh: DataFrame, capDf: DataFrame): DataFrame =
-    withScalar(sh, capDf)
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("df") <= col("cap"))
-      .drop("df", "cap")
+    * (e.g. q92's `source`) ride through untouched.
+    *
+    * Skew fence (`nDocs` = qualifying-doc count, the max df any one
+    * shingle can reach): below [[graft.T.WindowRankCap]] the df count
+    * is a (shingle)-partitioned window — ONE corpus exchange feeding
+    * the self-join downstream, the plan the bench family measures.
+    * Above it a stop-phrase shingle's occurrence list (up to nDocs
+    * rows in ONE window task's group buffer) no longer fits a task,
+    * so the cap flips to the `StreamingIngestDedup.buildIndex` shape:
+    * a partial-agg df count (map-side combine → vocab-sized shuffle),
+    * the over-cap shingles — a BOUNDED set, |hot| ≤ Σdf/cap ≤ 1000·k̄
+    * by construction (k̄ = mean shingles/doc) — broadcast, and hot
+    * occurrences dropped ROW-LOCALLY by an anti-join before any
+    * corpus-scale shingle exchange. Values identical on both sides:
+    * keep df ≤ cap ≡ drop df > cap (DedupScaleSpec flip test). */
+  private[queries] def cappedShingles(sh: DataFrame, capDf: DataFrame,
+      nDocs: Long): DataFrame =
+    if (nDocs <= graft.T.WindowRankCap) {
+      withScalar(sh, capDf)
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy("shingle")))
+        .filter(col("df") <= col("cap"))
+        .drop("df", "cap")
+    } else {
+      val dfCounts = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val hot = withScalar(dfCounts, capDf)
+        .filter(col("df") > col("cap"))
+        .select(col("shingle"))
+      sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+        // a using-columns join moves the key first; pin the output to
+        // the input column order so both fence branches emit the
+        // identical schema
+        .select(sh.columns.map(col): _*)
+    }
 
   /** Shared pair-overlap core for the exact set-similarity family
     * (q25 Jaccard, q83 containment): capped shingle self-join →
@@ -145,7 +177,8 @@ object Dedup {
     * file (one map task) is structurally unsplittable, while the same
     * key spread over n shards splits n ways (both behaviors asserted
     * in DedupScaleSpec's skew-lever test). */
-  private[queries] def pairOverlaps(sh: DataFrame, capDf: DataFrame): DataFrame = {
+  private[queries] def pairOverlaps(sh: DataFrame, capDf: DataFrame,
+      nDocs: Long): DataFrame = {
     // Pin the capped frame to an explicit (shingle) exchange so all
     // FOUR consumer subtrees (join side A, join side B, and the two
     // aliases of `sizes`) canonicalize to the same exchange and the
@@ -153,7 +186,7 @@ object Dedup {
     // without this the chain executed once per subtree (4x at sf0.1;
     // the q28/q55 sigs repartition is the same discipline, asserted
     // in DedupScaleSpec).
-    val capped = cappedShingles(sh, capDf).repartition(col("shingle"))
+    val capped = cappedShingles(sh, capDf, nDocs).repartition(col("shingle"))
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shA = capped.select(col("doc_id").as("da"), col("shingle"))
     val shB = capped.select(col("doc_id").as("db"), col("shingle").as("shingle_b"))
@@ -169,15 +202,17 @@ object Dedup {
     * the q25 computation, shared with q48's cluster resolution.
     * Injectable corpus + cap frame (1 row, `cap: bigint`) so the
     * blowup guard is unit-testable at any cap. */
-  private[queries] def nearDupPairsFrom(sh: DataFrame, capDf: DataFrame): DataFrame =
-    pairOverlaps(sh, capDf)
+  private[queries] def nearDupPairsFrom(sh: DataFrame, capDf: DataFrame,
+      nDocs: Long): DataFrame =
+    pairOverlaps(sh, capDf, nDocs)
       .select(col("da"), col("db"),
         (col("i").cast("double") /
           (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
 
   private[queries] def nearDupPairs(s: SparkSession, d: String): DataFrame =
-    nearDupPairsFrom(shingles(s, d), hotShingleCapDocs(s, d))
+    nearDupPairsFrom(shingles(s, d), hotShingleCapDocs(s, d),
+      qualifyingDocs(s, d))
 
   /** q25: near-duplicate documents by exact 3-gram shingle Jaccard
     * (the verifiable form of MinHash dedup at test scale — the MinHash
@@ -383,7 +418,7 @@ object Dedup {
     * ([[pairOverlaps]]) — shingle-equality join, never all-pairs —
     * so the scale posture is identical. */
   private def q83(s: SparkSession, d: String): DataFrame =
-    pairOverlaps(shingles(s, d), hotShingleCapDocs(s, d))
+    pairOverlaps(shingles(s, d), hotShingleCapDocs(s, d), qualifyingDocs(s, d))
       .select(col("da"), col("db"),
         // Raw IEEE divisions, like q25's jaccard: both engines divide
         // the same exactly-agreed integers, so the bits agree — a
@@ -435,7 +470,8 @@ object Dedup {
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") /
           MinHashLsh.NumHashes).as("est"))
-    val exact = pairOverlaps(shingles(s, d), hotShingleCapDocs(s, d))
+    val exact = pairOverlaps(shingles(s, d), hotShingleCapDocs(s, d),
+      qualifyingDocs(s, d))
       .select(col("da"), col("db"),
         (col("i").cast("double") /
           (col("na") + col("nb") - col("i")).cast("double")).as("jac"))
@@ -492,7 +528,8 @@ object Dedup {
     // same repartition pin as pairOverlaps: four consumers (inc, exi,
     // sizes x2 aliases) share one capped-chain exchange via reuse
     val capped = cappedShingles(
-      shinglesBy(s, d, "doc_id", "source"), hotShingleCapDocs(s, d))
+      shinglesBy(s, d, "doc_id", "source"), hotShingleCapDocs(s, d),
+      qualifyingDocs(s, d))
       .repartition(col("shingle"))
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inc = capped.filter(col("source") === "src1")

@@ -20,9 +20,9 @@ class DedupScaleSpec extends SparkSpec {
     val unique = (3 to 20).map(d => (d.toLong, s"unique to $d"))
     val sh = (hot ++ rare ++ unique).toDF("doc_id", "shingle")
 
-    val uncapped = Dedup.nearDupPairsFrom(sh, Seq(1000L).toDF("cap"))
+    val uncapped = Dedup.nearDupPairsFrom(sh, Seq(1000L).toDF("cap"), 20L)
       .select("da", "db").as[(Long, Long)].collect().toSet
-    val capped = Dedup.nearDupPairsFrom(sh, Seq(10L).toDF("cap"))
+    val capped = Dedup.nearDupPairsFrom(sh, Seq(10L).toDF("cap"), 20L)
       .select("da", "db").as[(Long, Long)].collect().toSet
 
     // Uncapped, the hot shingle makes the small docs pairwise similar
@@ -36,7 +36,8 @@ class DedupScaleSpec extends SparkSpec {
     import spark.implicits._
     val def_ = Dedup.nearDupPairs(spark, sfDir).orderBy("da", "db").collect().toSeq
     val unc = Dedup.nearDupPairsFrom(
-      Dedup.shinglesBy(spark, sfDir, "doc_id"), Seq(Long.MaxValue).toDF("cap"))
+      Dedup.shinglesBy(spark, sfDir, "doc_id"), Seq(Long.MaxValue).toDF("cap"),
+      Dedup.qualifyingDocs(spark, sfDir))
       .orderBy("da", "db").collect().toSeq
     assert(def_ == unc)
   }
@@ -313,10 +314,41 @@ class DedupScaleSpec extends SparkSpec {
     // real pair chain completes with exactly that many intersection
     // rows feeding the per-pair groupBy (counted via the pre-filter
     // overlap frame: i ranges over co-occurrences).
-    val overlaps = Dedup.pairOverlaps(sh, Seq(cap).toDF("cap"))
+    val overlaps = Dedup.pairOverlaps(sh, Seq(cap).toDF("cap"), 4000L)
       .agg(sum(col("i")).as("rows")).as[Long].head()
     assert(overlaps == capped,
       s"capped join rows must equal the Σ C(df,2) bound: got $overlaps expected $capped")
+  }
+
+  test("Zipfian corpus: cappedShingles skew fence — df window below the cap, " +
+      "bounded-hot-set anti-join above, byte-identical") {
+    import spark.implicits._
+    val sh = zipfCorpus(nDocs = 4000, perDoc = 30)
+    val capDf = Seq(1000L).toDF("cap")
+    // below the fence: the pinned single-exchange df window (the plan
+    // the bench family measures) — no anti-join anywhere
+    val below = Dedup.cappedShingles(sh, capDf, 4000L)
+    val belowPlan = planString(below)
+    assert(belowPlan.contains("Window") && !belowPlan.contains("LeftAnti"),
+      s"below the fence the df cap must be the window form:\n$belowPlan")
+    // above the fence (seeded nDocs): partial-agg df → bounded hot set
+    // → broadcast anti-join; no shingle-partitioned window may remain,
+    // and the hot side must broadcast (never shuffle the corpus)
+    val above = Dedup.cappedShingles(sh, capDf, graft.T.WindowRankCap + 1)
+    val abovePlan = planString(above)
+    assert(abovePlan.contains("LeftAnti"),
+      s"above the fence hot shingles must drop via anti-join:\n$abovePlan")
+    assert(!abovePlan.contains("Window"),
+      s"above the fence no df window may buffer hot occurrence lists:\n$abovePlan")
+    assert(abovePlan.contains("BroadcastHashJoin") ||
+      abovePlan.contains("BroadcastExchange"),
+      s"the bounded hot set must broadcast:\n$abovePlan")
+    // the Zipfian fixture ENGAGES the branch: hot shingles exist and
+    // are genuinely dropped (the boilerplate shingle has df 3200 > cap)
+    assert(above.count() < sh.count(),
+      "the engaged anti-join must drop the boilerplate occurrences")
+    assert(above.exceptAll(below).isEmpty && below.exceptAll(above).isEmpty,
+      "cappedShingles branches must be byte-identical across the fence")
   }
 
   test("Zipfian corpus: skew-lever hierarchy on the real pair core (inline vs materialized)") {
@@ -352,7 +384,7 @@ class DedupScaleSpec extends SparkSpec {
     try {
       val sh = zipfCorpus(nDocs = 4000, perDoc = 10)
       val capDf = Seq(4000L).toDF("cap")
-      val inline = planString(Dedup.nearDupPairsFrom(sh, capDf))
+      val inline = planString(Dedup.nearDupPairsFrom(sh, capDf, 4000L))
       // count REAL exchanges only: a ReusedExchange line echoes the
       // original's description, so filter to lines that aren't reuses
       val freshShingleExchanges = inline.linesIterator.filter(l =>
@@ -380,7 +412,7 @@ class DedupScaleSpec extends SparkSpec {
       //     because it is the layout trap for every materialized-core
       //     consumer.
       val tmp = java.nio.file.Files.createTempDirectory("graft-zipf").toString
-      val core = Dedup.cappedShingles(sh, capDf)
+      val core = Dedup.cappedShingles(sh, capDf, 4000L)
       core.write.mode("overwrite").parquet(s"$tmp/clustered.parquet")
       def selfJoin(path: String) = {
         val capped = spark.read.parquet(path)
