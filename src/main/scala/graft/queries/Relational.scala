@@ -316,16 +316,20 @@ object Relational {
   /** q64: star-schema multiway join (the TPC-H Q5 shape) — revenue per
     * (region, nation) where the supplier serves a customer of its own
     * nation: lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈
-    * region. The 100 TB plan: nation/region are literally tiny and
-    * supplier/customer are dim-sized — all broadcast — so the ONLY
-    * shuffle-scale join is lineitem ⋈ orders on orderkey, and the
-    * aggregate on (r_name, n_name) is partial-aggregatable down to a
-    * handful of groups. Revenue summed exactly via decimal terms. */
+    * region. The 100 TB plan: nation/region are bounded enums —
+    * unconditionally broadcast — while customer/supplier are CATALOGS
+    * (linear in the platform, the q11/q101/q102 argument), so their
+    * broadcasts ride the `T.hintIdSet` fence: broadcast below 2M rows,
+    * shuffled hash build above — never an SMJ that would sort the
+    * fact side. The ONLY shuffle-scale join is lineitem ⋈ orders on
+    * orderkey, and the aggregate on (r_name, n_name) is
+    * partial-aggregatable down to a handful of groups. Revenue summed
+    * exactly via decimal terms. */
   private def q64(s: SparkSession, d: String): DataFrame = {
     val li = tbl(s, d, "lineitem")
     val o = tbl(s, d, "orders")
-    val c = tbl(s, d, "customer")
-    val su = tbl(s, d, "supplier")
+    val c = hintIdSet(s, d, "customer", tbl(s, d, "customer"))
+    val su = hintIdSet(s, d, "supplier", tbl(s, d, "supplier"))
     val n = tbl(s, d, "nation")
     val r = tbl(s, d, "region")
     li.join(o, col("l_orderkey") === col("o_orderkey"))

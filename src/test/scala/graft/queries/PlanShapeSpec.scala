@@ -666,9 +666,10 @@ class PlanShapeSpec extends SparkSpec {
     * byte-identical table copy must flip every fenced join to a
     * shuffled hash build (never a sort of the fact side) while leaving
     * results row-identical. */
-  test("q11/q101/q102 fences: part/customer/supplier dim broadcasts flip to shuffled hash past the id cap") {
+  test("q11/q101/q102/q64 fences: part/customer/supplier dim broadcasts flip to shuffled hash past the id cap") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-dimfence").toString
-    for (t <- Seq("lineitem", "part", "orders", "customer", "supplier"))
+    for (t <- Seq("lineitem", "part", "orders", "customer", "supplier",
+        "nation", "region"))
       spark.read.parquet(s"$sfDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$tmp/$t.parquet")
     for (t <- Seq("part", "customer", "supplier"))
@@ -676,7 +677,9 @@ class PlanShapeSpec extends SparkSpec {
     val cases = Seq(
       ("q11_broadcast_dim", 1),       // part
       ("q101_ship_priority", 1),      // customer (li⋈o stays unhinted)
-      ("q102_supplier_diversity", 2)) // part + supplier denylist
+      ("q102_supplier_diversity", 2), // part + supplier denylist
+      ("q64_star_join_revenue", 2))   // customer + supplier (nation/region
+                                      // bounded enums stay broadcast)
     for ((name, nFenced) <- cases) {
       val below = planString(SparkEntry.queries(name)(spark, sfDir))
       assert(below.contains("BroadcastHashJoin") && !below.contains("ShuffledHashJoin"),
