@@ -111,7 +111,7 @@ object Bench {
     val results = firstPass.map {
       case (name, Some(t))
           if !errors.contains(name) && t > RetimeAbsFloor &&
-            t > RetimeFactor * median && retimed.size < 8 =>
+            t > RetimeFactor * median && retimed.size < 12 =>
         val t0 = System.nanoTime()
         val retry =
           try Some({ exec(SparkEntry.queries(name)(spark, sfDir)); (System.nanoTime() - t0) / 1e9 })

@@ -103,6 +103,29 @@ class DistRankSpec extends SparkSpec {
       "NULL-group distributed leads must equal the window's")
   }
 
+  test("distRank survives spark.sql.exchange.reuse=false (persist, not reuse, " +
+      "carries the pid assignment)") {
+    // The round-9 ADVICE scenario: with exchange reuse off, the offset
+    // aggregate and the join probe would each re-instantiate the range
+    // exchange and sample DIFFERENT boundaries — silent rank
+    // corruption under the old reuse-dependent construction. The
+    // persist()ed stamped frame makes the ranks exact regardless.
+    val saved = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val df = fixture(5000)
+      val got = T.distRank(df, Seq("lang"), Seq("v", "id"))
+        .select(col("id"), col("_dr_rank"), col("_dr_cnt"))
+      val w = Window.partitionBy("lang").orderBy(col("v"), col("id"))
+      val want = df.select(col("id"),
+        row_number().over(w).cast("long").as("rn"),
+        count(lit(1)).over(Window.partitionBy("lang")).as("cnt"))
+      assert(got.join(want, "id").filter(col("_dr_rank") =!= col("rn") ||
+          col("_dr_cnt") =!= col("cnt")).isEmpty,
+        "ranks must stay exact with exchange reuse disabled")
+    } finally spark.conf.set("spark.sql.exchange.reuse", saved)
+  }
+
   test("intDiv is exact past 2^53 (decimal division, not double)") {
     import spark.implicits._
     val cases = Seq(

@@ -656,6 +656,23 @@ class PlanShapeSpec extends SparkSpec {
       assert(engDf.exceptAll(bcDf).isEmpty && bcDf.exceptAll(engDf).isEmpty,
         s"$q results differ between the engaged and broadcast paths")
     }
+    // q90's rank fence on MID-SCALE REAL DATA: a third dir over the
+    // same bytes, seeded past WindowRankCap, pushes the coverage rank
+    // through T.distRank over the genuine 580k-row vocab — the
+    // distributed rank machinery carrying half a million real rows,
+    // not the 3k-row unit fixture — and must match the window branch
+    // row-for-row.
+    val dr = java.nio.file.Files.createTempDirectory("graft-vocabengdr").toString
+    spark.read.parquet(s"$eng/documents.parquet")
+      .write.mode("overwrite").parquet(s"$dr/documents.parquet")
+    graft.T.snapScalar(dr, "vocab:documents")(graft.T.WindowRankCap + 1)
+    val drDf = SparkEntry.queries("q90_vocab_coverage")(spark, dr)
+    assert(planString(drDf).contains("Exchange rangepartitioning"),
+      "q90 must take the distRank branch on the seeded dir")
+    val winRows = SparkEntry.queries("q90_vocab_coverage")(spark, eng)
+      .collect().toSeq
+    assert(drDf.collect().toSeq == winRows,
+      "q90 distRank branch must match the window branch on the 580k vocab")
   }
 
   /** The TPC-H-family dims part/customer/supplier are CATALOGS — small
