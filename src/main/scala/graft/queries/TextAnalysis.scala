@@ -349,12 +349,32 @@ object TextAnalysis {
     * surface). The mod is applied per term BEFORE the sum — identical
     * result (mod distributes over addition) but the long sum can
     * never overflow, where an unreduced Σ h·ord would overflow Int64
-    * at ~90k-token documents while DuckDB's HUGEINT kept going. */
-  private[queries] def q35(s: SparkSession, d: String): DataFrame =
-    fingerprintsOf(s, d, tbl(s, d, "documents"))
-      .withColumn("n_same_fp",
-        count(lit(1)).over(Window.partitionBy("fp")).cast("long"))
+    * at ~90k-token documents while DuckDB's HUGEINT kept going.
+    *
+    * Collision-count fence (round 10, closing the last documented
+    * corpus-keyed window residual): below `T.WindowRankCap` docs the
+    * count is the (fp)-partitioned window; above it a mega-dup
+    * fingerprint (one boilerplate doc duplicated 10⁸×) would buffer
+    * its whole group in ONE window task, so the count flips to a
+    * partial-agg groupBy(fp) — map-side combine collapses the group —
+    * hash-joined back on the same (fp) key (shuffle_hash: the counts
+    * side is narrow and aggregated but distinct-fp-sized, i.e.
+    * corpus-growing, so it may neither broadcast nor SMJ-sort the
+    * per-doc side). Values identical by construction. */
+  private[queries] def q35(s: SparkSession, d: String): DataFrame = {
+    val fps = fingerprintsOf(s, d, tbl(s, d, "documents"))
+    val counted =
+      if (snapCount(s, d, "documents") <= graft.T.WindowRankCap)
+        fps.withColumn("n_same_fp",
+          count(lit(1)).over(Window.partitionBy("fp")).cast("long"))
+      else
+        fps.join(
+          fps.groupBy("fp").agg(count(lit(1)).cast("long").as("n_same_fp"))
+            .hint("shuffle_hash"),
+          Seq("fp"))
+    counted.select(col("doc_id"), col("fp"), col("n_same_fp"))
       .orderBy("doc_id")
+  }
 
   /** (doc_id, fp) rolling-hash fingerprints — the exact-dedup core
     * shared by q35 (which adds the collision-count window + output

@@ -497,6 +497,32 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  /** q35's collision-count fence (round 10, the last documented
+    * corpus-keyed window residual): below WindowRankCap docs the
+    * n_same_fp count is an (fp)-partitioned window; above it a
+    * mega-dup fingerprint would buffer its whole group in one window
+    * task, so the count flips to a partial-agg groupBy(fp) hash-joined
+    * back (shuffle_hash — the counts side is aggregated but
+    * distinct-fp-sized, so it neither broadcasts nor SMJ-sorts). */
+  test("q35 collision-count fence: fp window below the doc cap, partial-agg join above, identical rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fpfence").toString
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    graft.T.snapScalar(tmp, "count:documents")(graft.T.WindowRankCap + 1)
+    val below = planString(SparkEntry.queries("q35_fingerprint")(spark, sfDir))
+    assert(below.contains("Window"),
+      s"q35 below the cap counts collisions via the fp window:\n$below")
+    val aboveDf = SparkEntry.queries("q35_fingerprint")(spark, tmp)
+    val above = planString(aboveDf)
+    assert(!above.contains("Window"),
+      s"q35 above the cap must not buffer fp groups in a window:\n$above")
+    assert(above.contains("ShuffledHashJoin") && !above.contains("SortMergeJoin"),
+      s"the aggregated counts must hash-join back, never sort:\n$above")
+    val a = SparkEntry.queries("q35_fingerprint")(spark, sfDir).collect().toSeq
+    val b = aboveDf.collect().toSeq
+    assert(a == b, "q35 results changed across the collision-count fence flip")
+  }
+
   /** The vocab fence extended to the token-HASH sites a join hint
     * can't cover: fingerprintsOf (q35, q55 stage 2) and
     * simhashSignatures (q29) hash tokens through a broadcast
