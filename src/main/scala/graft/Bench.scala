@@ -89,29 +89,28 @@ object Bench {
     // covers all N and inflates the reported "min" in a way BenchOne
     // cannot reproduce (BENCH_r08: q32 8.09s in the driver run vs
     // 1.08s min-of-5 on the same box/code). Any query whose min
-    // exceeds both an absolute floor and RetimeFactor × the suite's
-    // median per-query min is re-timed ONCE at the end of the run —
-    // an independent clock window — and the final value is
+    // exceeds the absolute floor is re-timed ONCE at the end of the
+    // run — an independent clock window — and the final value is
     // min(first, retry). Both samples land in the artifact
     // ("retimed"), so an outlier is either repaired or visibly
-    // reproduced, never silently trusted. Round-10 thresholds: the
-    // round-9 gates (10× median, 4s floor) sat above the steady heavy
-    // family but let a 3× burst on a mid-cost query slip through
-    // un-retried (BENCH_r09: q107 2.56s vs its 0.86s min-of-5 steady
-    // state). Lowered so ANY multi-second reading pays one
+    // reproduced, never silently trusted. Round-10 threshold: the
+    // round-9 gates (10× median, 4s floor) let a 3× burst on a
+    // mid-cost query slip through un-retried (BENCH_r09: q107 2.56s
+    // vs its 0.86s min-of-5 steady state), and ANY median-coupled
+    // gate re-opens that hole on a uniformly loaded box (median
+    // inflates with the burst it should be catching). The gate is now
+    // the absolute floor alone: every multi-second reading pays one
     // independent-clock retry — the steady heavies (q70/q52/q88/q30
-    // ≈ 2-3s at sf0.1) now re-run too, ~10s of extra bench wall
-    // bought as contention insurance, and min(first, retry) can only
+    // ≈ 2-3s at sf0.1) re-run too, ~10-15s of extra bench wall bought
+    // as contention insurance, the retry-count cap bounds the
+    // degenerate all-slow regime, and min(first, retry) can only
     // repair a number, never inflate it.
-    val RetimeFactor = 5.0
     val RetimeAbsFloor = 2.0
-    val mins = firstPass.collect { case (_, Some(t)) => t }.toSeq.sorted
-    val median = if (mins.isEmpty) 0.0 else mins(mins.size / 2)
     val retimed = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val results = firstPass.map {
       case (name, Some(t))
           if !errors.contains(name) && t > RetimeAbsFloor &&
-            t > RetimeFactor * median && retimed.size < 12 =>
+            retimed.size < 12 =>
         val t0 = System.nanoTime()
         val retry =
           try Some({ exec(SparkEntry.queries(name)(spark, sfDir)); (System.nanoTime() - t0) / 1e9 })

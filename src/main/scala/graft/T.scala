@@ -292,17 +292,39 @@ object T {
           .orderBy(col("_dr_pid"))) - col("_dr_c"))
       .withColumn("_dr_cnt",
         sum(col("_dr_c")).over(Window.partitionBy(partCols.map(col): _*)))
-      .select((partCols.map(n => col(n).as(s"_o_$n")) :+
-        col("_dr_pid").as("_o_pid") :+ col("_dr_base") :+ col("_dr_off") :+
-        col("_dr_cnt")): _*)
-    val cond = partCols.map(n => col(n) <=> col(s"_o_$n"))
-      .foldLeft(col("_dr_pid") === col("_o_pid"))(_ && _)
-    stamped.join(broadcast(offs), cond)
+      .select((partCols :+ "_dr_pid" :+ "_dr_base" :+ "_dr_off" :+ "_dr_cnt")
+        .map(col): _*)
+    nullSafeJoin(stamped, offs, partCols, "_dr_pid", "inner",
+        bcastRight = true)
       .withColumn("_dr_rank",
         col("_dr_off") + col("_dr_rec") - col("_dr_base") + lit(1L))
       // pin the output to input order + (_dr_rank, _dr_cnt) so both
       // fencedRank branches emit the identical schema
       .select((df.columns.toSeq :+ "_dr_rank" :+ "_dr_cnt").map(col): _*)
+  }
+
+  /** Join `left` to `right` on their shared `partCols` with null-SAFE
+    * equality (`<=>` — a NULL key matches its own group, exactly as a
+    * window partitions NULLs) plus an exact equality on the shared
+    * never-null `anchor` column. Right's key columns are renamed away
+    * (`_o_` prefix) before the join and dropped after, so the output
+    * is left's columns plus right's remaining payload columns. ONE
+    * home for the pattern every distributed-rank consumer shares
+    * (distRank/distCumSum offset joins, fencedLead's rank-shifted
+    * self-join) — a key-semantics fix here fixes every path at once. */
+  private def nullSafeJoin(left: DataFrame, right: DataFrame,
+      partCols: Seq[String], anchor: String, joinType: String,
+      bcastRight: Boolean = false): DataFrame = {
+    val payload = right.columns
+      .filterNot(c => partCols.contains(c) || c == anchor)
+    val renamed = right.select(
+      (partCols.map(n => col(n).as(s"_o_$n")) :+
+        col(anchor).as("_o_anchor")) ++ payload.map(col): _*)
+    val r = if (bcastRight) broadcast(renamed) else renamed
+    val cond = partCols.map(n => col(n) <=> col(s"_o_$n"))
+      .foldLeft(col(anchor) === col("_o_anchor"))(_ && _)
+    left.join(r, cond, joinType)
+      .select((left.columns ++ payload).map(col): _*)
   }
 
   /** Corpus-partition rank fence: below this many rows a plain
@@ -377,14 +399,12 @@ object T {
       .withColumn("_dr_off",
         sum(col("_dr_c")).over(Window.partitionBy(partCols.map(col): _*)
           .orderBy(col("_dr_pid"))) - col("_dr_c"))
-      .select((partCols.map(n => col(n).as(s"_o_$n")) :+
-        col("_dr_pid").as("_o_pid") :+ col("_dr_off")): _*)
-    val cond = partCols.map(n => col(n) <=> col(s"_o_$n"))
-      .foldLeft(col("_dr_pid") === col("_o_pid"))(_ && _)
+      .select((partCols :+ "_dr_pid" :+ "_dr_off").map(col): _*)
     val wIn = Window.partitionBy((partCols :+ "_dr_pid").map(col): _*)
       .orderBy(sortCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    stamped.join(broadcast(offs), cond)
+    nullSafeJoin(stamped, offs, partCols, "_dr_pid", "inner",
+        bcastRight = true)
       .withColumn("_dr_psum",
         col("_dr_off") + sum(col(weightCol)).over(wIn) - col(weightCol))
       .select((df.columns.toSeq :+ "_dr_psum").map(col): _*)
@@ -432,16 +452,14 @@ object T {
       df.withColumn("_dr_lead", lead(col(leadCol), 1).over(w))
     } else {
       val ranked = distRank(df, partCols, sortCols).drop("_dr_cnt")
-      // null-SAFE group keys, like distRank's offset join: a NULL
-      // partition key is a normal lead group in the window branch, and
-      // a null-unsafe self-join would null out its leads above the cap
+      // null-SAFE group keys via the shared helper: a NULL partition
+      // key is a normal lead group in the window branch, and a
+      // null-unsafe self-join would null out its leads above the cap
       val next = ranked
-        .select((partCols.map(n => col(n).as(s"_o_$n")) :+
-          (col("_dr_rank") - 1).as("_o_rank") :+
+        .select((partCols.map(col) :+
+          (col("_dr_rank") - 1).as("_dr_rank") :+
           col(leadCol).as("_dr_lead")): _*)
-      val cond = partCols.map(n => col(n) <=> col(s"_o_$n"))
-        .foldLeft(col("_dr_rank") === col("_o_rank"))(_ && _)
-      ranked.join(next, cond, "left")
+      nullSafeJoin(ranked, next, partCols, "_dr_rank", "left")
         .select((df.columns.toSeq :+ "_dr_lead").map(col): _*)
     }
 

@@ -135,7 +135,18 @@ object Dedup {
     * by construction (k̄ = mean shingles/doc) — broadcast, and hot
     * occurrences dropped ROW-LOCALLY by an anti-join before any
     * corpus-scale shingle exchange. Values identical on both sides:
-    * keep df ≤ cap ≡ drop df > cap (DedupScaleSpec flip test). */
+    * keep df ≤ cap ≡ drop df > cap (DedupScaleSpec flip test).
+    *
+    * The above-fence branch deliberately runs the tokenize+shingle
+    * lineage TWICE (once under the df aggregate, once as the anti-join
+    * probe) rather than pinning one (shingle) exchange: a pin would
+    * shuffle the ENTIRE exploded shingle frame — the full-corpus
+    * write+read the branch exists to avoid, plus the hot-group
+    * buffering — while the df side reduces to vocab-sized partials at
+    * the map (combine) and the probe side stays fully narrow. Two
+    * narrow scans beat one corpus-wide shuffle at the scale this
+    * branch runs; do NOT "fix" this by caching `sh` either (the
+    * exploded frame is larger than the corpus itself). */
   private[queries] def cappedShingles(sh: DataFrame, capDf: DataFrame,
       nDocs: Long): DataFrame =
     if (nDocs <= graft.T.WindowRankCap) {

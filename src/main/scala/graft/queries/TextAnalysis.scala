@@ -360,18 +360,26 @@ object TextAnalysis {
     * hash-joined back on the same (fp) key (shuffle_hash: the counts
     * side is narrow and aggregated but distinct-fp-sized, i.e.
     * corpus-growing, so it may neither broadcast nor SMJ-sort the
-    * per-doc side). Values identical by construction. */
+    * per-doc side). The per-doc frame is PINNED to an explicit (fp)
+    * exchange so the counts aggregate and the join probe canonicalize
+    * to ONE exchange (the pairOverlaps discipline) — without the pin
+    * each subtree would re-run the whole tokenize+md5 fingerprint
+    * pipeline; the pinned exchange moves only slim (doc_id, fp) rows,
+    * the same volume the window branch shuffles. Values identical by
+    * construction. */
   private[queries] def q35(s: SparkSession, d: String): DataFrame = {
     val fps = fingerprintsOf(s, d, tbl(s, d, "documents"))
     val counted =
       if (snapCount(s, d, "documents") <= graft.T.WindowRankCap)
         fps.withColumn("n_same_fp",
           count(lit(1)).over(Window.partitionBy("fp")).cast("long"))
-      else
-        fps.join(
-          fps.groupBy("fp").agg(count(lit(1)).cast("long").as("n_same_fp"))
+      else {
+        val pinned = fps.repartition(col("fp"))
+        pinned.join(
+          pinned.groupBy("fp").agg(count(lit(1)).cast("long").as("n_same_fp"))
             .hint("shuffle_hash"),
           Seq("fp"))
+      }
     counted.select(col("doc_id"), col("fp"), col("n_same_fp"))
       .orderBy("doc_id")
   }

@@ -21,9 +21,11 @@ SPARK_GRAFT_CPUS=8 tools/run.sh graft.Verify /root/testdata/sf0.01 /tmp/judge_v 
   > /tmp/judge_verify.log 2>&1 || {
   echo '{"ok":false,"stage":"verify","log":"/tmp/judge_verify.log"}'; exit 1; }
 CHECK=$(python3 tools/check.py /root/testdata/sf0.01 /tmp/judge_v 2>&1 | tail -1)
-# CHECK looks like: == 111 pass, 0 fail ==
-NPASS=$(echo "$CHECK" | grep -oE '[0-9]+ pass' | grep -oE '[0-9]+')
-NFAIL=$(echo "$CHECK" | grep -oE '[0-9]+ fail' | grep -oE '[0-9]+')
+# CHECK looks like: == 111 pass, 0 fail ==; a crashed check.py yields no
+# match — the guards map that to pass=0/fail=unknown(-1 -> not ok)
+# instead of tripping set -e before the summary prints
+NPASS=$(echo "$CHECK" | grep -oE '[0-9]+ pass' | grep -oE '[0-9]+' || echo 0)
+NFAIL=$(echo "$CHECK" | grep -oE '[0-9]+ fail' | grep -oE '[0-9]+' || echo -1)
 
 echo "== 3/5 smoke" >&2
 SMOKE=$(tools/run.sh graft.Smoke 2>&1 | grep -oE 'ENTRY ROWS=[0-9]+' | grep -oE '[0-9]+' || echo 0)
@@ -37,20 +39,23 @@ BENCH_TOTAL=$(python3 -c "import json;print(round(json.load(open('/tmp/judge_ben
 BENCH_ERRS=$(python3 -c "import json;print(len(json.load(open('/tmp/judge_bench.json'))['errors']))")
 
 SUITE="skipped"
+SUITE_OK=1
 if [ "$TEST" = "1" ]; then
   echo "== 5/5 full test suite" >&2
   if sbt -batch test > /tmp/judge_test.log 2>&1; then
-    SUITE=$(grep -oE 'Tests: succeeded [0-9]+, failed [0-9]+' /tmp/judge_test.log | tail -1)
+    SUITE=$(grep -oE 'Tests: succeeded [0-9]+, failed [0-9]+' /tmp/judge_test.log | tail -1 || echo "passed (summary line missing)")
   else
     SUITE="FAILED (see /tmp/judge_test.log)"
+    SUITE_OK=0
   fi
 fi
 
 SUMMARY=$(python3 - <<EOF
 import json
 print(json.dumps({
-  "ok": int("$NFAIL" or 1) == 0 and int("$BENCH_ERRS") == 0 and int("$SMOKE") > 0,
-  "correct_pass": int("$NPASS" or 0), "correct_fail": int("$NFAIL" or 1),
+  "ok": int("$NFAIL") == 0 and int("$BENCH_ERRS") == 0
+        and int("$SMOKE") > 0 and int("$SUITE_OK") == 1,
+  "correct_pass": int("$NPASS"), "correct_fail": int("$NFAIL"),
   "entry_rows": int("$SMOKE"), "bench_total_sec": float("$BENCH_TOTAL"),
   "bench_errors": int("$BENCH_ERRS"), "suite": "$SUITE",
   "bench_json": "/tmp/judge_bench.json"}))
