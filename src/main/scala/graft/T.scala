@@ -487,6 +487,25 @@ object T {
       .otherwise(r + intDiv(rank - lit(1L) - b, q) + 1)
   }
 
+  /** Global sort over an expensive SHUFFLE-FREE map lineage. A bare
+    * `orderBy` range-samples its child to pick partition boundaries,
+    * and when no exchange sits below the sort that sampling job
+    * re-executes the entire map lineage a second time — 2× the
+    * regex/hash CPU of a text-normalization pass (q85 ran at half
+    * cost after this pin; BASELINE.md round 10). Pinning a slim hash
+    * exchange on the sort keys below the sort materializes the
+    * PROJECTED rows once as shuffle files, which the sampling job and
+    * the sort stage then both re-read. Shuffle volume is the slim
+    * projected frame (twice) — never the corpus text — so the shape
+    * also holds at 100 TB, where the alternative (sorting the raw
+    * text first and projecting after, order-preserved) would
+    * range-exchange the whole corpus. Only worth it when the lineage
+    * below is shuffle-free AND expensive: any existing exchange in
+    * the child already gives the sampling job shuffle files to
+    * re-read, and pinning a cheap lineage just adds an exchange. */
+  def pinnedSort(df: DataFrame, keys: String*): DataFrame =
+    df.repartition(keys.map(col): _*).orderBy(keys.map(col): _*)
+
   /** Portable 32-bit hash of a string column (agrees with DuckDB). */
   def phash(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")

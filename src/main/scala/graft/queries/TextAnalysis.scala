@@ -220,9 +220,11 @@ object TextAnalysis {
     * raw doubles, so the boolean is bit-deterministic cross-engine). Every signal is a function of
     * ONE document's token array, so the whole query is row-local array
     * HOFs over a single scan — no explode, no join, no per-doc window;
-    * the only exchange is the output-parity sort. Docs with < 2 tokens
-    * have no bigram signal and are excluded (mirrors the oracle's
-    * inner join against the bigram CTE). */
+    * the only exchanges are the output-parity sort and its
+    * [[graft.T.pinnedSort]] pin (the shuffle-free HOF lineage would
+    * otherwise run twice under the sort's range-sampling job). Docs
+    * with < 2 tokens have no bigram signal and are excluded (mirrors
+    * the oracle's inner join against the bigram CTE). */
   private def q69(s: SparkSession, d: String): DataFrame = {
     val toks = tbl(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -260,7 +262,7 @@ object TextAnalysis {
           size(col("bg")).cast("double")).as("dup_bigram_frac"))
       .withColumn("repetitive",
         col("top_token_frac") > 0.2 || col("dup_bigram_frac") > 0.5)
-      .orderBy("doc_id")
+      .transform(graft.T.pinnedSort(_, "doc_id"))
   }
 
   private val q69Sql =
@@ -422,19 +424,24 @@ object TextAnalysis {
     * row-local string work — no join, no shuffle beyond the output
     * sort; at 100 TB this is the map-only pass that feeds q24-style
     * canonical-key dedup. Both regexes are POSIX-class-free literal
-    * character classes, so Java and DuckDB RE2 semantics agree. */
+    * character classes, so Java and DuckDB RE2 semantics agree.
+    *
+    * The output sort rides [[graft.T.pinnedSort]]: the map lineage is
+    * shuffle-free, so a bare orderBy's range-sampling job would run
+    * the whole regex+md5 chain TWICE (measured 2× at sf1). */
   private def q85(s: SparkSession, d: String): DataFrame = {
     val canon = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-    tbl(s, d, "documents")
-      .select(col("doc_id"),
-        length(col("text")).cast("long").as("n_chars_raw"),
-        length(canon).cast("long").as("n_chars_canon"),
-        size(split(canon, " ")).cast("long").as("n_toks_canon"),
-        phash(canon).as("canon_hash"),
-        (lit(1.0) - length(canon).cast("double") /
-          length(col("text")).cast("double")).as("removed_ratio"))
-      .orderBy("doc_id")
+    graft.T.pinnedSort(
+      tbl(s, d, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_raw"),
+          length(canon).cast("long").as("n_chars_canon"),
+          size(split(canon, " ")).cast("long").as("n_toks_canon"),
+          phash(canon).as("canon_hash"),
+          (lit(1.0) - length(canon).cast("double") /
+            length(col("text")).cast("double")).as("removed_ratio")),
+      "doc_id")
   }
 
   private val q85Sql =

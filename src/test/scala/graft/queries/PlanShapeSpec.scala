@@ -86,11 +86,16 @@ class PlanShapeSpec extends SparkSpec {
       s"no global single-partition pass:\n$p63")
   }
 
-  test("q69 repetition ratio: row-local array HOFs, no join, no hash shuffle") {
+  test("q69 repetition ratio: row-local array HOFs, no join, sort pinned") {
     val plan = planString(SparkEntry.queries("q69_repetition_ratio")(spark, sfDir))
     assert(!plan.contains("Join"), s"repetition signals must not join:\n$plan")
-    assert(!plan.contains("hashpartitioning"),
-      s"per-document signals are row-local — only the output sort exchanges:\n$plan")
+    // pinnedSort shape: exactly the slim (doc_id) pin under the
+    // output-parity range sort — the shuffle-free HOF lineage must
+    // not re-run under the sort's sampling job, and nothing else may
+    // hash-exchange the corpus.
+    assert("hashpartitioning\\(doc_id".r.findAllIn(plan).size == 1 &&
+        plan.contains("rangepartitioning"),
+      s"expected the pinnedSort (doc_id) pin + range sort only:\n$plan")
     assert(!plan.contains("Generate"),
       s"array HOFs, not explode — no row blowup:\n$plan")
   }
@@ -243,11 +248,15 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus-rooted exchanges must be post-confirm only, got: $corpusExchanges\n$plan")
   }
 
-  test("q85 normalize audit: row-local string work, no join, no hash shuffle") {
+  test("q85 normalize audit: row-local string work, no join, sort pinned") {
     val plan = planString(SparkEntry.queries("q85_normalize_audit")(spark, sfDir))
     assert(!plan.contains("Join"), s"normalization is per-document:\n$plan")
-    assert(!plan.contains("hashpartitioning"),
-      s"only the oracle-parity sort may exchange:\n$plan")
+    // pinnedSort shape (see q69): one slim (doc_id) pin + the range
+    // sort; the regex+md5 lineage must not sit shuffle-free under the
+    // sort's sampling job (that ran the chain twice — 2× at sf1).
+    assert("hashpartitioning\\(doc_id".r.findAllIn(plan).size == 1 &&
+        plan.contains("rangepartitioning"),
+      s"expected the pinnedSort (doc_id) pin + range sort only:\n$plan")
   }
 
   test("q86 label centroids: one partial-agg exchange of labels×dims rows, no join") {
