@@ -98,7 +98,12 @@ object Curation {
         regexp_replace(col("c_name"), "[0-9]", "X").as("name_masked"),
         (expr("unix_millis(ts) div 3600000") * 3600000L).as("ts_hour_ms"),
         (floor(col("value") / 50.0) * 50L).cast("long").as("value_bucket"))
-      .orderBy("event_id")
+      // the broadcast join + mask chain under the sort is exchange-free
+      // on the probe side, so a bare orderBy would run it twice for the
+      // range-sampling job — pin the slim masked rows instead (see
+      // graft.T.pinnedSort); above the id fence the join's own shuffle
+      // already materializes, but the pin stays correct and slim
+      .transform(graft.T.pinnedSort(_, "event_id"))
   }
 
   private val q59Sql =

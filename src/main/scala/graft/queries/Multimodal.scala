@@ -25,7 +25,10 @@ object Multimodal {
         (phash(col("text")) % 640).as("width"),
         (phash(concat(col("text"), lit("x"))) % 480).as("height"),
         (col("n_chars") % 30 + 1).as("n_frames"))
-      .orderBy("doc_id")
+      // the triple text-hash lineage is shuffle-free — pin the slim
+      // feature rows so the sort's sampling job re-reads shuffle files
+      // instead of re-hashing the corpus (see graft.T.pinnedSort)
+      .transform(graft.T.pinnedSort(_, "doc_id"))
 
   private val q36Sql =
     s"""SELECT doc_id, source,

@@ -124,7 +124,10 @@ object TextAnalysis {
     * expression tree is written identically in the oracle so every op
     * is the same IEEE op. */
   private[queries] def q33(s: SparkSession, d: String): DataFrame =
-    q33Frame(tbl(s, d, "documents"))
+    // the pin lives HERE, not in q33Frame: joins over q33Frame's other
+    // callers (q70/q87/q105) eliminate its parity sort outright, and a
+    // repartition there would survive as a useless exchange
+    graft.T.pinnedSort(qualityScored(tbl(s, d, "documents")), "doc_id")
 
   /** The q33 score over an arbitrary (doc_id, text) frame — the score
     * is purely per-document, so callers that only need a SUBSET
@@ -335,7 +338,10 @@ object TextAnalysis {
         regexp_count(col("text"), lit("[a-z]+")).cast("long").as("word_tokens"),
         regexp_count(col("text"), lit("[0-9]+")).cast("long").as("digit_tokens"),
         ceil(col("n_chars") / lit(4.0)).cast("long").as("bpe_proxy"))
-      .orderBy("doc_id")
+      // two regexp_count passes over the corpus text sit shuffle-free
+      // under the sort — pin the slim count rows so the sampling job
+      // never re-runs them (see graft.T.pinnedSort)
+      .transform(graft.T.pinnedSort(_, "doc_id"))
 
   private val q34Sql =
     """SELECT doc_id,

@@ -146,7 +146,10 @@ object TimeSeries {
     tbl(s, d, "events")
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .orderBy("event_id")
+      // JSON parsing of the corpus is the whole query — pin the slim
+      // (event_id, k) rows so the sort's range-sampling job never
+      // re-parses props (see graft.T.pinnedSort)
+      .transform(graft.T.pinnedSort(_, "event_id"))
 
   private val q21Sql =
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

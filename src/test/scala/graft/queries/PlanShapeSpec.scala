@@ -100,6 +100,28 @@ class PlanShapeSpec extends SparkSpec {
       s"array HOFs, not explode — no row blowup:\n$plan")
   }
 
+  test("q21/q36 map-only passes: sort pinned, corpus parsed/hashed once") {
+    // same pinnedSort discipline as q69/q85: the JSON-parse (q21) and
+    // text-hash (q36) lineages are shuffle-free, so the slim pin is
+    // the only hash exchange and the sampling job re-reads it instead
+    // of re-running the corpus pass.
+    val p21 = planString(SparkEntry.queries("q21_json_extract")(spark, sfDir))
+    assert(!p21.contains("Join") &&
+        "hashpartitioning\\(event_id".r.findAllIn(p21).size == 1 &&
+        p21.contains("rangepartitioning"),
+      s"expected the pinnedSort (event_id) pin + range sort only:\n$p21")
+    val p36 = planString(SparkEntry.queries("q36_multimodal_features")(spark, sfDir))
+    assert(!p36.contains("Join") &&
+        "hashpartitioning\\(doc_id".r.findAllIn(p36).size == 1 &&
+        p36.contains("rangepartitioning"),
+      s"expected the pinnedSort (doc_id) pin + range sort only:\n$p36")
+    val p34 = planString(SparkEntry.queries("q34_token_count")(spark, sfDir))
+    assert(!p34.contains("Join") &&
+        "hashpartitioning\\(doc_id".r.findAllIn(p34).size == 1 &&
+        p34.contains("rangepartitioning"),
+      s"expected the pinnedSort (doc_id) pin + range sort only:\n$p34")
+  }
+
   test("q71 chunk windows: row-local explode, only the oracle-parity sort shuffles") {
     val plan = planString(SparkEntry.queries("q71_chunk_windows")(spark, sfDir))
     assert(!plan.contains("Join"), s"chunking must not join:\n$plan")
@@ -370,10 +392,13 @@ class PlanShapeSpec extends SparkSpec {
       s"exactly one user exchange touches event-scale data:\n$plan")
   }
 
-  test("q33 quality: row-local HOF scoring — zero aggregation exchanges") {
+  test("q33 quality: row-local HOF scoring — no aggregation, sort pinned") {
     val plan = planString(SparkEntry.queries("q33_quality_score")(spark, sfDir))
-    assert(!plan.contains("hashpartitioning"),
-      s"per-doc stats are array HOFs, not explode+groupBy; only the parity sort remains:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"per-doc stats are array HOFs, not explode+groupBy:\n$plan")
+    assert("hashpartitioning\\(doc_id".r.findAllIn(plan).size == 1 &&
+        plan.contains("rangepartitioning"),
+      s"expected the pinnedSort (doc_id) pin + range sort only:\n$plan")
   }
 
   test("q107 langid confusion: rides q32's broadcast-affinity chain, no corpus shuffle join") {
