@@ -3,7 +3,7 @@
 # DuckDB oracle, entry smoke, bench at sf0.1 — one summary JSON at the
 # end (and on disk at /tmp/judge_summary.json). Add `--test` to also
 # run the full ScalaTest suite (streaming/stateful parity + plan-shape
-# sweeps; ~8 min).
+# sweeps + the suite-wide robustness sweeps; ~15 min).
 #
 # Usage: tools/judge.sh [--test]
 set -e
