@@ -445,8 +445,13 @@ object TextAnalysis {
           length(canon).cast("long").as("n_chars_canon"),
           size(split(canon, " ")).cast("long").as("n_toks_canon"),
           phash(canon).as("canon_hash"),
-          (lit(1.0) - length(canon).cast("double") /
-            length(col("text")).cast("double")).as("removed_ratio")),
+          // try_divide, not `/`: an EMPTY document (len 0) must audit
+          // as removed_ratio NULL — DuckDB's x/0.0 — where ANSI double
+          // division throws DIVIDE_BY_ZERO and kills the whole pass
+          // (found by the round-10 pathological-text sweep; identical
+          // IEEE result on every non-empty doc)
+          (lit(1.0) - try_divide(length(canon).cast("double"),
+            length(col("text")).cast("double"))).as("removed_ratio")),
       "doc_id")
   }
 
