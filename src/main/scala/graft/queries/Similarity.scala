@@ -44,10 +44,30 @@ object Similarity {
     tbl(s, d, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(expr("dot_product(v, v)")))
+      // zero-norm and NON-FINITE vectors (a failed encoder emits both
+      // in any real pipeline) are EXCLUDED from the cosine family:
+      // their cosine is undefined, and under ANSI the nrm division
+      // would otherwise kill the whole pass (round-10 dirty-input
+      // sweep; the q76 guard-filter precedent). `nrm < ∞` rejects NaN
+      // too — NaN orders LARGEST in both engines, so the comparison
+      // is false for it on both sides. Every oracle CTE mirrors.
+      .filter(col("nrm") > 0.0 &&
+        col("nrm") < lit(Double.PositiveInfinity))
   }
 
   private def cosR(va: String, vb: String, na: Column, nb: Column): Column =
     round(expr(s"dot_product($va, $vb)") / (na * nb), 6)
+
+  /** Largest |element| admitted into the exact quantized (BIGINT)
+    * space — i.e. raw |x| ≤ 1000 under the ×1000 floor quantization.
+    * At this bound a 64-dim self-dot is ≤ 64·10¹² ≪ 2⁶³, so every
+    * ldot in the lloyd/prototype chains stays exact; one element past
+    * it and the Spark side would WRAP while DuckDB's double replay
+    * drifts — two silently different engines. Embeddings are
+    * unit-norm-ish by contract, so the bound is a no-op on real
+    * corpora; it exists so a corrupt megavalue degrades to exclusion
+    * instead of corruption. */
+  private[queries] val QuantDomainMax = 1000000L
 
   /** Anchor cap for the exactness-baseline fence: above this corpus
     * size the baselines stop being all-pairs (see [[pairCos]]). Test
@@ -174,7 +194,10 @@ object Similarity {
   }
 
   private val pairCosSql =
-    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |       WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+      |         AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+      |             < 'Infinity'::DOUBLE),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
       |fence AS (SELECT (count(*) + ${FenceCap - 1}) // $FenceCap AS fk FROM embeddings),
       |pc AS (
@@ -241,6 +264,16 @@ object Similarity {
       .withColumn("q",
         transform(col("v"), x => floor(x.cast("double") * 1000).cast("long")))
       .withColumn("qn", sqrt(ldot("q", "q").cast("double")))
+      // a vector under the quantization resolution (every element in
+      // [0, 1/1000)) floors to the zero vector — undefined cosine in
+      // quantized space, same exclusion as vecs()'s nrm guard — and a
+      // vector BEYOND the quantized domain (any |q_i| > QuantDomainMax)
+      // would overflow the exact BIGINT dot the whole chain's
+      // bit-exactness rests on (Spark wraps silently; the round-10
+      // dirty-input sweep caught a 1e6-magnitude vector skewing every
+      // centroid). Both excluded; every oracle qq CTE mirrors.
+      .filter(col("qn") > 0.0 &&
+        array_max(transform(col("q"), x => abs(x))) <= QuantDomainMax)
 
   /** Assign each vector to its `keep` highest-cosine centroids (ties →
     * lower cid). Cosine against the UN-normalized centroid sum-vector:
@@ -448,12 +481,17 @@ object Similarity {
     * corpus-derived k (kdf ≡ [[ivfK]]). `sum(qd)` over integer-valued
     * doubles is exact, so `c2` is bit-identical to Spark's. */
   private val lloydSql =
-    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |       WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+      |         AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+      |             < 'Infinity'::DOUBLE),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
       |qv AS (SELECT vec_id, v, nrm,
       |              list_transform(v, x -> CAST(floor(x * 1000) AS DOUBLE)) AS q
       |       FROM n),
-      |qq AS (SELECT vec_id, v, nrm, q, sqrt(list_dot_product(q, q)) AS qn FROM qv),
+      |qq AS (SELECT vec_id, v, nrm, q, sqrt(list_dot_product(q, q)) AS qn FROM qv
+      |       WHERE list_dot_product(q, q) > 0
+      |         AND list_max(list_transform(q, x -> abs(x))) <= 1000000),
       |$kdfCte,
       |c0 AS (SELECT vec_id AS cid, q AS cs, qn AS cn
       |       FROM qq CROSS JOIN kdf WHERE vec_id < kk),
@@ -689,7 +727,10 @@ object Similarity {
     * `probeWhere` mirrors `probeFilter`. [[lshSql]] selects the top-5
     * directly; q95 composes the recall audit on top. */
   private def lshCtes(probeWhere: String): String =
-    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |       WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+      |         AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+      |             < 'Infinity'::DOUBLE),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
       |$pfCte,
       |qv AS (SELECT vec_id,
@@ -943,7 +984,9 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
-      .filter(col("mx") > 0.0)
+      // mx < ∞ rejects NaN and inf elements (NaN orders largest both
+      // engines): floor/round of a non-finite would ANSI-throw
+      .filter(col("mx") > 0.0 && col("mx") < lit(Double.PositiveInfinity))
       .withColumn("step", col("mx") / 127.0)
     def err(x: Column) = x - round(x / col("step")) * col("step")
     // scale_step and mse are emitted RAW (identical IEEE trees in
@@ -965,7 +1008,8 @@ object Similarity {
   private val q76Sql =
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
-      |q AS (SELECT vec_id, v, mx / 127.0 AS step FROM m WHERE mx > 0),
+      |q AS (SELECT vec_id, v, mx / 127.0 AS step FROM m
+      |      WHERE mx > 0 AND mx < 'Infinity'::DOUBLE),
       |t AS (
       |  SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims, step,
       |         array_to_string(list_transform(v,
@@ -992,6 +1036,11 @@ object Similarity {
     * shuffle volume is independent of corpus size, like q61. */
   private def q86(s: SparkSession, d: String): DataFrame =
     tbl(s, d, "embeddings")
+      // a NaN/inf element would poison its whole (label, dim) mean —
+      // finite vectors only (zero vectors stay IN: a mean is defined
+      // for them, unlike a cosine), oracle mirrored
+      .filter(array_max(transform(col("embedding"),
+        x => abs(x.cast("double")))) < lit(Double.PositiveInfinity))
       .select(col("label").cast("long").as("label"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim").cast("long").as("dim"))
@@ -1012,7 +1061,9 @@ object Similarity {
       |  SELECT CAST(label AS BIGINT) AS label,
       |         generate_subscripts(embedding, 1) - 1 AS dim,
       |         unnest(embedding) AS x
-      |  FROM embeddings),
+      |  FROM embeddings
+      |  WHERE list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+      |        < 'Infinity'::DOUBLE),
       |a AS (
       |  SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n_vecs,
       |         sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS sx
@@ -1028,8 +1079,19 @@ object Similarity {
     tbl(s, d, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
+      // a non-finite element would ANSI-throw in the floor→long cast
+      // (or slip a null element past the domain max, which skips
+      // nulls); reject before quantizing — the oracle's qq list_max
+      // clause rejects the same vectors (NaN/inf compare false
+      // against the domain bound there)
+      .filter(array_max(transform(col("v"), x => abs(x))) <
+        lit(Double.PositiveInfinity))
       .withColumn("q", transform(col("v"), x => floor(x * 1000).cast("long")))
       .withColumn("qn", sqrt(ldot("q", "q").cast("double")))
+      // the qvecs guards: zero-in-quantized-space (no defined
+      // prototype cosine) and quantized-domain overflow exclusion
+      .filter(col("qn") > 0.0 &&
+        array_max(transform(col("q"), x => abs(x))) <= QuantDomainMax)
   }
 
   /** Shared q93/q94 core: nearest-label-centroid (Rocchio prototype)
@@ -1064,7 +1126,9 @@ object Similarity {
       |qv AS (SELECT vec_id, label,
       |              list_transform(v, x -> CAST(floor(x * 1000) AS DOUBLE)) AS q
       |       FROM v),
-      |qq AS (SELECT vec_id, label, q, sqrt(list_dot_product(q, q)) AS qn FROM qv),
+      |qq AS (SELECT vec_id, label, q, sqrt(list_dot_product(q, q)) AS qn FROM qv
+      |       WHERE list_dot_product(q, q) > 0
+      |         AND list_max(list_transform(q, x -> abs(x))) <= 1000000),
       |ls AS (SELECT label AS cid, d, sum(qd) AS sd
       |       FROM (SELECT label, unnest(q) AS qd,
       |                    generate_subscripts(q, 1) AS d FROM qq) e
