@@ -161,6 +161,10 @@ object Extras {
   private def q39(s: SparkSession, d: String): DataFrame =
     fencedRank(s, d, "events",
       tbl(s, d, "events")
+        // the median's domain is non-null measures (SQL MEDIAN skips
+        // NULLs; the rank formulation must see the same row set —
+        // cross-engine NULL sort order differs, round-10 fuzz)
+        .filter(col("value").isNotNull)
         .select(col("event_type"), col("event_id"), col("value")),
       Seq("event_type"), Seq("value", "event_id"))
       .withColumnRenamed("_dr_rank", "rn").withColumnRenamed("_dr_cnt", "n")
@@ -176,7 +180,7 @@ object Extras {
       |         row_number() OVER (PARTITION BY event_type
       |                            ORDER BY value ASC, event_id ASC) AS rn,
       |         count(*) OVER (PARTITION BY event_type) AS n
-      |  FROM events)
+      |  FROM events WHERE value IS NOT NULL)
       |SELECT event_type, sum(value) / CAST(count(*) AS DOUBLE) AS median, max(n) AS n
       |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
       |GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -322,6 +326,10 @@ object Extras {
     * (explicit value list for a stable schema). */
   private def q40(s: SparkSession, d: String): DataFrame =
     tbl(s, d, "events")
+      // bucketing BY user requires a user — an anonymous event has no
+      // bucket (round-10 fuzz: the NULL bucket row's dtype/order
+      // diverges across engines), oracle mirrored
+      .filter(col("user_id").isNotNull)
       .withColumn("bucket", (col("user_id") % 10).cast("long"))
       .groupBy(col("bucket"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
@@ -336,7 +344,8 @@ object Extras {
       |       count(*) FILTER (event_type = 'purchase') AS purchase,
       |       count(*) FILTER (event_type = 'signup') AS signup,
       |       count(*) FILTER (event_type = 'view') AS view
-      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+      |FROM events WHERE user_id IS NOT NULL
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
 
   /** q41: cube — all grouping-set combinations of (event_type, bucket). */
   private def q41(s: SparkSession, d: String): DataFrame =
@@ -412,6 +421,10 @@ object Extras {
   private def q44(s: SparkSession, d: String): DataFrame =
     fencedRank(s, d, "events",
       tbl(s, d, "events")
+        // rank-by-measure defines its domain as non-null measures
+        // (q39's rule; a NULL has no rank position and the two
+        // engines default-sort it to opposite ends)
+        .filter(col("value").isNotNull)
         .select(col("event_type"), col("event_id"), col("value")),
       Seq("event_type"), Seq("value", "event_id"))
       .withColumn("rnk", col("_dr_rank"))
@@ -436,7 +449,7 @@ object Extras {
       |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
       |       percent_rank() OVER w AS prank,
       |       cume_dist() OVER w AS cdist
-      |FROM events
+      |FROM events WHERE value IS NOT NULL
       |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
       |ORDER BY event_type, rnk""".stripMargin
 
@@ -717,6 +730,10 @@ object Extras {
     * median; this is the sketch that replaces it at 100 TB.) */
   private def q61(s: SparkSession, d: String): DataFrame = {
     val bins = tbl(s, d, "events")
+      // histogram domain = non-null measures (the q39/q44 rule: a
+      // NULL bin would ride the cum window's engine-default NULL
+      // order)
+      .filter(col("value").isNotNull)
       .select(col("event_type"),
         floor(col("value") / HistBinW).cast("long").as("bin"))
       .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
@@ -738,7 +755,7 @@ object Extras {
     s"""WITH bins AS (
       |  SELECT event_type, CAST(floor(value / $HistBinW) AS BIGINT) AS bin,
       |         count(*) AS c
-      |  FROM events GROUP BY 1, 2),
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
       |cum AS (
       |  SELECT event_type, bin, c,
       |         sum(c) OVER (PARTITION BY event_type ORDER BY bin

@@ -219,7 +219,15 @@ object Relational {
     * explosion, no correlated subquery. */
   private def q13(s: SparkSession, d: String): DataFrame = {
     val e = tbl(s, d, "events")
-    val views = e.filter(col("event_type") === "view").select(
+    // JOIN-KEY equality semantics: a view with no user can never be
+    // "the same user's last view", but the window's partition-by
+    // groups NULL buckets null-SAFELY — without this filter a
+    // NULL-user purchase would as-of-match another NULL-user's view
+    // where the oracle's `v.user_id = p.user_id` matches nothing
+    // (round-10 fuzz). NULL-user purchases still emit, with NULL
+    // last_view_ms, exactly as SQL does.
+    val views = e.filter(col("event_type") === "view" &&
+        col("user_id").isNotNull).select(
       col("user_id").as("bucket"),
       col("ts"),
       lit(0).as("tag"),

@@ -126,6 +126,11 @@ object TimeSeries {
   private def q20(s: SparkSession, d: String): DataFrame =
     fencedCumSum(s, d, "events",
       tbl(s, d, "events")
+        // a depth event with no quantity is not a book level — and a
+        // NULL in the window's ORDER BY would sort NULLS FIRST in
+        // Spark but NULLS LAST in DuckDB (round-10 fuzz); the measure
+        // domain is non-null by definition, oracle mirrored
+        .filter(col("value").isNotNull)
         .select(col("event_type"), col("event_id"), col("value"))
         .withColumn("dv", dec(col("value"))),
       Seq("event_type"), Seq("value", "event_id"), "dv")
@@ -138,7 +143,8 @@ object TimeSeries {
       |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6)))
       |            OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC
       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS cum_qty
-      |FROM events ORDER BY event_type, value, event_id""".stripMargin
+      |FROM events WHERE value IS NOT NULL
+      |ORDER BY event_type, value, event_id""".stripMargin
 
   /** q21: JSON field extraction — the reference's per-message JSON
     * parsing surface (spot_trades_etl.py:45). */
@@ -247,7 +253,14 @@ object TimeSeries {
       .groupBy(col("event_type"), col("day"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(dec(col("value") * col("gap_ms"))).as("vw"),
+        // dec(value) × gap, NOT dec(value × gap): the decimal cast of
+        // an inexact double PRODUCT is cross-engine fragile — Spark
+        // rounds the double's shortest string repr, DuckDB its exact
+        // binary value, and the round-10 fuzz found a term where the
+        // two differ by 1e-6 (a 1-ulp twap drift). Casting the
+        // 2-decimal value alone is clean, and decimal × long is exact
+        // in both engines.
+        sum(dec(col("value")) * col("gap_ms")).as("vw"),
         sum(col("gap_ms")).as("w"))
       .filter(col("w") > 0)
       .select(col("event_type"), ms(col("day")).as("day_ms"),
@@ -268,7 +281,7 @@ object TimeSeries {
       |  FROM events),
       |a AS (
       |  SELECT event_type, day, count(*) AS n_events,
-      |         sum(CAST(value * gap_ms AS DECIMAL(18,6))) AS vw,
+      |         sum(CAST(value AS DECIMAL(18,6)) * gap_ms) AS vw,
       |         sum(gap_ms) AS w
       |  FROM g GROUP BY 1, 2)
       |SELECT event_type, epoch_ms(CAST(day AS TIMESTAMP)) AS day_ms, n_events,

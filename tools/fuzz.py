@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Randomized differential fuzz: mutate the sf0.001 corpus with seeded
+dirty-data operators (row drops, duplicates, NULL injection, junk text,
+degenerate vectors), then Verify + check.py the FULL inventory against
+the DuckDB oracles on the mutated dir. Any crash or hash mismatch is an
+engine/oracle semantic divergence on data the clean testdata can never
+exercise — the q85 ANSI-division and quantized-overflow classes were
+both found this way (BASELINE.md round-10 session-4).
+
+Usage: tools/fuzz.py <seed> [destDir]   (then run Verify+check on it)
+"""
+import shutil
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(seed, dst):
+    con = duckdb.connect()
+    con.execute(f"SELECT setseed({(seed % 1000) / 1000.0})")
+    for t in TABLES:
+        con.execute(f"CREATE TABLE {t} AS SELECT * FROM '{SRC}/{t}.parquet'")
+
+    # documents: drop 5%, duplicate 3% under fresh ids (REAL dup
+    # clusters for the dedup family), NULL lang/source on disjoint 2%
+    # slices, punctuation junk appended to 3%
+    con.execute("DELETE FROM documents WHERE random() < 0.05")
+    con.execute("""INSERT INTO documents
+        SELECT doc_id + 8000000, text, lang, source, n_chars
+        FROM documents WHERE random() < 0.03""")
+    con.execute("UPDATE documents SET lang = NULL WHERE random() < 0.02")
+    con.execute("UPDATE documents SET source = NULL WHERE random() < 0.02")
+    con.execute("""UPDATE documents
+        SET text = text || ' !!#$%', n_chars = n_chars + 6
+        WHERE random() < 0.03""")
+
+    # events: drop 5% (sequence gaps are semantics, not noise),
+    # NULL props/value/user on small disjoint slices
+    con.execute("DELETE FROM events WHERE random() < 0.05")
+    con.execute("UPDATE events SET props = NULL WHERE random() < 0.03")
+    con.execute("UPDATE events SET value = NULL WHERE random() < 0.02")
+    con.execute("UPDATE events SET user_id = NULL WHERE random() < 0.01")
+
+    # embeddings: the degenerate-vector family (VectorEdgeSpec's
+    # classes) on fresh ids + a duplicated real vector
+    con.execute("""INSERT INTO embeddings
+        SELECT 8000001, list_transform(embedding, x -> CAST(0.0 AS FLOAT)), 3
+        FROM embeddings LIMIT 1""")
+    con.execute("""INSERT INTO embeddings
+        SELECT 8000002, list_transform(embedding, x -> CAST(0.00005 AS FLOAT)), 2
+        FROM embeddings LIMIT 1""")
+    con.execute("""INSERT INTO embeddings
+        SELECT 8000003, list_transform(embedding, x -> CAST(123456.0 AS FLOAT)), 1
+        FROM embeddings LIMIT 1""")
+    con.execute("""INSERT INTO embeddings
+        SELECT 8000004, embedding, label FROM embeddings
+        WHERE random() < 0.5 LIMIT 1""")
+    con.execute("""INSERT INTO embeddings
+        SELECT 8000005, list_transform(embedding,
+            x -> CASE WHEN random() < 0.1 THEN 'NaN'::FLOAT ELSE x END), 2
+        FROM embeddings LIMIT 1""")
+
+    # star schema: orphan 3% of orders' lineitems, NULL 1% of orderdates
+    con.execute("DELETE FROM orders WHERE random() < 0.03")
+    con.execute("UPDATE orders SET o_orderdate = NULL WHERE random() < 0.01")
+    # high-precision money: the clean generator emits 2-decimal
+    # prices/discounts whose every decimal cast is unambiguous — jitter
+    # a slice to full-precision doubles so the revenue family's
+    # decimal-product chains face values where double→decimal rounding
+    # paths can disagree across engines (the q81 class)
+    con.execute("""UPDATE lineitem
+        SET l_extendedprice = l_extendedprice * (1 + (random() - 0.5) * 1e-4),
+            l_discount = random() * 0.1,
+            l_tax = random() * 0.08
+        WHERE random() < 0.2""")
+
+    for t in TABLES:
+        con.execute(f"COPY {t} TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+    counts = {t: con.execute(f"SELECT count(*) FROM {t}").fetchone()[0]
+              for t in TABLES}
+    print(f"seed={seed} dst={dst} rows={counts}")
+
+
+if __name__ == "__main__":
+    seed = int(sys.argv[1])
+    dst = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/fuzz_{seed}"
+    import os
+    os.makedirs(dst, exist_ok=True)
+    main(seed, dst)
