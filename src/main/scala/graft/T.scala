@@ -524,7 +524,17 @@ object T {
     java.lang.Long.parseLong(hex.substring(0, 8), 16)
   }
 
-  /** Exact, order-independent aggregation-ready value for a double col. */
+  /** Exact, order-independent aggregation-ready value for a double col.
+    *
+    * Cross-engine caveat (round-10 fuzz, the q81 drift): Spark casts
+    * a double to decimal via its SHORTEST string repr while DuckDB
+    * rounds the EXACT binary value — the two disagree only when the
+    * double's ulp approaches the 10⁻⁶ target resolution, i.e.
+    * |x| ≳ ~10⁹. So `dec(product)` of an inexact double product is
+    * safe for the ≤10⁵-magnitude revenue terms (a 2M-sample search
+    * found zero divergences there) but NOT for 10¹⁰-magnitude terms
+    * like value×gap_ms — at that scale compute dec(factor) FIRST and
+    * multiply in decimal space (exact in both engines). */
   def dec(c: Column): Column = c.cast("decimal(18,6)")
 
   /** DuckDB SQL fragment for [[dec]]. */
