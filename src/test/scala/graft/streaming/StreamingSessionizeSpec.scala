@@ -44,25 +44,10 @@ class StreamingSessionizeSpec extends SparkSpec with StreamingSpecHarness {
   private val sentinel = Seq(
     (999L, 901L, t0 + 10L * 60 * 60 * 1000, "view"))
 
-  /** The q56 chain (lag → break → running-sum → per-session agg) over
-    * an in-memory frame — the batch truth the stream must match. */
-  private def batchSessions(es: Seq[(Long, Long, Long, String)]): Set[(Long, Long, Long, Long, Long, Long)] = {
-    import spark.implicits._
-    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
-    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    es.toDF("user_id", "event_id", "ts_ms", "event_type")
-      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
-      .withColumn("brk",
-        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > GapMs, 1L)
-          .otherwise(0L))
-      .withColumn("session_id", sum(col("brk")).over(run))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"),
-        count(lit(1)).as("n_events"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("n_purchases"))
-      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
-  }
+  /** The q56 chain over an in-memory frame — the batch truth the
+    * stream must match (shared harness copy). */
+  private def batchSessions(es: Seq[(Long, Long, Long, String)]): Set[(Long, Long, Long, Long, Long, Long)] =
+    batchSessions(es, GapMs)
 
   test("streaming sessions match batch q56 boundaries via both close paths") {
     withRocksDB {

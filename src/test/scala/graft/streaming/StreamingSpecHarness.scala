@@ -31,6 +31,31 @@ trait StreamingSpecHarness { self: SparkSpec =>
     finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  /** Batch q56 truth (lag → break → running-sum → per-session agg)
+    * over an in-memory event frame — the sessionization ground truth
+    * every streaming parity spec compares against. ONE copy so the
+    * fixture spec and the randomized spec can never drift apart. */
+  def batchSessions(es: Seq[(Long, Long, Long, String)], gapMs: Long):
+      Set[(Long, Long, Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    es.toDF("user_id", "event_id", "ts_ms", "event_type")
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+  }
+
   def ingested(q: StreamingQuery): Long =
     q.recentProgress.map(_.numInputRows).sum
 
