@@ -236,8 +236,13 @@ object T {
     * rank = offset + record − min(record in this (group, pid)) + 1 —
     * exact and gap-free because the local sort orders (part ++ sort)
     * so each group's records are contiguous within a partition.
-    * `sortCols` extended by `partCols` must be a TOTAL order or ranks
-    * are nondeterministic (both call sites tie-break on doc_id).
+    * When `sortCols` extended by `partCols` is a total order, ranks
+    * are fully determined (current call sites tie-break on doc_id).
+    * When it is NOT, rank assignment among tied rows is unspecified —
+    * but still RECOMPUTE-SAFE: [[localSortKeys]] appends every
+    * remaining orderable column to the local sort, so a lost persisted
+    * block re-derives the exact `_dr_rec` assignment the offset
+    * aggregate already consumed instead of silently reshuffling ties.
     *
     * The local sort is protected from EliminateSorts by the
     * NONDETERMINISTIC mid projection directly above it (the rule stops
@@ -279,11 +284,12 @@ object T {
       if (desc(n)) col(n).desc else col(n))
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val stamped = df.repartitionByRange(p, keys: _*)
-      .sortWithinPartitions(keys: _*)
+      .sortWithinPartitions(localSortKeys(df, partCols ++ sortCols, keys): _*)
       .withColumn("_dr_mid", monotonically_increasing_id())
       .withColumn("_dr_pid", shiftright(col("_dr_mid"), 33))
       .withColumn("_dr_rec", col("_dr_mid").bitwiseAND(lit((1L << 33) - 1)))
       .persist()
+    rankCaches.add(stamped)
     val offs = stamped
       .groupBy((partCols :+ "_dr_pid").map(col): _*)
       .agg(count(lit(1)).as("_dr_c"), min(col("_dr_rec")).as("_dr_base"))
@@ -301,6 +307,49 @@ object T {
       // pin the output to input order + (_dr_rank, _dr_cnt) so both
       // fencedRank branches emit the identical schema
       .select((df.columns.toSeq :+ "_dr_rank" :+ "_dr_cnt").map(col): _*)
+  }
+
+  /** Stamped frames pinned by [[distRank]]/[[distCumSum]]. Each
+    * above-fence invocation persist()s a corpus-sized MEMORY_AND_DISK
+    * block that outlives the consuming action (the CacheManager dedupes
+    * re-builds of the SAME rank, but distinct corpora stack). Tracked
+    * here so a long-lived session can reclaim exactly these via
+    * [[unpersistRanks]] without nuking unrelated cache entries. */
+  private val rankCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  /** Release every stamped-frame cache block pinned by above-fence
+    * [[distRank]]/[[distCumSum]]/[[fencedLead]] calls since the last
+    * release. Safe at any time (an in-flight consumer just recomputes
+    * from the deterministic shuffle output); call between corpus
+    * snapshots in a long-lived session, or use
+    * `spark.catalog.clearCache()` to drop everything. */
+  def unpersistRanks(): Unit = {
+    var h = rankCaches.poll()
+    while (h != null) { h.unpersist(blocking = false); h = rankCaches.poll() }
+  }
+
+  /** Local-sort key list for the stamped frame: the explicit
+    * (part ++ sort) keys, then every REMAINING orderable column of
+    * `df` ascending. The extras never change which ranks are legal
+    * (rank among sortCols-ties is unspecified); they exist so a lost
+    * persisted block RECOMPUTES in one deterministic order even when
+    * `sortCols` is not a total order — without them, a recomputed
+    * block could reassign `_dr_rec` among tied rows differently from
+    * what the offset aggregate already consumed, silently corrupting
+    * ranks under executor failure. Non-orderable columns (maps) are
+    * skipped; rows identical in EVERY orderable column are mutually
+    * interchangeable, so any assignment among them is value-identical.
+    * Sort-only: the range partitioner still keys on the explicit
+    * columns alone, so partition boundaries are unchanged. */
+  private def localSortKeys(df: DataFrame, explicit: Seq[String],
+      keys: Seq[Column]): Seq[Column] = {
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
+    val rest = df.schema.fields
+      .filterNot(f => explicit.contains(f.name))
+      .filter(f => RowOrdering.isOrderable(f.dataType))
+      .map(f => col(f.name)).toSeq
+    keys ++ rest
   }
 
   /** Join `left` to `right` on their shared `partCols` with null-SAFE
@@ -337,7 +386,11 @@ object T {
   private[graft] val WindowRankCap = 4000000L
 
   /** [[distRank]] behind the [[WindowRankCap]] fence, keyed on an
-    * EXPLICIT upper bound `n` of the ranked frame's row count:
+    * EXPLICIT upper bound `n` of the ranked frame's row count.
+    * ABOVE the fence each call pins a corpus-sized MEMORY_AND_DISK
+    * cache block for the session lifetime — long-lived sessions
+    * release them with [[unpersistRanks]] between corpora.
+    * Below the fence (every test scale), nothing is cached:
     * partition-window rank+count while `n` fits the cap, distributed
     * rank above it. Emits the same `_dr_rank`/`_dr_cnt` columns either
     * way. `n` MUST bound `df`'s row count or the window branch holds
@@ -389,10 +442,11 @@ object T {
     val keys = (partCols ++ sortCols).map(col)
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val stamped = df.repartitionByRange(p, keys: _*)
-      .sortWithinPartitions(keys: _*)
+      .sortWithinPartitions(localSortKeys(df, partCols ++ sortCols, keys): _*)
       .withColumn("_dr_mid", monotonically_increasing_id())
       .withColumn("_dr_pid", shiftright(col("_dr_mid"), 33))
       .persist()
+    rankCaches.add(stamped)
     val offs = stamped
       .groupBy((partCols :+ "_dr_pid").map(col): _*)
       .agg(sum(col(weightCol)).as("_dr_c"))
@@ -413,7 +467,8 @@ object T {
   /** [[distCumSum]] behind the [[WindowRankCap]] fence on an EXPLICIT
     * row-count bound `n` (the [[fencedRankN]] contract) — plain
     * per-group running-sum window below the cap (every test scale),
-    * the distributed two-exchange form above it. */
+    * the distributed two-exchange form above it. Above the fence each
+    * call pins a corpus-sized cache block ([[unpersistRanks]]). */
   def fencedCumSumN(n: Long, df: DataFrame, partCols: Seq[String],
       sortCols: Seq[String], weightCol: String): DataFrame =
     if (n <= WindowRankCap) {

@@ -159,11 +159,16 @@ object Dedup {
       val dfCounts = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       val hot = withScalar(dfCounts, capDf)
         .filter(col("df") > col("cap"))
-        .select(col("shingle"))
-      sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-        // a using-columns join moves the key first; pin the output to
-        // the input column order so both fence branches emit the
-        // identical schema
+        .select(col("shingle").as("_hot_shingle"))
+      // null-SAFE anti-join key (<=>): the below-cap window branch
+      // groups NULL shingles null-safely (a NULL group counts and can
+      // be dropped when over-cap), so the above-cap branch must be
+      // able to drop a NULL-keyed hot group too or the two fence
+      // branches diverge on byte identity. Moot for today's
+      // concat_ws-built (never-null) shingles, but the guarantee no
+      // longer depends on that unstated upstream property.
+      sh.join(broadcast(hot), col("shingle") <=> col("_hot_shingle"),
+          "left_anti")
         .select(sh.columns.map(col): _*)
     }
 
