@@ -56,3 +56,48 @@ object DeadLetter {
       .trigger(Trigger.AvailableNow())
       .start()
 }
+
+/** [[DeadLetter]]'s sibling for SEMANTIC rejects (SURVEY §1.2): a
+  * syntactically valid message can still violate the ingestion
+  * contract — a NULL, non-positive, or non-numeric event timestamp, a
+  * missing required field — and until round 11 those classes were
+  * documented as out-of-contract but nothing at the boundary REJECTED
+  * them; a malformed replay file could inject a pre-1970 timestamp
+  * whose downstream arithmetic silently diverges cross-engine
+  * (BASELINE.md "timestamp-extremes probe"). The gate consumes a
+  * [[Pipelines.tradesGated]]/[[Pipelines.depthRecordsGated]] frame —
+  * parsed columns plus the raw `value` line and a stamped
+  * [[Pipelines.ViolationCol]] — and lands in-contract rows and
+  * labeled verbatim raw lines in separate sinks with the same
+  * accounting invariant as s20: valid + quarantined = every
+  * type-matching message, idempotent under batch replay. */
+object ContractGate {
+
+  /** Split a violation-stamped frame into (valid, quarantine): valid
+    * rows drop the plumbing columns; quarantined rows keep the raw
+    * line VERBATIM plus the violation label for triage/replay. */
+  def split(gated: DataFrame): (DataFrame, DataFrame) =
+    (gated.filter(col(Pipelines.ViolationCol).isNull)
+        .drop("value", Pipelines.ViolationCol),
+      gated.filter(col(Pipelines.ViolationCol).isNotNull)
+        .select(col("value").as("raw_line"),
+          col(Pipelines.ViolationCol).as("violation")))
+
+  /** Wire a gated stream through the quarantine — same idempotent
+    * per-batch dynamic-overwrite discipline as [[DeadLetter.start]],
+    * so at-least-once foreachBatch replays replace rather than
+    * duplicate and the accounting invariant survives restarts. */
+  def start(gated: DataFrame, goodDir: String, badDir: String,
+      checkpoint: String): StreamingQuery =
+    gated.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val cached = batch.persist()
+      try {
+        val (good, bad) = split(cached)
+        IdempotentSink.putBatch(good, id, goodDir)
+        IdempotentSink.putBatch(bad, id, badDir)
+      } finally { cached.unpersist(); () }
+    }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

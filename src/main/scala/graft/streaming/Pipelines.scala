@@ -25,53 +25,103 @@ object Pipelines {
 
   private val levelsSchema = ArrayType(ArrayType(StringType))
 
-  /** trade path: JSON parse (drop corrupt) → event-type gate → project/
-    * rename → conditional side map (spot_trades_etl.py:38-58).
-    * Output columns = TradeRow. */
-  def trades(raw: DataFrame): DataFrame =
+  /** Violation label stamped by the gated parsers: NULL for
+    * in-contract rows, a reason string otherwise. The s20
+    * [[ContractGate]] splits on it. */
+  val ViolationCol = "_violation"
+
+  /** SURVEY §1.2 ingestion contract for the exchange event time `E`:
+    * a REQUIRED positive epoch-ms long — the reference's timestamp
+    * arithmetic (spot_depth_etl.py:116) assumes it, and NULL or
+    * pre-1970 values are the two documented out-of-contract classes
+    * whose semantics silently diverge cross-engine (BASELINE.md
+    * "timestamp-extremes probe"). `try_cast` instead of `cast` so a
+    * non-numeric E is a LABELED reject, not an ANSI runtime throw. */
+  private def tsViolation(ets: Column): Column = {
+    val t = ets.try_cast("long")
+    when(t.isNull || t <= 0, lit("ts_out_of_contract"))
+  }
+
+  /** trade path, contract-gated: JSON parse → event-type gate →
+    * violation stamp → project/rename → conditional side map
+    * (spot_trades_etl.py:38-58). Output = TradeRow columns plus the
+    * raw `value` line and [[ViolationCol]] — in-contract rows carry a
+    * NULL label; rows a trusting parse would silently null-drop or
+    * crash on carry a reason ("missing_field" for the reference's
+    * KeyError path, "ts_out_of_contract" for NULL/non-positive/
+    * non-numeric E, "bad_trade_id" for a non-numeric t). Route
+    * through [[ContractGate]] to land violations in the s20
+    * quarantine verbatim; [[trades]] is the stripped valid side. */
+  def tradesGated(raw: DataFrame): DataFrame =
     raw
       .select(
         json_tuple(col("value"), "e", "E", "t", "p", "q", "m")
           .as(Seq("et", "ets", "tid", "p", "q", "m")),
-        col("local_timestamp"))
-      // corrupt JSON ⇒ all-null tuple; ack/greeting ⇒ et != 'trade';
-      // a type-matching message MISSING required fields is dropped too
-      // (the reference's KeyError → warn-and-drop, spot_trades_etl.py:56-58)
-      .filter(col("et") === "trade" &&
-        col("ets").isNotNull && col("tid").isNotNull &&
-        col("p").isNotNull && col("q").isNotNull && col("m").isNotNull)
+        col("value"), col("local_timestamp"))
+      // corrupt JSON ⇒ all-null tuple; ack/greeting ⇒ et != 'trade' —
+      // those are NOT violations, just other message types
+      .filter(col("et") === "trade")
+      .withColumn(ViolationCol,
+        when(col("ets").isNull || col("tid").isNull || col("p").isNull ||
+          col("q").isNull || col("m").isNull, lit("missing_field"))
+          .otherwise(coalesce(tsViolation(col("ets")),
+            when(col("tid").try_cast("long").isNull, lit("bad_trade_id")))))
       .select(
-        col("ets").cast("long").as("timestamp"),
+        col("ets").try_cast("long").as("timestamp"),
         col("local_timestamp"),
-        col("tid").cast("long").as("id"),
+        col("tid").try_cast("long").as("id"),
         col("p").as("price"), // decimal strings kept verbatim (§1.4)
         col("q").as("quantity"),
-        when(col("m") === "true", "sell").otherwise("buy").as("side"))
+        when(col("m") === "true", "sell").otherwise("buy").as("side"),
+        col("value"), col(ViolationCol))
 
-  /** depth path, parse stage: JSON parse → gate → project/rename
-    * (spot_depth_etl.py:56-76). Output columns = DepthRecord (live
-    * updates carry is_snapshot=false; snapshot replay rows are
-    * emitted by the book synchronizer). */
-  def depthRecords(raw: DataFrame): DataFrame =
+  /** trade path, valid side only (the reference's warn-and-drop
+    * semantics, spot_trades_etl.py:56-58 — plus the §1.2 timestamp
+    * contract, so a negative-epoch or null-E trade can never reach a
+    * sink through this projection). Output columns = TradeRow. */
+  def trades(raw: DataFrame): DataFrame =
+    tradesGated(raw)
+      .filter(col(ViolationCol).isNull)
+      .drop("value", ViolationCol)
+
+  /** depth path, parse stage, contract-gated: JSON parse → gate →
+    * violation stamp → project/rename (spot_depth_etl.py:56-76).
+    * Output = DepthRecord columns plus (`value`, [[ViolationCol]]) —
+    * same labeling discipline as [[tradesGated]] ("missing_field",
+    * "ts_out_of_contract", "bad_update_id" for non-numeric U/u, which
+    * would otherwise kill the typed book-sync operator). Live updates
+    * carry is_snapshot=false; snapshot replay rows are emitted by the
+    * book synchronizer. */
+  def depthRecordsGated(raw: DataFrame): DataFrame =
     raw
       .select(
         json_tuple(col("value"), "e", "E", "U", "u", "b", "a")
           .as(Seq("et", "ets", "fu", "lu", "bjson", "ajson")),
-        col("local_timestamp"))
-      // missing U/u/E/b/a ⇒ drop whole message (reference KeyError path,
-      // spot_depth_etl.py:74-76) — a null id would otherwise kill the
-      // typed book-sync operator
-      .filter(col("et") === "depthUpdate" &&
-        col("ets").isNotNull && col("fu").isNotNull && col("lu").isNotNull &&
-        col("bjson").isNotNull && col("ajson").isNotNull)
+        col("value"), col("local_timestamp"))
+      .filter(col("et") === "depthUpdate")
+      .withColumn(ViolationCol,
+        when(col("ets").isNull || col("fu").isNull || col("lu").isNull ||
+          col("bjson").isNull || col("ajson").isNull, lit("missing_field"))
+          .otherwise(coalesce(tsViolation(col("ets")),
+            when(col("fu").try_cast("long").isNull ||
+              col("lu").try_cast("long").isNull, lit("bad_update_id")))))
       .select(
-        col("ets").cast("long").as("timestamp"),
+        col("ets").try_cast("long").as("timestamp"),
         col("local_timestamp"),
-        col("fu").cast("long").as("first_update_id"),
-        col("lu").cast("long").as("last_update_id"),
+        col("fu").try_cast("long").as("first_update_id"),
+        col("lu").try_cast("long").as("last_update_id"),
         from_json(col("bjson"), levelsSchema).as("bids"),
         from_json(col("ajson"), levelsSchema).as("asks"),
-        lit(false).as("is_snapshot"))
+        lit(false).as("is_snapshot"),
+        col("value"), col(ViolationCol))
+
+  /** depth path, valid side only (reference KeyError warn-and-drop,
+    * spot_depth_etl.py:74-76, plus the §1.2 timestamp contract).
+    * Output columns = DepthRecord. */
+  def depthRecords(raw: DataFrame): DataFrame =
+    depthRecordsGated(raw)
+      .filter(col(ViolationCol).isNull)
+      .drop("value", ViolationCol)
 
   private def sideStructs(arr: Column, label: String): Column =
     transform(arr, x => struct(
