@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Per-query floor regression gate (round-11 judge task 5).
+
+The box's 56-92s weather band makes the SUITE TOTAL nearly useless for
+regression detection (r10's 84.6 vs r9's 63.6 cost a full investigation
+to clear as contention). This gate compares each query's bench reading
+against its best-known quiet minimum in tools/floors.json instead:
+
+  flagged     = min-of-3+retime reading > 3x floor (and > 0.5s absolute,
+                so micro-query scheduler jitter never trips it)
+  retry       = flagged queries re-timed in ONE extra JVM via
+                graft.BenchOne (min-of-5, independent clock window)
+  regression  = still > 3x floor after the retry -> named in the output
+  ratchet     = any reading BELOW its floor lowers the floor (floors.json
+                converges to the true quiet minima over rounds); a new
+                query enters at its first reading
+
+Usage: floors_gate.py <bench_json> [--no-retry]
+Prints one JSON line {"flagged": {...}, "regressions": [...],
+"floors_updated": N}; exit code is always 0 (a report, not a wall --
+judge.sh embeds the verdict in its summary).
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FLOORS = os.path.join(REPO, "tools", "floors.json")
+RATIO = 3.0
+ABS_MIN = 0.5
+
+
+def main() -> None:
+    bench_path = sys.argv[1]
+    no_retry = "--no-retry" in sys.argv[2:]
+    with open(bench_path) as f:
+        bench = json.load(f)
+    queries = {k: v for k, v in bench["queries"].items() if v is not None}
+    floors = {}
+    if os.path.exists(FLOORS):
+        with open(FLOORS) as f:
+            floors = json.load(f)
+
+    flagged = {
+        q: {"bench": round(t, 3), "floor": floors[q]}
+        for q, t in queries.items()
+        if q in floors and t > RATIO * floors[q] and t > ABS_MIN
+    }
+
+    best = dict(queries)
+    if flagged and not no_retry:
+        names = ",".join(sorted(flagged))
+        env = dict(os.environ,
+                   SPARK_GRAFT_SF_DIR=os.environ.get(
+                       "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+        out = subprocess.run(
+            [os.path.join(REPO, "tools", "run.sh"), "graft.BenchOne",
+             names, "5"],
+            capture_output=True, text=True, env=env, cwd=REPO).stdout
+        m = re.search(r"^FLOORGATE (\{.*\})$", out, re.M)
+        if m:
+            for q, t in json.loads(m.group(1)).items():
+                flagged[q]["retry"] = round(t, 3)
+                best[q] = min(best[q], t)
+
+    regressions = sorted(
+        q for q in flagged if best[q] > RATIO * floors[q] and best[q] > ABS_MIN)
+
+    updated = 0
+    for q, t in best.items():
+        if q not in floors or t < floors[q]:
+            floors[q] = round(t, 3)
+            updated += 1
+    with open(FLOORS, "w") as f:
+        json.dump(dict(sorted(floors.items())), f, indent=1)
+
+    print(json.dumps({"flagged": flagged, "regressions": regressions,
+                      "floors_updated": updated}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,9 +1,12 @@
 #!/bin/bash
 # One-command judge harness: compile, correctness-at-sf0.01 vs the
-# DuckDB oracle, entry smoke, bench at sf0.1 — one summary JSON at the
-# end (and on disk at /tmp/judge_summary.json). Add `--test` to also
-# run the full ScalaTest suite (streaming/stateful parity + plan-shape
-# sweeps + the suite-wide robustness sweeps; ~15 min).
+# DuckDB oracle, entry smoke, bench at sf0.1 + the per-query floor
+# regression gate (any query > 3x its best-known quiet minimum in
+# tools/floors.json gets a BenchOne retry; a reproduced excess is a
+# named regression and fails "ok") — one summary JSON at the end (and
+# on disk at /tmp/judge_summary.json). Add `--test` to also run the
+# full ScalaTest suite (streaming/stateful parity + plan-shape sweeps
+# + the suite-wide robustness sweeps; ~15 min).
 #
 # Usage: tools/judge.sh [--test]
 set -e
@@ -38,6 +41,12 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
 BENCH_TOTAL=$(python3 -c "import json;print(round(json.load(open('/tmp/judge_bench.json'))['value'],2))")
 BENCH_ERRS=$(python3 -c "import json;print(len(json.load(open('/tmp/judge_bench.json'))['errors']))")
 
+echo "== 4.5/5 per-query floor gate (3x best-known quiet minimum)" >&2
+FLOORS=$(python3 tools/floors_gate.py /tmp/judge_bench.json 2>/tmp/judge_floors.log \
+  || echo '{"flagged":{},"regressions":["floors_gate crashed - see /tmp/judge_floors.log"],"floors_updated":0}')
+echo "$FLOORS" > /tmp/judge_floors.json
+NREG=$(python3 -c "import json;print(len(json.load(open('/tmp/judge_floors.json'))['regressions']))")
+
 SUITE="skipped"
 SUITE_OK=1
 if [ "$TEST" = "1" ]; then
@@ -52,12 +61,17 @@ fi
 
 SUMMARY=$(python3 - <<EOF
 import json
+floors = json.load(open('/tmp/judge_floors.json'))
 print(json.dumps({
   "ok": int("$NFAIL") == 0 and int("$BENCH_ERRS") == 0
-        and int("$SMOKE") > 0 and int("$SUITE_OK") == 1,
+        and int("$SMOKE") > 0 and int("$SUITE_OK") == 1
+        and int("$NREG") == 0,
   "correct_pass": int("$NPASS"), "correct_fail": int("$NFAIL"),
   "entry_rows": int("$SMOKE"), "bench_total_sec": float("$BENCH_TOTAL"),
-  "bench_errors": int("$BENCH_ERRS"), "suite": "$SUITE",
+  "bench_errors": int("$BENCH_ERRS"),
+  "floor_flagged": sorted(floors["flagged"]),
+  "floor_regressions": floors["regressions"],
+  "suite": "$SUITE",
   "bench_json": "/tmp/judge_bench.json"}))
 EOF
 )
