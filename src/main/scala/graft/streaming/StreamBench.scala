@@ -1,0 +1,172 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming throughput baseline (round-11 judge task 4): the
+  * reference is a streaming ETL, yet BASELINE.md recorded only batch
+  * numbers — SURVEY §3.2's "keep the hot path shuffle-free" claim had
+  * no measured rows/s, so a hot-path regression was invisible.
+  *
+  * Measures the s01→s06 replay pipeline end to end with
+  * `Trigger.AvailableNow` over a DETERMINISTIC generated JSONL corpus
+  * (index-arithmetic fields, no RNG — identical bytes every run):
+  *
+  *   - trade path:  FileReplaySource → Pipelines.trades → sink
+  *   - depth path:  FileReplaySource → Pipelines.depthRecords →
+  *                  BookSynchronizer (contiguous-id tape, one symbol
+  *                  group — the reference's serial state machine) →
+  *                  Pipelines.depthRows → sink
+  *
+  * each against BOTH sinks: the reference's single-file header-once
+  * CSV append (driver-side toLocalIterator — the byte-parity
+  * contract) and the scale-path partitioned parquet writer
+  * (executor-side I/O). CSV vs parquet on the same tape is therefore
+  * a direct measurement of what the single-file contract costs.
+  *
+  * Usage: `tools/run.sh graft.streaming.StreamBench [corpusDir]`
+  * (env: SPARK_GRAFT_STREAM_TRADES / _DEPTH message counts,
+  * SPARK_GRAFT_STREAM_OUT json path). Prints ONE JSON line; rows/s =
+  * sink OUTPUT rows (trades = parsed messages; depth = exploded
+  * levels) over wall seconds from query start to AvailableNow
+  * completion, after a small warmup run per (path, sink) pair so JVM
+  * and codegen warmup is not billed to the measured tape. */
+object StreamBench {
+
+  private val ArrivalMs = 1727784001000L
+
+  private def writeLines(dir: Path, files: Int, lines: Seq[String]): Unit = {
+    Files.createDirectories(dir)
+    val perFile = math.max(1, math.ceil(lines.size / files.toDouble).toInt)
+    lines.grouped(perFile).zipWithIndex.foreach { case (chunk, i) =>
+      val w = Files.newBufferedWriter(dir.resolve(f"part-$i%03d.jsonl"))
+      try chunk.foreach { l => w.write(l); w.write('\n') }
+      finally w.close()
+    }
+  }
+
+  private def tradeLine(i: Long): String = {
+    val p = 100000 + (i * 7) % 9000 // 100.000 .. 108.999, 3dp
+    val q = 1 + (i * 13) % 500
+    s"""{"e":"trade","E":${1700000000000L + i},"t":${i + 1},""" +
+      s""""p":"${p / 1000}.${f"${p % 1000}%03d"}","q":"0.${f"$q%03d"}",""" +
+      s""""m":${i % 2 == 0}}"""
+  }
+
+  /** Contiguous-id depth tape: U starts at lastUpdateId+1 and each
+    * message consumes 4 ids, so the sync state machine admits every
+    * message (the steady-state hot path — no crash-stop exercised). */
+  private def depthLine(i: Long, lastUpdateId: Long, levels: Int): String = {
+    def side(base: Int, dir: Int): String =
+      (0 until levels).map { l =>
+        val p = base + dir * (10 * l + (i % 7).toInt)
+        val q = (i + l) % 900
+        s"""["${p / 100}.${f"${p % 100}%02d"}","${q / 10}.${q % 10}"]"""
+      }.mkString("[", ",", "]")
+    val u0 = lastUpdateId + 1 + i * 4
+    s"""{"e":"depthUpdate","E":${1700000000000L + i * 10},"U":$u0,""" +
+      s""""u":${u0 + 3},"b":${side(99900, -1)},"a":${side(100100, 1)}}"""
+  }
+
+  private def genCorpus(root: Path, nTrades: Long, nDepth: Long,
+      levels: Int): Unit = {
+    val marker = root.resolve(s"corpus_${nTrades}_${nDepth}_$levels.ok")
+    if (Files.exists(marker)) return
+    writeLines(root.resolve("BTCUSDT.spot.trade"), 8,
+      (0L until nTrades).map(tradeLine))
+    writeLines(root.resolve("BTCUSDT.spot.depth"), 8,
+      (0L until nDepth).map(depthLine(_, 100L, levels)))
+    Files.createFile(marker)
+    ()
+  }
+
+  private def snapshot(levels: Int): BookSnapshot = BookSnapshot(100L,
+    bids = (0 until levels).map(l => Seq(s"998.${f"${l * 3}%02d"}", "1.0")),
+    asks = (0 until levels).map(l => Seq(s"1002.${f"${l * 3}%02d"}", "1.0")))
+
+  /** One measured run: build the lineage, drive it AvailableNow into
+    * the chosen sink, return (seconds, output rows). */
+  private def runOne(spark: org.apache.spark.sql.SparkSession,
+      corpus: Path, path: String, sink: String, levels: Int): (Double, Long) = {
+    val work = Files.createTempDirectory(s"sb-$path-$sink")
+    val src = new FileReplaySource(corpus.toString, Some(ArrivalMs))
+    val id = EventId.parse(s"binance.spot.BTCUSDT.$path")
+    val raw = src.stream(spark, id)
+    val rows = path match {
+      case "trade" => Pipelines.trades(raw)
+      case _ => Pipelines.depthRows(BookSynchronizer.apply(
+        Pipelines.depthRecords(raw), id.market, id.symbol, snapshot(levels)))
+    }
+    val ckpt = work.resolve("ckpt").toString
+    val t0 = System.nanoTime()
+    val (q, outCount) = sink match {
+      case "csv" =>
+        val s = if (path == "trade")
+          CsvAppendSink.forTrades(work.toString, id.symbol, id.market,
+            truncateOnStart = true)
+        else
+          CsvAppendSink.forDepth(work.toString, id.symbol, id.market,
+            truncateOnStart = true)
+        val q = rows.writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (df: DataFrame, bid: Long) => s.writeBatch(df, bid) }
+          .start()
+        (q, () => Files.lines(s.path).count() - 1)
+      case _ =>
+        val outDir = work.resolve("out").toString
+        val q = rows
+          .withColumn("ingest_date",
+            to_date(timestamp_millis(col("local_timestamp"))))
+          .writeStream
+          .format("parquet")
+          .partitionBy("ingest_date")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        (q, () => spark.read.parquet(outDir).count())
+    }
+    q.awaitTermination()
+    val sec = (System.nanoTime() - t0) / 1e9
+    (sec, outCount())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val corpusRoot = Paths.get(
+      args.headOption.getOrElse("/tmp/graft_streambench"))
+    val nTrades = sys.env.getOrElse("SPARK_GRAFT_STREAM_TRADES", "200000").toLong
+    val nDepth = sys.env.getOrElse("SPARK_GRAFT_STREAM_DEPTH", "50000").toLong
+    val levels = 3
+    genCorpus(corpusRoot, nTrades, nDepth, levels)
+    val warmRoot = corpusRoot.resolve("warmup")
+    genCorpus(warmRoot, 2000, 500, levels)
+
+    val spark = graft.Bench.session()
+    spark.sparkContext.setLogLevel("WARN")
+    val paths = Seq("trade" -> "csv", "trade" -> "parquet",
+      "depth" -> "csv", "depth" -> "parquet")
+    val results = paths.map { case (p, s) =>
+      runOne(spark, warmRoot, p, s, levels) // warmup, unbilled
+      val (sec, rows) = runOne(spark, corpusRoot, p, s, levels)
+      val msgs = if (p == "trade") nTrades else nDepth
+      s"$p" + "_" + s -> (sec, rows, msgs)
+    }
+    val json = "{\"metric\":\"stream_throughput\",\"unit\":\"rows_per_sec\"," +
+      s""""corpus":{"trade_msgs":$nTrades,"depth_msgs":$nDepth,""" +
+      s""""depth_levels_per_msg":${2 * levels}},"paths":{""" +
+      results.map { case (k, (sec, rows, msgs)) =>
+        s""""$k":{"sec":${f"$sec%.2f"},"rows":$rows,""" +
+          s""""rows_per_sec":${(rows / sec).toLong},""" +
+          s""""msgs_per_sec":${(msgs / sec).toLong}}"""
+      }.mkString(",") + "}}"
+    sys.env.get("SPARK_GRAFT_STREAM_OUT").foreach { p =>
+      Files.write(Paths.get(p), json.getBytes); ()
+    }
+    println(json)
+    spark.stop()
+  }
+}
