@@ -44,6 +44,7 @@ object GenScale {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, destDir) = args.take(2)
     val replicas = if (args.length > 2) args(2).toInt else 10
+    zipf = args.contains("--zipf")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -93,12 +94,38 @@ object GenScale {
     (0 until replicas).map(one).reduce(_ unionByName _)
       .write.mode("overwrite").parquet(out)
 
-  /** Replica r of documents: bijective token rename + id offset. */
+  /** `--zipf` mode (round-11 judge task 3): inject a deterministic
+    * geometric boilerplate ladder so document-frequency skew is REAL,
+    * not just seeded — boilerplate phrase j (`zzb<j> zzb<j> zzb<j>`,
+    * its own 3-token shingle) is appended to every 2^j-th document,
+    * j = 0..12, so the shingle df spectrum gains a head of
+    * {n, n/2, n/4, ...} riding on the natural tail (plus hot
+    * cross-phrase boundary shingles). With the fraction+floor df cap
+    * this guarantees genuinely over-cap stop-phrase shingles at bench
+    * scale — exactly the regime the cappedShingles skew fence (and
+    * its bounded-hot-set anti-join branch) exists for. Injection
+    * happens BEFORE the replica token rename, so replicas stay
+    * disjoint and isomorphic. Deterministic by construction (doc_id
+    * arithmetic, no RNG): the DuckDB oracle recomputes the identical
+    * corpus. */
+  private[graft] var zipf: Boolean = false
+
+  private def withBoilerplate(text: org.apache.spark.sql.Column) = {
+    val phrases = array((0 to 12).map { j =>
+      when(pmod(col("doc_id"), lit(1L << j)) === 0,
+        lit(Seq.fill(3)(s"zzb$j").mkString(" ")))
+    }: _*)
+    concat_ws(" ", text, array_join(filter(phrases, _.isNotNull), " "))
+  }
+
+  /** Replica r of documents: bijective token rename + id offset
+    * (+ the `--zipf` boilerplate ladder when enabled). */
   private[graft] def documentsReplica(s: SparkSession, d: String, r: Int): DataFrame = {
     val base = T.tbl(s, d, "documents")
+    val injected = if (zipf) withBoilerplate(col("text")) else col("text")
     val text =
-      if (r == 0) col("text")
-      else regexp_replace(col("text"), "(\\S+)", s"$$1zq$r")
+      if (r == 0) injected
+      else regexp_replace(injected, "(\\S+)", s"$$1zq$r")
     base.select(
       (col("doc_id") + lit(r * Stride)).as("doc_id"),
       text.as("text"),

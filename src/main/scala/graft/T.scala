@@ -142,6 +142,29 @@ object T {
     snapScalars.computeIfAbsent((s"$dir@${dirFingerprint(dir)}", key),
       _ => compute)
 
+  /** Verification-only branch override: when the env var
+    * SPARK_GRAFT_FORCE_ABOVE_FENCE is set, every VALUE-IDENTICAL
+    * fence ([[belowFence]] call sites) takes its above-cap (100 TB)
+    * branch regardless of corpus size, while caps and derived values
+    * still come from the real corpus — so one full Verify + DuckDB
+    * sweep proves the ENGAGED branches oracle-exact on any corpus
+    * (the Zipfian near-dup one included), instead of relying solely
+    * on per-fence seeded flip fixtures. Excluded by design: fences
+    * whose above-cap behavior is not value-identical by construction
+    * (q26/q30's FenceCap thins the anchor sample — its fk is
+    * value-coupled into the oracle and follows the corpus count;
+    * Similarity.TwoLevelK's coarse/fine routing is approximate by
+    * contract). Never set in production. */
+  private[graft] val ForceAboveFence: Boolean =
+    sys.env.contains("SPARK_GRAFT_FORCE_ABOVE_FENCE")
+
+  /** THE fence comparison — `n <= cap`, overridable to false by
+    * [[ForceAboveFence]] for engaged-branch verification sweeps.
+    * Every value-identical fence branches through here so the
+    * override cannot silently miss a site. */
+  private[graft] def belowFence(n: Long, cap: Long): Boolean =
+    n <= cap && !ForceAboveFence
+
   /** Vocab-broadcast fence cap: the max distinct-token count at which
     * a vocabulary-keyed frame may still carry a `broadcast()` hint.
     * A (tok, count) row is ~25 bytes serialized, so the cap bounds the
@@ -174,7 +197,7 @@ object T {
     * Hint-only: values are identical on both sides of the fence, so
     * the oracles are untouched by construction. */
   def hintVocab(spark: SparkSession, dir: String, df: DataFrame): DataFrame =
-    if (vocabCount(spark, dir) <= VocabBroadcastCap) broadcast(df)
+    if (belowFence(vocabCount(spark, dir), VocabBroadcastCap)) broadcast(df)
     else df.hint("shuffle_hash")
 
   /** Attach `out` = [[phash]](`tok`) to `df` — the token-hash
@@ -190,7 +213,7 @@ object T {
     * flip. */
   def vocabHash(spark: SparkSession, dir: String, df: DataFrame,
       tok: String = "tok", out: String = "h"): DataFrame =
-    if (vocabCount(spark, dir) <= VocabBroadcastCap) {
+    if (belowFence(vocabCount(spark, dir), VocabBroadcastCap)) {
       val dim = df.select(col(tok)).distinct().withColumn(out, phash(col(tok)))
       df.join(broadcast(dim), Seq(tok))
     } else df.withColumn(out, phash(col(tok)))
@@ -211,7 +234,7 @@ object T {
     * sides of the fence, oracles untouched by construction. */
   def hintIdSet(spark: SparkSession, dir: String, table: String,
       df: DataFrame): DataFrame =
-    if (snapCount(spark, dir, table) <= IdBroadcastCap) broadcast(df)
+    if (belowFence(snapCount(spark, dir, table), IdBroadcastCap)) broadcast(df)
     else df.hint("shuffle_hash")
 
   /** Distributed exact rank — the scale-safe replacement for a
@@ -400,7 +423,7 @@ object T {
     * fresh count job. */
   def fencedRankN(n: Long, df: DataFrame, partCols: Seq[String],
       sortCols: Seq[String], desc: Set[String] = Set.empty): DataFrame =
-    if (n <= WindowRankCap) {
+    if (belowFence(n, WindowRankCap)) {
       import org.apache.spark.sql.expressions.Window
       val order = sortCols.map(n => if (desc(n)) col(n).desc else col(n))
       val w = Window.partitionBy(partCols.map(col): _*).orderBy(order: _*)
@@ -471,7 +494,7 @@ object T {
     * call pins a corpus-sized cache block ([[unpersistRanks]]). */
   def fencedCumSumN(n: Long, df: DataFrame, partCols: Seq[String],
       sortCols: Seq[String], weightCol: String): DataFrame =
-    if (n <= WindowRankCap) {
+    if (belowFence(n, WindowRankCap)) {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(partCols.map(col): _*)
         .orderBy(sortCols.map(col): _*)
@@ -500,7 +523,7 @@ object T {
   def fencedLead(spark: SparkSession, dir: String, table: String,
       df: DataFrame, partCols: Seq[String], sortCols: Seq[String],
       leadCol: String): DataFrame =
-    if (snapCount(spark, dir, table) <= WindowRankCap) {
+    if (belowFence(snapCount(spark, dir, table), WindowRankCap)) {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(partCols.map(col): _*)
         .orderBy(sortCols.map(col): _*)

@@ -39,7 +39,7 @@ object Curation {
       .select(col("shingle")).distinct()
       .withColumn("hit", lit(1L))
     val evalHinted =
-      if (snapScalar(d, "evalsh:documents")(evalSh.count()) <= VocabBroadcastCap)
+      if (graft.T.belowFence(snapScalar(d, "evalsh:documents")(evalSh.count()), VocabBroadcastCap))
         broadcast(evalSh)
       else evalSh.hint("shuffle_hash")
     sh.filter(col("source") =!= "src0")

@@ -149,7 +149,7 @@ object Dedup {
     * exploded frame is larger than the corpus itself). */
   private[queries] def cappedShingles(sh: DataFrame, capDf: DataFrame,
       nDocs: Long): DataFrame =
-    if (nDocs <= graft.T.WindowRankCap) {
+    if (graft.T.belowFence(nDocs, graft.T.WindowRankCap)) {
       withScalar(sh, capDf)
         .withColumn("df",
           count(lit(1)).over(Window.partitionBy("shingle")))

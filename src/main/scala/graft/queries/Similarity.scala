@@ -895,18 +895,41 @@ object Similarity {
       .orderBy("qid")
   }
 
-  private val q95Sql =
+  /** Probe-batch count for [[q95Sql]]'s exact side. The naive
+    * formulation (one row_number window over the raw probe×corpus
+    * join) OOM-killed DuckDB at sf3 (127 GB RSS): the window's ORDER
+    * BY expression referenced the two DOUBLE[64] vectors, so the sort
+    * buffer carried ~1 KB of list payload per pair instead of 24
+    * bytes. Fixed twice over: (a) the cosine is pre-projected in a
+    * subquery BELOW the window, so the window input is slim
+    * (qid, mid, cos); (b) the probe filter moves into its own derived
+    * table ahead of the inequality join, so the non-equi join is
+    * probes×corpus, never corpus×corpus; (c) probes are split into
+    * this many disjoint batches — per-qid top-5 is independent per
+    * probe, so a UNION ALL of per-batch windows is value-identical
+    * while each window materializes only 1/batches of the pairs.
+    * Values unchanged at every scale (same rounded-cos expression,
+    * same (cos DESC, mid ASC) tie-break, disjoint probe partition). */
+  private val ExOracleBatches = 10
+
+  private val q95Sql = {
+    val exBatches = (0 until ExOracleBatches).map { i =>
+      s"""  SELECT qid, mid FROM (
+        |    SELECT qid, mid, row_number() OVER (PARTITION BY qid
+        |             ORDER BY cos DESC, mid ASC) AS rn
+        |    FROM (SELECT p.vec_id AS qid, m.vec_id AS mid,
+        |                 round(list_dot_product(p.v, m.v) / (p.nrm * m.nrm), 6) AS cos
+        |          FROM probes p JOIN n m ON m.vec_id <> p.vec_id
+        |          WHERE p.batch = $i))
+        |  WHERE rn <= 5""".stripMargin
+    }.mkString("\n  UNION ALL\n")
     s"""WITH ${lshCtes(probeJoin)},
       |approx AS (SELECT qid, mid FROM ranked WHERE rank <= 5),
+      |probes AS (
+      |  SELECT n.*, (vec_id // pf.pstep) % $ExOracleBatches AS batch
+      |  FROM n CROSS JOIN pf WHERE vec_id % pf.pstep = 0),
       |ex AS (
-      |  SELECT qid, mid FROM (
-      |    SELECT p.vec_id AS qid, m.vec_id AS mid,
-      |           row_number() OVER (PARTITION BY p.vec_id
-      |             ORDER BY round(list_dot_product(p.v, m.v) / (p.nrm * m.nrm), 6) DESC,
-      |                      m.vec_id ASC) AS rn
-      |    FROM n p JOIN n m ON m.vec_id <> p.vec_id CROSS JOIN pf
-      |    WHERE p.vec_id % pf.pstep = 0)
-      |  WHERE rn <= 5),
+      |$exBatches),
       |hits AS (
       |  SELECT e.qid, count(*) AS n_hit
       |  FROM ex e JOIN approx a ON a.qid = e.qid AND a.mid = e.mid
@@ -921,6 +944,7 @@ object Similarity {
       |FROM ne LEFT JOIN na ON ne.qid = na.qid
       |LEFT JOIN hits h ON ne.qid = h.qid
       |ORDER BY ne.qid""".stripMargin
+  }
 
   /** q97: IVF index-health audit — per learned cluster (the q31
     * Lloyd's chain): occupancy, corpus fraction, and pair-work share

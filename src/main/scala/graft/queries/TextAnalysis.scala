@@ -378,7 +378,7 @@ object TextAnalysis {
   private[queries] def q35(s: SparkSession, d: String): DataFrame = {
     val fps = fingerprintsOf(s, d, tbl(s, d, "documents"))
     val counted =
-      if (snapCount(s, d, "documents") <= graft.T.WindowRankCap)
+      if (graft.T.belowFence(snapCount(s, d, "documents"), graft.T.WindowRankCap))
         fps.withColumn("n_same_fp",
           count(lit(1)).over(Window.partitionBy("fp")).cast("long"))
       else {
