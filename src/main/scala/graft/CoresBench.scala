@@ -44,6 +44,16 @@ object CoresBench {
     }
     println(f"self-contained q48+q70+q80: runs=${self.map(t => f"$t%.2f").mkString(",")} min=${self.min}%.2f")
     println(f"materialized core + consumers: runs=${shared.map(t => f"$t%.2f").mkString(",")} min=${shared.min}%.2f")
+    // machine-readable artifact line for judge.sh --cores / BASELINE.md
+    // round tracking (the deployment-shape number the default bench
+    // deliberately cannot show)
+    val json = f"""{"metric":"cores_bench","unit":"sec","runs":$runs,""" +
+      f""""self_min":${self.min}%.2f,"shared_min":${shared.min}%.2f,""" +
+      f""""amortization":${self.min / shared.min}%.2f}"""
+    sys.env.get("SPARK_GRAFT_CORES_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), json.getBytes); ()
+    }
+    println(json)
     spark.stop()
   }
 }

@@ -370,8 +370,21 @@ object Similarity {
     * scale (sf3: k = 1172), so the sub-fence regime stays bit-exact
     * against the SQL replay, and the engaged regime is exercised by
     * the seeded-scalar tests (agreement + plan shape), the
-    * fence-family discipline. */
-  private[queries] val TwoLevelK = 2048L
+    * fence-family discipline. Round 11: additionally seedable via the
+    * env var SPARK_GRAFT_SEED_TWOLEVEL for the engaged-branch ORACLE
+    * sweep — when set, BOTH the Spark chain (this fence) and the
+    * DuckDB twins (lloydSql / the q31/q52/q97 assign CTEs) switch to
+    * the coarse/fine two-level form, so a full Verify + check run
+    * proves the engaged routing oracle-exact end to end (pick a
+    * corpus whose k exceeds the seed — sf1's k = 40 with seed 16).
+    * Never set in production. */
+  private[queries] val TwoLevelK: Long =
+    sys.env.get("SPARK_GRAFT_SEED_TWOLEVEL").map(_.toLong).getOrElse(2048L)
+
+  /** True when [[TwoLevelK]] is seeded for the engaged-branch oracle
+    * sweep — the oracle SQL builders emit the two-level twin. */
+  private val TwoLevelSeeded: Boolean =
+    sys.env.contains("SPARK_GRAFT_SEED_TWOLEVEL")
 
   /** Coarse groups each vector probes before the fine argmax — the
     * standard IVF multi-probe knob: 1 would make a vector near a
@@ -387,7 +400,20 @@ object Similarity {
     * the cid-sorted array — deterministic across runs. The floor-mean
     * (not the sum) keeps gs elements in the member-cs magnitude range
     * so the Spark-side BIGINT dot against a quantized vector can
-    * never overflow (a SUM of 10⁹ member vectors would). */
+    * never overflow (a SUM of 10⁹ member vectors would).
+    *
+    * Round 11: the routine now follows the SAME cross-engine
+    * replayability discipline as the main lloyd chain, so the
+    * two-level oracle twin ([[twoLevelAssignSql]]) can replay it
+    * bit-exactly — seeds stay INTEGER vectors at every step (initial
+    * seeds are the centroid vectors themselves; each update is the
+    * per-dim floor-mean, i.e. floor(exact-integer-sum / count), where
+    * the division is correctly rounded IEEE in both engines), and the
+    * assignment argmax compares round(cos, 6) with lowest-gid
+    * tie-break — the row_number() twin. The previous form iterated in
+    * raw rational-mean space with unrounded comparisons: value-fine
+    * for a driver-internal heuristic, but unreplayable in SQL
+    * (summation-order low bits could flip an argmax). */
   private[queries] def coarseGroups(rows: Array[(Long, Seq[Long], Double)])
       : (Array[(Long, Seq[Long], Double)], Array[(Long, Long, Seq[Long], Double)]) = {
     val sorted = rows.sortBy(_._1)
@@ -396,9 +422,9 @@ object Similarity {
     val dim = sorted.head._2.length
     val vecs = sorted.map(_._2.toArray)
     val nrm = sorted.map(_._3)
-    var seeds: Array[Array[Double]] =
-      vecs.take(kc).map(_.map(_.toDouble))
-    var seedNrm: Array[Double] = nrm.take(kc)
+    var seeds: Array[Array[Long]] = vecs.take(kc).map(_.clone())
+    var seedNrm: Array[Double] =
+      seeds.map(v => math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
     var gidOf: Array[Int] = Array.fill(k)(0)
     for (_ <- 0 until 2) {
       var i = 0
@@ -407,32 +433,42 @@ object Similarity {
         var g = 0
         while (g < kc) {
           val den = nrm(i) * seedNrm(g)
-          var dot = 0.0
+          // integer×integer products accumulated exactly (the ldot
+          // discipline), then ONE correctly-rounded division + round:
+          // identical in DuckDB whatever its summation order
+          var dot = 0L
           var j = 0
           while (j < dim) { dot += vecs(i)(j) * seeds(g)(j); j += 1 }
-          val cos = if (den > 0) dot / den else -1.0
+          // BigDecimal HALF_UP at scale 6 — the exact semantics of
+          // Spark's round(col, 6) (and the DuckDB twin's round(x, 6))
+          val cos =
+            if (den > 0) BigDecimal(dot.toDouble / den)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            else -1.0
           if (cos > bestCos) { bestCos = cos; best = g }
           g += 1
         }
         gidOf(i) = best
         i += 1
       }
-      val sums = Array.fill(kc)(new Array[Double](dim))
+      val sums = Array.fill(kc)(new Array[Long](dim))
       val cnt = new Array[Long](kc)
       var i2 = 0
       while (i2 < k) {
         val g = gidOf(i2); cnt(g) += 1
         var j = 0
-        while (j < dim) { sums(g)(j) += vecs(i2)(j).toDouble; j += 1 }
+        while (j < dim) { sums(g)(j) += vecs(i2)(j); j += 1 }
         i2 += 1
       }
       seeds = Array.tabulate(kc)(g =>
-        if (cnt(g) > 0) sums(g).map(_ / cnt(g)) else seeds(g))
-      seedNrm = seeds.map(v => math.sqrt(v.map(x => x * x).sum))
+        if (cnt(g) > 0)
+          sums(g).map(s => math.floor(s.toDouble / cnt(g)).toLong)
+        else seeds(g))
+      seedNrm = seeds.map(v => math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
     }
     val live = gidOf.distinct.sorted
     val coarse = live.map { g =>
-      val gs: Seq[Long] = seeds(g).map(x => math.floor(x).toLong).toSeq
+      val gs: Seq[Long] = seeds(g).toSeq
       val gn = math.sqrt(gs.map(x => x.toDouble * x.toDouble).sum)
       (g.toLong, gs, gn)
     }
@@ -480,6 +516,91 @@ object Similarity {
     * re-sum → assign → re-sum chain, seeded from the same
     * corpus-derived k (kdf ≡ [[ivfK]]). `sum(qd)` over integer-valued
     * doubles is exact, so `c2` is bit-identical to Spark's. */
+  /** Oracle twin of [[coarseGroups]] over the centroid CTE `cent`
+    * (columns cid, cs, cn), CTEs prefixed `p`: seeds = the kc = ⌈√k⌉
+    * lowest-cid centroids, two assignment+floor-mean-update passes
+    * (integer-exact sums, correctly-rounded division, floor —
+    * identical in both engines), empty groups keep their seed, live
+    * groups only. Emits `{p}coarse` (gid, gs, gn) and `{p}fine`
+    * (gid, cid, cs, cn). */
+  private def coarseCtes(p: String, cent: String): String = {
+    def assignPass(src: String, seeds: String): String =
+      s"""(SELECT cid, gid FROM (
+        |    SELECT o.cid, s.gid,
+        |           row_number() OVER (PARTITION BY o.cid
+        |             ORDER BY round(list_dot_product(o.cs, s.gs) / (o.cn * s.gn), 6) DESC,
+        |                      s.gid ASC) AS rn
+        |    FROM $src o CROSS JOIN $seeds s) WHERE rn = 1)""".stripMargin
+    def updatePass(assign: String, prev: String): String =
+      s"""(SELECT s.gid, coalesce(u.gs, s.gs) AS gs,
+        |        sqrt(list_dot_product(coalesce(u.gs, s.gs), coalesce(u.gs, s.gs))) AS gn
+        | FROM $prev s LEFT JOIN (
+        |   SELECT gid, list(fm ORDER BY d) AS gs FROM (
+        |     SELECT a.gid, e.d, floor(sum(e.qd) / count(*)) AS fm
+        |     FROM $assign a JOIN ${p}exp e USING (cid) GROUP BY 1, 2)
+        |   GROUP BY 1) u USING (gid))""".stripMargin
+    s"""${p}k AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS kc
+      |          FROM $cent),
+      |${p}ord AS MATERIALIZED (SELECT cid, cs, cn,
+      |            row_number() OVER (ORDER BY cid) - 1 AS idx FROM $cent),
+      |${p}exp AS MATERIALIZED (SELECT cid, unnest(cs) AS qd, generate_subscripts(cs, 1) AS d
+      |            FROM ${p}ord),
+      |${p}s0 AS MATERIALIZED (SELECT idx AS gid, cs AS gs, cn AS gn
+      |           FROM ${p}ord CROSS JOIN ${p}k WHERE idx < kc),
+      |${p}a1 AS MATERIALIZED ${assignPass(s"${p}ord", s"${p}s0")},
+      |${p}s1 AS MATERIALIZED ${updatePass(s"${p}a1", s"${p}s0")},
+      |${p}a2 AS MATERIALIZED ${assignPass(s"${p}ord", s"${p}s1")},
+      |${p}s2 AS MATERIALIZED ${updatePass(s"${p}a2", s"${p}s1")},
+      |${p}coarse AS MATERIALIZED (SELECT s.gid, s.gs, s.gn FROM ${p}s2 s
+      |               WHERE s.gid IN (SELECT gid FROM ${p}a2)),
+      |${p}fine AS MATERIALIZED (SELECT a.gid, o.cid, o.cs, o.cn
+      |             FROM ${p}a2 a JOIN ${p}ord o USING (cid))""".stripMargin
+  }
+
+  /** Single-level oracle assign subquery against centroid CTE `cent`:
+    * (vec_id, cid, v, nrm, q) rows with rank ≤ `keep` by rounded
+    * cosine (cid tie-break) — the [[assignTo]] twin. */
+  private def singleAssignSql(cent: String, keep: Int): String =
+    s"""SELECT vec_id, cid, v, nrm, q FROM (
+      |  SELECT qq.vec_id, $cent.cid, qq.v, qq.nrm, qq.q,
+      |         row_number() OVER (PARTITION BY qq.vec_id
+      |           ORDER BY round(list_dot_product(qq.q, $cent.cs) / (qq.qn * $cent.cn), 6) DESC,
+      |                    $cent.cid ASC) AS rn
+      |  FROM qq CROSS JOIN $cent) WHERE rn <= $keep""".stripMargin
+
+  /** Two-level oracle assign subquery — the [[assignRows]] engaged
+    * branch's twin: route each vector to its [[CoarseProbes]] best
+    * `{p}coarse` groups by rounded cosine, fine argmax over those
+    * groups' `{p}fine` centroids. Same output columns as
+    * [[singleAssignSql]]. */
+  private def twoLevelAssignSql(p: String, keep: Int): String =
+    s"""SELECT vec_id, cid, v, nrm, q FROM (
+      |  SELECT q2.vec_id, f.cid, q2.v, q2.nrm, q2.q, q2.qn,
+      |         row_number() OVER (PARTITION BY q2.vec_id
+      |           ORDER BY round(list_dot_product(q2.q, f.cs) / (q2.qn * f.cn), 6) DESC,
+      |                    f.cid ASC) AS rn
+      |  FROM (SELECT qq.*, r.gid FROM qq JOIN (
+      |          SELECT vec_id, gid FROM (
+      |            SELECT qq.vec_id, s.gid,
+      |                   row_number() OVER (PARTITION BY qq.vec_id
+      |                     ORDER BY round(list_dot_product(qq.q, s.gs) / (qq.qn * s.gn), 6) DESC,
+      |                              s.gid ASC) AS grn
+      |            FROM qq CROSS JOIN ${p}coarse s) WHERE grn <= $CoarseProbes) r
+      |        USING (vec_id)) q2
+      |  JOIN ${p}fine f ON f.gid = q2.gid) WHERE rn <= $keep""".stripMargin
+
+  /** CTE prelude for an assignment against `cent` — empty on the
+    * single-level (sub-fence) oracle path, the [[coarseCtes]] chain
+    * when the two-level sweep is seeded. */
+  private def assignCtes(cent: String, p: String): String =
+    if (!TwoLevelSeeded) "" else coarseCtes(p, cent) + ",\n"
+
+  /** The assignment subquery body matching the Spark-side
+    * [[assignRows]] fence state. */
+  private def assignBody(cent: String, p: String, keep: Int): String =
+    if (!TwoLevelSeeded) singleAssignSql(cent, keep)
+    else twoLevelAssignSql(p, keep)
+
   private val lloydSql =
     s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       |       WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
@@ -489,34 +610,24 @@ object Similarity {
       |qv AS (SELECT vec_id, v, nrm,
       |              list_transform(v, x -> CAST(floor(x * 1000) AS DOUBLE)) AS q
       |       FROM n),
-      |qq AS (SELECT vec_id, v, nrm, q, sqrt(list_dot_product(q, q)) AS qn FROM qv
+      |qq AS MATERIALIZED (SELECT vec_id, v, nrm, q, sqrt(list_dot_product(q, q)) AS qn FROM qv
       |       WHERE list_dot_product(q, q) > 0
       |         AND list_max(list_transform(q, x -> abs(x))) <= 1000000),
       |$kdfCte,
-      |c0 AS (SELECT vec_id AS cid, q AS cs, qn AS cn
+      |c0 AS MATERIALIZED (SELECT vec_id AS cid, q AS cs, qn AS cn
       |       FROM qq CROSS JOIN kdf WHERE vec_id < kk),
-      |a1 AS (SELECT cid, q FROM (
-      |         SELECT qq.vec_id, c0.cid, qq.q,
-      |                row_number() OVER (PARTITION BY qq.vec_id
-      |                  ORDER BY round(list_dot_product(qq.q, c0.cs) / (qq.qn * c0.cn), 6) DESC,
-      |                           c0.cid ASC) AS rn
-      |         FROM qq CROSS JOIN c0) WHERE rn = 1),
+      |${assignCtes("c0", "g0")}a1 AS (SELECT cid, q FROM (${assignBody("c0", "g0", 1)})),
       |s1 AS (SELECT cid, d, sum(qd) AS sd
       |       FROM (SELECT cid, unnest(q) AS qd, generate_subscripts(q, 1) AS d FROM a1) e
       |       GROUP BY 1, 2),
       |c1p AS (SELECT cid, list(sd ORDER BY d) AS cs FROM s1 GROUP BY 1),
-      |c1 AS (SELECT cid, cs, sqrt(list_dot_product(cs, cs)) AS cn FROM c1p),
-      |a2 AS (SELECT cid, q FROM (
-      |         SELECT qq.vec_id, c1.cid, qq.q,
-      |                row_number() OVER (PARTITION BY qq.vec_id
-      |                  ORDER BY round(list_dot_product(qq.q, c1.cs) / (qq.qn * c1.cn), 6) DESC,
-      |                           c1.cid ASC) AS rn
-      |         FROM qq CROSS JOIN c1) WHERE rn = 1),
+      |c1 AS MATERIALIZED (SELECT cid, cs, sqrt(list_dot_product(cs, cs)) AS cn FROM c1p),
+      |${assignCtes("c1", "g1")}a2 AS (SELECT cid, q FROM (${assignBody("c1", "g1", 1)})),
       |s2 AS (SELECT cid, d, sum(qd) AS sd
       |       FROM (SELECT cid, unnest(q) AS qd, generate_subscripts(q, 1) AS d FROM a2) e
       |       GROUP BY 1, 2),
       |c2p AS (SELECT cid, list(sd ORDER BY d) AS cs FROM s2 GROUP BY 1),
-      |c2 AS (SELECT cid, cs, sqrt(list_dot_product(cs, cs)) AS cn FROM c2p)""".stripMargin
+      |c2 AS MATERIALIZED (SELECT cid, cs, sqrt(list_dot_product(cs, cs)) AS cn FROM c2p)""".stripMargin
 
   /** q31: IVF-style ANN — centroids are learned with two deterministic
     * Lloyd's iterations from the vec_id < k seeds, k corpus-derived
@@ -544,15 +655,9 @@ object Similarity {
 
   private val q31Sql =
     s"""WITH $lloydSql,
-      |assign AS (
-      |  SELECT vec_id, cid AS cluster, v, nrm FROM (
-      |    SELECT qq.vec_id, c2.cid, qq.v, qq.nrm,
-      |           row_number() OVER (
-      |             PARTITION BY qq.vec_id
-      |             ORDER BY round(list_dot_product(qq.q, c2.cs) / (qq.qn * c2.cn), 6) DESC,
-      |                      c2.cid ASC) AS rn
-      |    FROM qq CROSS JOIN c2)
-      |  WHERE rn = 1),
+      |${assignCtes("c2", "g2")}assign AS (
+      |  SELECT vec_id, cid AS cluster, v, nrm
+      |  FROM (${assignBody("c2", "g2", 1)})),
       |$pfCte,
       |q AS (SELECT vec_id AS qid, cluster, v AS qv, nrm AS qn
       |      FROM assign CROSS JOIN pf WHERE vec_id % pf.pstep = 0)
@@ -599,15 +704,9 @@ object Similarity {
 
   private val q52Sql =
     s"""WITH $lloydSql,
-      |assign AS (
-      |  SELECT vec_id, cid AS cluster, v, nrm FROM (
-      |    SELECT qq.vec_id, c2.cid, qq.v, qq.nrm,
-      |           row_number() OVER (
-      |             PARTITION BY qq.vec_id
-      |             ORDER BY round(list_dot_product(qq.q, c2.cs) / (qq.qn * c2.cn), 6) DESC,
-      |                      c2.cid ASC) AS rn
-      |    FROM qq CROSS JOIN c2)
-      |  WHERE rn <= 2)
+      |${assignCtes("c2", "g2")}assign AS (
+      |  SELECT vec_id, cid AS cluster, v, nrm
+      |  FROM (${assignBody("c2", "g2", 2)}))
       |SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
       |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
       |FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
@@ -976,15 +1075,8 @@ object Similarity {
 
   private val q97Sql =
     s"""WITH $lloydSql,
-      |assign AS (
-      |  SELECT vec_id, cid FROM (
-      |    SELECT qq.vec_id, c2.cid,
-      |           row_number() OVER (
-      |             PARTITION BY qq.vec_id
-      |             ORDER BY round(list_dot_product(qq.q, c2.cs) / (qq.qn * c2.cn), 6) DESC,
-      |                      c2.cid ASC) AS rn
-      |    FROM qq CROSS JOIN c2)
-      |  WHERE rn = 1),
+      |${assignCtes("c2", "g2")}assign AS (
+      |  SELECT vec_id, cid FROM (${assignBody("c2", "g2", 1)})),
       |counts AS (SELECT cid, count(*) AS n_vecs FROM assign GROUP BY 1),
       |tot AS (SELECT sum(n_vecs) AS n_total,
       |               sum(n_vecs * n_vecs) AS ssq FROM counts)

@@ -8,12 +8,20 @@
 # full ScalaTest suite (streaming/stateful parity + plan-shape sweeps
 # + the suite-wide robustness sweeps; ~15 min).
 #
-# Usage: tools/judge.sh [--test]
+# Usage: tools/judge.sh [--test] [--cores]
+#   --cores additionally runs CoresBench (the materialized shared-core
+#   deployment shape, q48/q70/q80 over one Cores.materialize vs
+#   self-contained) and records it in the summary — the amortization
+#   number BASELINE.md tracks per round.
 set -e
 cd "$(dirname "$0")/.."
 
 TEST=0
-[ "$1" = "--test" ] && TEST=1
+CORES=0
+for a in "$@"; do
+  [ "$a" = "--test" ] && TEST=1
+  [ "$a" = "--cores" ] && CORES=1
+done
 
 echo "== 1/5 compile" >&2
 sbt -batch compile > /tmp/judge_compile.log 2>&1 || {
@@ -47,6 +55,16 @@ FLOORS=$(python3 tools/floors_gate.py /tmp/judge_bench.json 2>/tmp/judge_floors.
 echo "$FLOORS" > /tmp/judge_floors.json
 NREG=$(python3 -c "import json;print(len(json.load(open('/tmp/judge_floors.json'))['regressions']))")
 
+CORES_JSON='"skipped"'
+if [ "$CORES" = "1" ]; then
+  echo "== 4.7/5 cores bench (materialized shared-core shape)" >&2
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_CORES_OUT=/tmp/judge_cores.json tools/run.sh graft.CoresBench \
+    > /tmp/judge_cores.log 2>&1 \
+    && CORES_JSON=$(cat /tmp/judge_cores.json) \
+    || CORES_JSON='"FAILED (see /tmp/judge_cores.log)"'
+fi
+
 SUITE="skipped"
 SUITE_OK=1
 if [ "$TEST" = "1" ]; then
@@ -71,6 +89,7 @@ print(json.dumps({
   "bench_errors": int("$BENCH_ERRS"),
   "floor_flagged": sorted(floors["flagged"]),
   "floor_regressions": floors["regressions"],
+  "cores": $CORES_JSON,
   "suite": "$SUITE",
   "bench_json": "/tmp/judge_bench.json"}))
 EOF
