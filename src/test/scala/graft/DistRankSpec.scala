@@ -262,4 +262,35 @@ class DistRankSpec extends SparkSpec {
         s"ntileFromRank diverged from ntile($k) at n=$n")
     }
   }
+
+  test("non-total sortCols: local sort keys append remaining orderable columns, " +
+      "skip non-orderable ones, and ranks stay a legal tie-permutation") {
+    // heavy ties in the single sort key + a payload column that breaks
+    // them + a MAP column (not orderable — must be skipped, not crash):
+    // the recompute-determinism fix (round-11 ADVICE) sorts the stamped
+    // frame by every orderable column, so a lost persisted block
+    // re-derives the identical record numbering for ANY caller
+    val df = fixture(3000)
+      .withColumn("tie", pmod(col("v"), lit(5L)))
+      .withColumn("m", map(lit("k"), col("id"))) // MapType: unorderable
+    val got = T.distRank(df, Seq("lang"), Seq("tie"))
+    // ranks within each (lang) group must be exactly 1..n — a legal
+    // assignment among ties, no gaps, no duplicates
+    val bad = got.groupBy("lang")
+      .agg(count(lit(1)).as("n"), countDistinct(col("_dr_rank")).as("d"),
+        min(col("_dr_rank")).as("lo"), max(col("_dr_rank")).as("hi"))
+      .filter(col("n") =!= col("d") || col("lo") =!= 1L || col("hi") =!= col("n"))
+    assert(bad.isEmpty, "ranks must be a gap-free permutation per group")
+    // tie blocks must occupy contiguous rank ranges: every row's rank
+    // sits within [#{smaller ties}+1, #{smaller-or-equal ties}] —
+    // true for ANY legal tie assignment, violated if the local sort
+    // mixed tie groups
+    val bounds = df.groupBy("lang", "tie").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy("lang").orderBy("tie")))
+    val viol = got.join(bounds, Seq("lang", "tie"))
+      .filter(col("_dr_rank") > col("cum") ||
+        col("_dr_rank") <= col("cum") - col("cnt"))
+    assert(viol.isEmpty, "tie blocks must occupy contiguous rank ranges")
+  }
 }
