@@ -71,14 +71,25 @@ object StreamBench {
       s""""u":${u0 + 3},"b":${side(99900, -1)},"a":${side(100100, 1)}}"""
   }
 
+  /** Extra symbols for the parallelism measurement — same depth tape
+    * per symbol (identical work), so aggregate msgs/s reads directly
+    * as the symbol-scaling factor. */
+  private val MultiSyms = Seq("AAAUSDT", "BBBUSDT", "CCCUSDT", "DDDUSDT")
+
   private def genCorpus(root: Path, nTrades: Long, nDepth: Long,
       levels: Int): Unit = {
-    val marker = root.resolve(s"corpus_${nTrades}_${nDepth}_$levels.ok")
+    // v2: multi-symbol depth dirs added — the marker version keys the
+    // LAYOUT so an old corpus regenerates rather than silently missing
+    // the MultiSyms dirs
+    val marker = root.resolve(s"corpus_v2_${nTrades}_${nDepth}_$levels.ok")
     if (Files.exists(marker)) return
     writeLines(root.resolve("BTCUSDT.spot.trade"), 8,
       (0L until nTrades).map(tradeLine))
-    writeLines(root.resolve("BTCUSDT.spot.depth"), 8,
-      (0L until nDepth).map(depthLine(_, 100L, levels)))
+    val depth = (0L until nDepth).map(depthLine(_, 100L, levels))
+    writeLines(root.resolve("BTCUSDT.spot.depth"), 8, depth)
+    MultiSyms.foreach { s =>
+      writeLines(root.resolve(s"$s.spot.depth"), 8, depth)
+    }
     Files.createFile(marker)
     ()
   }
@@ -135,6 +146,41 @@ object StreamBench {
     (sec, outCount())
   }
 
+  /** The depth path's scale lever, measured: its ceiling is the
+    * PER-SYMBOL serial sync state machine (one fMGWS group), so
+    * throughput scales with independent symbol pipelines, not with
+    * executors per symbol. Drives [[MultiSyms]].size identical depth
+    * pipelines concurrently in one session (each its own query,
+    * checkpoint, and parquet sink — the Runner fan-out shape) and
+    * returns (seconds, total output rows) for the aggregate. */
+  private def runDepthMulti(spark: org.apache.spark.sql.SparkSession,
+      corpus: Path, levels: Int): (Double, Long) = {
+    val work = Files.createTempDirectory("sb-depth-multi")
+    val t0 = System.nanoTime()
+    val outDirs = MultiSyms.map { sym =>
+      val src = new FileReplaySource(corpus.toString, Some(ArrivalMs))
+      val id = EventId.parse(s"binance.spot.$sym.depth")
+      val rows = Pipelines.depthRows(BookSynchronizer.apply(
+        Pipelines.depthRecords(src.stream(spark, id)),
+        id.market, id.symbol, snapshot(levels)))
+      val outDir = work.resolve(s"out-$sym").toString
+      val q = rows
+        .withColumn("ingest_date",
+          to_date(timestamp_millis(col("local_timestamp"))))
+        .writeStream
+        .format("parquet")
+        .partitionBy("ingest_date")
+        .option("path", outDir)
+        .option("checkpointLocation", work.resolve(s"ckpt-$sym").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      (q, outDir)
+    }
+    outDirs.foreach(_._1.awaitTermination())
+    val sec = (System.nanoTime() - t0) / 1e9
+    (sec, outDirs.map(o => spark.read.parquet(o._2).count()).sum)
+  }
+
   def main(args: Array[String]): Unit = {
     val corpusRoot = Paths.get(
       args.headOption.getOrElse("/tmp/graft_streambench"))
@@ -154,6 +200,11 @@ object StreamBench {
       val (sec, rows) = runOne(spark, corpusRoot, p, s, levels)
       val msgs = if (p == "trade") nTrades else nDepth
       s"$p" + "_" + s -> (sec, rows, msgs)
+    } :+ {
+      runDepthMulti(spark, warmRoot, levels) // warmup, unbilled
+      val (sec, rows) = runDepthMulti(spark, corpusRoot, levels)
+      s"depth_parquet_x${MultiSyms.size}" ->
+        (sec, rows, nDepth * MultiSyms.size)
     }
     val json = "{\"metric\":\"stream_throughput\",\"unit\":\"rows_per_sec\"," +
       s""""corpus":{"trade_msgs":$nTrades,"depth_msgs":$nDepth,""" +
