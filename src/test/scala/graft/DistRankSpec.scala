@@ -293,4 +293,21 @@ class DistRankSpec extends SparkSpec {
         col("_dr_rank") <= col("cum") - col("cnt"))
     assert(viol.isEmpty, "tie blocks must occupy contiguous rank ranges")
   }
+
+  test("unpersistRanks is safe at any point: release before consumption, values intact") {
+    // the docstring contract: releasing the stamped-frame cache is
+    // safe mid-flight — an in-flight consumer just recomputes from the
+    // deterministic shuffle output (the round-11 localSortKeys
+    // guarantee) — and a drained registry is a no-op
+    val df = fixture(2000)
+    val ranked = T.distRank(df, Nil, Seq("v", "id"))
+    T.unpersistRanks() // BEFORE the consuming action: recompute path
+    val want = df.withColumn("rn",
+        row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select(col("id"), col("rn"))
+    val got = ranked.select(col("id"), col("_dr_rank"))
+    assert(got.join(want, "id").filter(col("_dr_rank") =!= col("rn")).isEmpty,
+      "ranks must survive an early cache release")
+    T.unpersistRanks() // drained registry: no-op
+  }
 }
