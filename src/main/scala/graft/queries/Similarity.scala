@@ -559,14 +559,22 @@ object Similarity {
 
   /** Single-level oracle assign subquery against centroid CTE `cent`:
     * (vec_id, cid, v, nrm, q) rows with rank ≤ `keep` by rounded
-    * cosine (cid tie-break) — the [[assignTo]] twin. */
+    * cosine (cid tie-break) — the [[assignTo]] twin. The cosine is
+    * pre-projected BELOW the window and the heavy vector columns are
+    * joined back AFTER it, so the n·k window sort buffer holds slim
+    * (vec_id, cid, cos) rows — the q95-oracle lesson: with the
+    * DOUBLE[64] payloads riding the sort, the sf10 assign (200k·391
+    * rows ≈ 100 GB buffered) OOM-killed DuckDB. */
   private def singleAssignSql(cent: String, keep: Int): String =
-    s"""SELECT vec_id, cid, v, nrm, q FROM (
-      |  SELECT qq.vec_id, $cent.cid, qq.v, qq.nrm, qq.q,
-      |         row_number() OVER (PARTITION BY qq.vec_id
-      |           ORDER BY round(list_dot_product(qq.q, $cent.cs) / (qq.qn * $cent.cn), 6) DESC,
-      |                    $cent.cid ASC) AS rn
-      |  FROM qq CROSS JOIN $cent) WHERE rn <= $keep""".stripMargin
+    s"""SELECT a.vec_id, a.cid, qq.v, qq.nrm, qq.q FROM (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |           row_number() OVER (PARTITION BY vec_id
+      |             ORDER BY cos DESC, cid ASC) AS rn
+      |    FROM (SELECT qq.vec_id, $cent.cid,
+      |                 round(list_dot_product(qq.q, $cent.cs) / (qq.qn * $cent.cn), 6) AS cos
+      |          FROM qq CROSS JOIN $cent))
+      |  WHERE rn <= $keep) a JOIN qq ON qq.vec_id = a.vec_id""".stripMargin
 
   /** Two-level oracle assign subquery — the [[assignRows]] engaged
     * branch's twin: route each vector to its [[CoarseProbes]] best
@@ -574,20 +582,24 @@ object Similarity {
     * groups' `{p}fine` centroids. Same output columns as
     * [[singleAssignSql]]. */
   private def twoLevelAssignSql(p: String, keep: Int): String =
-    s"""SELECT vec_id, cid, v, nrm, q FROM (
-      |  SELECT q2.vec_id, f.cid, q2.v, q2.nrm, q2.q, q2.qn,
-      |         row_number() OVER (PARTITION BY q2.vec_id
-      |           ORDER BY round(list_dot_product(q2.q, f.cs) / (q2.qn * f.cn), 6) DESC,
-      |                    f.cid ASC) AS rn
-      |  FROM (SELECT qq.*, r.gid FROM qq JOIN (
-      |          SELECT vec_id, gid FROM (
-      |            SELECT qq.vec_id, s.gid,
-      |                   row_number() OVER (PARTITION BY qq.vec_id
-      |                     ORDER BY round(list_dot_product(qq.q, s.gs) / (qq.qn * s.gn), 6) DESC,
-      |                              s.gid ASC) AS grn
-      |            FROM qq CROSS JOIN ${p}coarse s) WHERE grn <= $CoarseProbes) r
-      |        USING (vec_id)) q2
-      |  JOIN ${p}fine f ON f.gid = q2.gid) WHERE rn <= $keep""".stripMargin
+    s"""SELECT a.vec_id, a.cid, qq.v, qq.nrm, qq.q FROM (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |           row_number() OVER (PARTITION BY vec_id
+      |             ORDER BY cos DESC, cid ASC) AS rn
+      |    FROM (SELECT qq.vec_id, f.cid,
+      |                 round(list_dot_product(qq.q, f.cs) / (qq.qn * f.cn), 6) AS cos
+      |          FROM (SELECT vec_id, gid FROM (
+      |                  SELECT vec_id, gid,
+      |                         row_number() OVER (PARTITION BY vec_id
+      |                           ORDER BY gcos DESC, gid ASC) AS grn
+      |                  FROM (SELECT qq.vec_id, s.gid,
+      |                               round(list_dot_product(qq.q, s.gs) / (qq.qn * s.gn), 6) AS gcos
+      |                        FROM qq CROSS JOIN ${p}coarse s))
+      |                WHERE grn <= $CoarseProbes) r
+      |          JOIN qq ON qq.vec_id = r.vec_id
+      |          JOIN ${p}fine f ON f.gid = r.gid))
+      |  WHERE rn <= $keep) a JOIN qq ON qq.vec_id = a.vec_id""".stripMargin
 
   /** CTE prelude for an assignment against `cent` — empty on the
     * single-level (sub-fence) oracle path, the [[coarseCtes]] chain

@@ -36,6 +36,14 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    # honor SPARK_GRAFT_ONLY like graft.Verify does, so a selective
+    # check against a FULL verify output dir stays selective (before
+    # round 11 the filter silently only worked when Verify itself had
+    # been limited, because Verify also limits oracle_sql.json)
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        keep = set(only.split(","))
+        oracles = {k: v for k, v in oracles.items() if k in keep}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
