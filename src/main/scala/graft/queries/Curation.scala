@@ -256,15 +256,36 @@ object Curation {
       .orderBy("span_hash")
   }
 
+  // sf10-scalable oracle formulation (round 11). Two lessons learned
+  // bisecting a 90+ GB DuckDB OOM on the old shape at 500k docs:
+  // (a) the chunkCtes unnest carries each doc's FULL token array per
+  //     chunk row — spans are now built INSIDE the row by a
+  //     list_transform lambda (full 8-token chunks are exactly
+  //     ci = 0 .. len(t)//8 - 1), so only slim (doc_id, ci, span)
+  //     rows explode;
+  // (b) DuckDB 1.0's hash aggregate OOMs EMITTING a raw string key or
+  //     struct-min payload at ~3M string groups, while emitting
+  //     md5(key) and BIGINT aggregates streams fine — so the group
+  //     output is md5(span) (all the final select needs) and kept is
+  //     the packed-BIGINT argmin the SPARK side uses anyway
+  //     (doc_id·2^20 + ci ≡ lexicographic (doc_id, ci) min while
+  //     ci < 2^20, i.e. docs under 8M tokens — the corpus contract).
+  // Values identical: same position-ordered spans, same kept pair.
   private val q72Sql =
-    s"""WITH ${chunkCtes(8)},
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(0, len(t) // 8),
+      |           ci -> {'ci': ci,
+      |                  'span': array_to_string(t[(ci*8+1):(ci*8+8)], ' ')})) AS u
+      |  FROM t),
       |g AS (
-      |  SELECT array_to_string(chunk, ' ') AS span,
-      |         min({'d': doc_id, 'c': ci}) AS kept,
+      |  SELECT md5(u.span) AS span_hash,
+      |         min(doc_id * 1048576 + u.ci) AS kept,
       |         count(*) AS n_copies
-      |  FROM c WHERE len(chunk) = 8 GROUP BY 1)
-      |SELECT md5(span) AS span_hash, kept.d AS kept_doc_id,
-      |       CAST(kept.c AS BIGINT) AS kept_chunk_idx, n_copies
+      |  FROM c GROUP BY u.span)
+      |SELECT span_hash, kept // 1048576 AS kept_doc_id,
+      |       CAST(kept % 1048576 AS BIGINT) AS kept_chunk_idx, n_copies
       |FROM g WHERE n_copies > 1 ORDER BY span_hash""".stripMargin
 
   /** q74: deterministic training-order shuffle — the reproducible

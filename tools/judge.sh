@@ -8,19 +8,24 @@
 # full ScalaTest suite (streaming/stateful parity + plan-shape sweeps
 # + the suite-wide robustness sweeps; ~15 min).
 #
-# Usage: tools/judge.sh [--test] [--cores]
+# Usage: tools/judge.sh [--test] [--cores] [--stream]
 #   --cores additionally runs CoresBench (the materialized shared-core
 #   deployment shape, q48/q70/q80 over one Cores.materialize vs
 #   self-contained) and records it in the summary — the amortization
 #   number BASELINE.md tracks per round.
+#   --stream additionally runs StreamBench (the s01→s06 replay
+#   throughput baseline: trade/depth × csv/parquet + the ×4-symbol
+#   parallelism row) — compare against BASELINE.md's streaming table.
 set -e
 cd "$(dirname "$0")/.."
 
 TEST=0
 CORES=0
+STREAM=0
 for a in "$@"; do
   [ "$a" = "--test" ] && TEST=1
   [ "$a" = "--cores" ] && CORES=1
+  [ "$a" = "--stream" ] && STREAM=1
 done
 
 echo "== 1/5 compile" >&2
@@ -65,6 +70,15 @@ if [ "$CORES" = "1" ]; then
     || CORES_JSON='"FAILED (see /tmp/judge_cores.log)"'
 fi
 
+STREAM_JSON='"skipped"'
+if [ "$STREAM" = "1" ]; then
+  echo "== 4.8/5 stream bench (replay pipeline throughput)" >&2
+  SPARK_GRAFT_CPUS=32 SPARK_GRAFT_STREAM_OUT=/tmp/judge_stream.json \
+    tools/run.sh graft.streaming.StreamBench > /tmp/judge_stream.log 2>&1 \
+    && STREAM_JSON=$(cat /tmp/judge_stream.json) \
+    || STREAM_JSON='"FAILED (see /tmp/judge_stream.log)"'
+fi
+
 SUITE="skipped"
 SUITE_OK=1
 if [ "$TEST" = "1" ]; then
@@ -90,6 +104,7 @@ print(json.dumps({
   "floor_flagged": sorted(floors["flagged"]),
   "floor_regressions": floors["regressions"],
   "cores": $CORES_JSON,
+  "stream": $STREAM_JSON,
   "suite": "$SUITE",
   "bench_json": "/tmp/judge_bench.json"}))
 EOF
