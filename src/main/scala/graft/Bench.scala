@@ -33,9 +33,15 @@ object Bench {
     * extensions). */
   private[graft] def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle partitions default to the core count (right for the
+    // bench scales) but are overridable for scale rehearsals: at sf10
+    // the exploded shingle frame is ~27M rows, and 24 partitions put
+    // >1M-row sorts in each task — the "size shuffle.partitions to
+    // the SF" guidance, measurable here via SPARK_GRAFT_SHUFFLE
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
