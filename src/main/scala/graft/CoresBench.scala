@@ -42,14 +42,38 @@ object CoresBench {
           .orderBy("source"))
       }
     }
+    // LSH-core family (round-11 judge task 6): q55/q88 re-pay q28's
+    // banded candidate join; the materialized path computes it once
+    Seq("q55_curation_pipeline", "q88_minhash_estimate")
+      .foreach(q => Bench.exec(SparkEntry.queries(q)(spark, Bench.WarmupDir)))
+    val lshSelf = (1 to runs).map { _ =>
+      time {
+        Seq("q55_curation_pipeline", "q88_minhash_estimate")
+          .foreach(q => Bench.exec(SparkEntry.queries(q)(spark, sfDir)))
+      }
+    }
+    val lshShared = (1 to runs).map { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("coresbench-lsh").toString
+      time {
+        graft.queries.Cores.materializeLsh(spark, sfDir, dir)
+        val c = graft.queries.Cores.lshCandidates(spark, dir)
+        Bench.exec(graft.queries.Pipeline.q55From(spark, sfDir, c))
+        Bench.exec(graft.queries.Dedup.q88From(spark, sfDir, c))
+      }
+    }
+
     println(f"self-contained q48+q70+q80: runs=${self.map(t => f"$t%.2f").mkString(",")} min=${self.min}%.2f")
     println(f"materialized core + consumers: runs=${shared.map(t => f"$t%.2f").mkString(",")} min=${shared.min}%.2f")
+    println(f"self-contained q55+q88: runs=${lshSelf.map(t => f"$t%.2f").mkString(",")} min=${lshSelf.min}%.2f")
+    println(f"materialized LSH core + consumers: runs=${lshShared.map(t => f"$t%.2f").mkString(",")} min=${lshShared.min}%.2f")
     // machine-readable artifact line for judge.sh --cores / BASELINE.md
     // round tracking (the deployment-shape number the default bench
     // deliberately cannot show)
     val json = f"""{"metric":"cores_bench","unit":"sec","runs":$runs,""" +
       f""""self_min":${self.min}%.2f,"shared_min":${shared.min}%.2f,""" +
-      f""""amortization":${self.min / shared.min}%.2f}"""
+      f""""amortization":${self.min / shared.min}%.2f,""" +
+      f""""lsh_self_min":${lshSelf.min}%.2f,"lsh_shared_min":${lshShared.min}%.2f,""" +
+      f""""lsh_amortization":${lshSelf.min / lshShared.min}%.2f}"""
     sys.env.get("SPARK_GRAFT_CORES_OUT").foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p), json.getBytes); ()
     }

@@ -42,9 +42,17 @@ object GenScale {
   private[graft] val Stride = 10_000_000L
 
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, destDir) = args.take(2)
-    val replicas = if (args.length > 2) args(2).toInt else 10
+    // flags are not positional: `GenScale src dest --zipf` must not
+    // parse "--zipf" as the replica count (round-11 ADVICE)
+    val pos = args.filterNot(_.startsWith("--"))
+    val Array(srcDir, destDir) = pos.take(2)
+    val replicas = pos.lift(2).map(_.toInt).getOrElse(10)
     zipf = args.contains("--zipf")
+    // --docs-passthrough: replicate EMBEDDINGS only, byte-copy
+    // documents with the other tables — the ANN-ladder rehearsal
+    // (k > TwoLevelK needs ~1M vectors; replicating documents 60x
+    // would just burn disk on queries the sweep doesn't run)
+    val docsPassthrough = args.contains("--docs-passthrough")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -54,8 +62,9 @@ object GenScale {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(destDir).mkdirs()
 
-    writeReplicated(documentsReplica(spark, srcDir, _), replicas,
-      s"$destDir/documents.parquet")
+    if (!docsPassthrough)
+      writeReplicated(documentsReplica(spark, srcDir, _), replicas,
+        s"$destDir/documents.parquet")
     writeReplicated(embeddingsReplica(spark, srcDir, _), replicas,
       s"$destDir/embeddings.parquet")
 
@@ -65,8 +74,9 @@ object GenScale {
     // (micros / int64), which breaks the DuckDB oracle's timestamp
     // arithmetic against the copied tables (found by the full sf1
     // oracle sweep: date_trunc(BIGINT) / Timestamp(MS) binder errors)
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events").foreach { t =>
+    (Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events") ++
+      (if (docsPassthrough) Seq("documents") else Seq.empty)).foreach { t =>
       val src = java.nio.file.Paths.get(s"$srcDir/$t.parquet")
       val dst = java.nio.file.Paths.get(s"$destDir/$t.parquet")
       // a stale dest (e.g. a directory from an earlier run) blocks a

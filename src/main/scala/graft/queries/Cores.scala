@@ -37,8 +37,7 @@ object Cores {
   def materialize(s: SparkSession, d: String, dir: String,
       shards: Int = 8): Unit = {
     materializePairs(s, d, dir, shards)
-    Dedup.lshCandidates(s, d).repartition(shards)
-      .write.mode("overwrite").parquet(s"$dir/lsh_candidates.parquet")
+    materializeLsh(s, d, dir, shards)
     Similarity.lloydCentroids(s, d).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/lloyd_centroids.parquet")
   }
@@ -54,7 +53,15 @@ object Cores {
   def nearDupPairs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/near_dup_pairs.parquet")
 
-  /** (da, db, est_jaccard) — q28's banded candidates, read from `dir`. */
+  /** Just the LSH candidate core — what the q55/q88 consumer family
+    * reads (CoresBench times this against their self-contained forms,
+    * round-12 extension of the pair-core pattern). */
+  def materializeLsh(s: SparkSession, d: String, dir: String,
+      shards: Int = 8): Unit =
+    Dedup.lshCandidates(s, d).repartition(shards)
+      .write.mode("overwrite").parquet(s"$dir/lsh_candidates.parquet")
+
+  /** (da, db) — q28's banded candidate pairs, read from `dir`. */
   def lshCandidates(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lsh_candidates.parquet")
 

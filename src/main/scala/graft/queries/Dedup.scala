@@ -474,10 +474,17 @@ object Dedup {
     * pair-overlap core, LEFT-joined so a candidate with no capped
     * shingle overlap (possible once the df cap bites at real scale)
     * still reports, with jaccard 0. */
-  private def q88(s: SparkSession, d: String): DataFrame = {
+  private def q88(s: SparkSession, d: String): DataFrame =
+    q88From(s, d, lshCandidates(s, d))
+
+  /** q88 over an injectable candidate frame — the materialized-LSH-core
+    * consumer (Cores.lshCandidates), parity-proven by CoresParitySpec
+    * like the q48/q70/q80 pair-core family. */
+  private[graft] def q88From(s: SparkSession, d: String,
+      cand: DataFrame): DataFrame = {
     val mh = MinHashLsh.minhashArray(
       spread(tbl(s, d, "documents"), col("doc_id")))
-    val est = lshCandidates(s, d)
+    val est = cand
       .join(mh.select(col("doc_id").as("da"), col("mh").as("mha")), Seq("da"))
       .join(mh.select(col("doc_id").as("db"), col("mh").as("mhb")), Seq("db"))
       .select(col("da"), col("db"),

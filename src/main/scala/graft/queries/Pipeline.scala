@@ -31,7 +31,23 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  private def q55(s: SparkSession, d: String): DataFrame = {
+  private def q55(s: SparkSession, d: String): DataFrame = q55Impl(s, d, None)
+
+  /** q55 over an injectable full-corpus LSH candidate frame (da, db) —
+    * the materialized-core consumer (Cores.lshCandidates). Value-equal
+    * to the self-contained form BY CONSTRUCTION: a band signature is a
+    * row-local function of one document's text, so a pair is a
+    * candidate iff its OWN two signatures collide — independent of
+    * which other documents exist. The full-corpus candidate set
+    * restricted to survivor×survivor pairs is therefore exactly the
+    * candidate set built over survivors (band count r also matches:
+    * both derive it from the FULL corpus count — see the stage-3
+    * comment). CoresParitySpec pins the equality. */
+  private[graft] def q55From(s: SparkSession, d: String,
+      cand: DataFrame): DataFrame = q55Impl(s, d, Some(cand))
+
+  private def q55Impl(s: SparkSession, d: String,
+      cand: Option[DataFrame]): DataFrame = {
     // 1. quality gate — the UNSORTED q33 body: composing q33 itself
     // would inline its corpus-wide output sort only to destroy the
     // order in the next join.
@@ -63,19 +79,30 @@ object Pipeline {
     // q28 (one scheme; survivors are a subset, so 0.1% of the band
     // choice's input is noise either way), mirrored in the oracle —
     // read from the cached T.snapCount snapshot scalar like q28.
-    val r = if (snapCount(s, d, "documents") > 8000) 8 else 4
-    val sigs = MinHashLsh.bandSignatures(
-        spread(tbl(s, d, "documents")
-          .join(exactKept.select(col("doc_id")), Seq("doc_id")),
-          col("doc_id"), gauge = tbl(s, d, "documents")),
-        lit(r))
-      .repartition(col("band"), col("sig"))
-    val dropped = sigs.select(col("doc_id").as("da"), col("band"), col("sig"))
-      .join(sigs.select(col("doc_id").as("db"), col("band").as("band_b"),
-        col("sig").as("sig_b")),
-        col("band") === col("band_b") && col("sig") === col("sig_b") &&
-          col("da") < col("db"))
-      .select(col("db").as("doc_id")).distinct()
+    val dropped = cand match {
+      case Some(c) =>
+        // materialized-core path: restrict the full-corpus candidates
+        // to survivor×survivor pairs (see q55From's equality argument)
+        val ids = exactKept.select(col("doc_id"))
+        c.select(col("da"), col("db"))
+          .join(ids.withColumnRenamed("doc_id", "da"), Seq("da"))
+          .join(ids.withColumnRenamed("doc_id", "db"), Seq("db"))
+          .select(col("db").as("doc_id")).distinct()
+      case None =>
+        val r = if (snapCount(s, d, "documents") > 8000) 8 else 4
+        val sigs = MinHashLsh.bandSignatures(
+            spread(tbl(s, d, "documents")
+              .join(exactKept.select(col("doc_id")), Seq("doc_id")),
+              col("doc_id"), gauge = tbl(s, d, "documents")),
+            lit(r))
+          .repartition(col("band"), col("sig"))
+        sigs.select(col("doc_id").as("da"), col("band"), col("sig"))
+          .join(sigs.select(col("doc_id").as("db"), col("band").as("band_b"),
+            col("sig").as("sig_b")),
+            col("band") === col("band_b") && col("sig") === col("sig_b") &&
+              col("da") < col("db"))
+          .select(col("db").as("doc_id")).distinct()
+    }
     // dropped is an id set of near-dup victims — broadcast the
     // anti-join so the survivor frame is never exchanged+sorted for
     // it, but FENCED (T.hintIdSet): the set grows ~linearly with the

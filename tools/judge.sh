@@ -68,6 +68,17 @@ if [ "$CORES" = "1" ]; then
     > /tmp/judge_cores.log 2>&1 \
     && CORES_JSON=$(cat /tmp/judge_cores.json) \
     || CORES_JSON='"FAILED (see /tmp/judge_cores.log)"'
+  # the materialized deployment shape gets its own floor gate (3x rule
+  # + ratchet, "cores:" keys in tools/floors.json) so a regression in
+  # the production path is caught here, not by a judge two rounds later
+  if [ -s /tmp/judge_cores.json ]; then
+    CFLOORS=$(python3 tools/floors_gate.py --cores /tmp/judge_cores.json \
+      2>>/tmp/judge_floors.log \
+      || echo '{"flagged":{},"regressions":["cores floors_gate crashed"],"floors_updated":0}')
+    CREG=$(echo "$CFLOORS" | python3 -c "import json,sys;print(len(json.load(sys.stdin)['regressions']))")
+    NREG=$((NREG + CREG))
+    echo "$CFLOORS" > /tmp/judge_cores_floors.json
+  fi
 fi
 
 STREAM_JSON='"skipped"'
@@ -92,8 +103,11 @@ if [ "$TEST" = "1" ]; then
 fi
 
 SUMMARY=$(python3 - <<EOF
-import json
+import json, os
 floors = json.load(open('/tmp/judge_floors.json'))
+cfl = {"regressions": []}
+if os.path.exists('/tmp/judge_cores_floors.json') and "$CORES" == "1":
+    cfl = json.load(open('/tmp/judge_cores_floors.json'))
 print(json.dumps({
   "ok": int("$NFAIL") == 0 and int("$BENCH_ERRS") == 0
         and int("$SMOKE") > 0 and int("$SUITE_OK") == 1
@@ -102,7 +116,7 @@ print(json.dumps({
   "entry_rows": int("$SMOKE"), "bench_total_sec": float("$BENCH_TOTAL"),
   "bench_errors": int("$BENCH_ERRS"),
   "floor_flagged": sorted(floors["flagged"]),
-  "floor_regressions": floors["regressions"],
+  "floor_regressions": floors["regressions"] + cfl["regressions"],
   "cores": $CORES_JSON,
   "stream": $STREAM_JSON,
   "suite": "$SUITE",
