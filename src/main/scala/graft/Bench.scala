@@ -39,13 +39,23 @@ object Bench {
     // >1M-row sorts in each task — the "size shuffle.partitions to
     // the SF" guidance, measurable here via SPARK_GRAFT_SHUFFLE
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // free-form conf overrides for scale rehearsals ("k=v;k=v") — e.g.
+    // spark.sql.adaptive.coalescePartitions.parallelismFirst=false,
+    // without which AQE coalesces every post-shuffle stage back to the
+    // core count and SPARK_GRAFT_SHUFFLE can't actually shrink
+    // per-task reduce state
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.contains('='))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
+    b.getOrCreate()
   }
 
   private def loadAvg(): String =
