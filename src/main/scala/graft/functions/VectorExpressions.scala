@@ -147,9 +147,14 @@ object VectorFunctions {
     * (idempotent); call once per query, then reference it with
     * `expr("dot_product(colA, colB)")` — the registry route keeps us
     * off Column's private expression constructor. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", dotProductBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_assign", TopKAssignFunction.assignBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_route", TopKAssignFunction.routeBuilder, "built-in")
+  }
 
   /** Convenience: dot_product over two columns known by name. */
   def dot(a: String, b: String): Column = expr(s"dot_product($a, $b)")

@@ -320,8 +320,9 @@ object Similarity {
   private[queries] def lloydCentroids(s: SparkSession, d: String): DataFrame =
     lloyd(s, d)._2
 
-  /** Two deterministic Lloyd's iterations from the vec_id < k seeds,
-    * k corpus-derived ([[ivfK]]; = 8 at every test scale):
+  /** Two deterministic Lloyd's iterations from the k lowest-vec_id
+    * qualifying seeds (rank-based, not `vec_id < k` — see the c0
+    * comment), k corpus-derived ([[ivfK]]; = 8 at every test scale):
     * (vec_id, v, nrm, q, qn) × learned centroids (cid, cs, cn).
     *
     * The centroid table is MEMOIZED per corpus dir (the
@@ -357,7 +358,15 @@ object Similarity {
       def collectC(df: DataFrame): Array[(Long, Seq[Long], Double)] =
         df.select(col("cid"), col("cs"), col("cn")).collect().map(r =>
           (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
-      val c0 = collectC(qv.filter(col("vec_id") < lit(ivfK(s, d)))
+      // seeds = the k LOWEST qualifying vec_ids (TakeOrdered, k rows),
+      // NOT `vec_id < k`: production id spaces are sparse — the 1.1M
+      // GenScale rehearsal (ids striped by 10M per replica) silently
+      // degraded `vec_id < 2149` to the 2000 replica-0 ids, capping k
+      // below the two-level crossover. Rank-based seeding is identical
+      // on contiguous ids (every test corpus) and the oracle's c0 CTE
+      // replays the same row_number() rule.
+      val c0 = collectC(qv
+        .orderBy(col("vec_id")).limit(ivfK(s, d).toInt)
         .select(col("vec_id").as("cid"), col("q").as("cs"), col("qn").as("cn")))
       val c1 = collectC(recompute(
         assignRows(s, qv, c0, 1).select(col("cid"), col("q"))))
@@ -519,23 +528,37 @@ object Similarity {
     * against the exhaustive argmax on a deterministic corpus. */
   private[queries] def assignRows(s: SparkSession, v: DataFrame,
       rows: Array[(Long, Seq[Long], Double)], keep: Int): DataFrame = {
-    import s.implicits._
-    if (rows.length <= TwoLevelK) assignTo(v, rows.toSeq.toDF("cid", "cs", "cn"), keep)
-    else {
-      val (coarse, fine) = coarseGroups(rows)
-      val wg = Window.partitionBy("vec_id").orderBy(col("gcos").desc, col("gid").asc)
-      val routed = v.join(broadcast(coarse.toSeq.toDF("gid", "gs", "gn")), lit(true))
-        .withColumn("gcos", guardedCos(col("qn"), col("gn"), "gs"))
-        .withColumn("grn", row_number().over(wg))
-        .filter(col("grn") <= CoarseProbes)
-        .drop("grn", "gcos", "gs", "gn")
-      val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
-      routed.join(broadcast(fine.toSeq.toDF("gid", "cid", "cs", "cn")), Seq("gid"))
-        .withColumn("ccos", guardedCos(col("qn"), col("cn"), "cs"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= keep)
-        .drop("rn", "cs", "cn", "gid")
-    }
+    graft.functions.VectorFunctions.register(s)
+    val assigned =
+      if (rows.length <= TwoLevelK)
+        // flat: one projection through the codegen'd topk_assign
+        // kernel. The previous shape — broadcast join against the
+        // k-row table, then row_number() over (vec_id) — forced an
+        // n·k-row exchange+SORT with every row dragging the ~0.5 KB
+        // quantized vector: measured spilling tens of GB per pass on
+        // the 1.1M-vector / k=2149 rehearsal corpus. The kernel is
+        // value-identical (same rounded cosine, same ccos-desc/cid-asc
+        // order — the oracle twins are untouched) and row-local: zero
+        // shuffle at ANY n. The literal centroid table is ≤ TwoLevelK
+        // rows ≈ 1 MB, riding the once-per-stage task binary.
+        v.select(col("*"), explode(call_function("topk_assign",
+          col("q"), col("qn"), lit(keep), typedLit(rows.toSeq))).as("_a"))
+      else {
+        // two-level: coarse routing + fine argmax fused into the
+        // topk_route kernel — kc + probes·k/kc dots per row instead
+        // of k, still one row-local projection. The fine-table
+        // literal ships the same bytes the previous broadcast hash
+        // join shipped, without the per-vec candidate explosion or
+        // the window sort above it.
+        val (coarse, fine) = coarseGroups(rows)
+        v.select(col("*"), explode(call_function("topk_route",
+          col("q"), col("qn"), lit(keep), lit(CoarseProbes),
+          typedLit(coarse.toSeq), typedLit(fine.toSeq))).as("_a"))
+      }
+    assigned
+      .withColumn("cid", col("_a").getField("cid"))
+      .withColumn("ccos", col("_a").getField("ccos"))
+      .drop("_a")
   }
 
   /** SQL twin of [[guardedCos]]: the rounded cosine with the
@@ -661,7 +684,8 @@ object Similarity {
       |         AND list_max(list_transform(q, x -> abs(x))) <= 1000000),
       |$kdfCte,
       |c0 AS MATERIALIZED (SELECT vec_id AS cid, q AS cs, qn AS cn
-      |       FROM qq CROSS JOIN kdf WHERE vec_id < kk),
+      |       FROM (SELECT vec_id, q, qn, row_number() OVER (ORDER BY vec_id) AS srn
+      |             FROM qq) CROSS JOIN kdf WHERE srn <= kk),
       |${assignCtes("c0", "g0")}a1 AS (SELECT cid, q FROM (${assignBody("c0", "g0", 1)})),
       |s1 AS (SELECT cid, d, sum(qd) AS sd
       |       FROM (SELECT cid, unnest(q) AS qd, generate_subscripts(q, 1) AS d FROM a1) e
@@ -676,7 +700,7 @@ object Similarity {
       |c2 AS MATERIALIZED (SELECT cid, cs, sqrt(list_dot_product(cs, cs)) AS cn FROM c2p)""".stripMargin
 
   /** q31: IVF-style ANN — centroids are learned with two deterministic
-    * Lloyd's iterations from the vec_id < k seeds, k corpus-derived
+    * Lloyd's iterations from the k lowest-vec_id seeds, k corpus-derived
     * ([[ivfK]]; broadcast at every
     * step); each probe vector (the [[probeStride]] sample) retrieves its top-5
     * cosine neighbors from its own cluster only. */

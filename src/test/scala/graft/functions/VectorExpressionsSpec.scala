@@ -52,4 +52,73 @@ class VectorExpressionsSpec extends SparkSpec {
         s"float mode diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}")
     }
   }
+
+  test("round6 fast path is bit-identical to the BigDecimal reference") {
+    // the reference = Spark's RoundBase semantics (scala BigDecimal on
+    // a double, i.e. shortest-decimal canonicalization, HALF_UP) — the
+    // kernel's fast path must never diverge, including on boundary
+    // values, tiny negatives (no -0.0!), and exact .5s at scale 6
+    def ref(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rnd = new scala.util.Random(42)
+    val probes =
+      Seq(0.0, -0.0, 1.0, -1.0, 0.1234565, -0.1234565, 0.1234575,
+        0.0000005, -0.0000005, -1e-9, 1e-9, 0.9999995, -0.9999995) ++
+        (1 to 2000000).map(_ => rnd.nextDouble() * 2.2 - 1.1) ++
+        // boundary-dense: values manufactured right at .5 decimals
+        (1 to 100000).map(i => (i * 2 - 1) / 2e6 + (rnd.nextInt(3) - 1) * 1e-9)
+    probes.foreach { x =>
+      val f = VectorKernels.round6(x)
+      val r = ref(x)
+      assert(java.lang.Double.doubleToLongBits(f) ==
+        java.lang.Double.doubleToLongBits(r),
+        s"round6($x): fast=$f ref=$r")
+    }
+  }
+
+  test("topk_assign equals the join+window assignment it replaced") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    // deterministic corpus + centroid table with engineered ties
+    // (duplicate centroid vectors → equal cosines → cid tie-break)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 500L).map { i =>
+      (i, Seq.fill(8)(rnd.nextInt(2001).toLong - 1000))
+    }
+    val v = vecs.toDF("vec_id", "q")
+      .withColumn("qn", sqrt(expr("dot_product(q, q)").cast("double")))
+      .filter(col("qn") > 0)
+    val cents = (0L until 12L).map { c =>
+      // centroids 3 and 7 are identical: a guaranteed cosine tie
+      val base = if (c == 7L) 3L else c
+      val r2 = new scala.util.Random(base)
+      (c, Seq.fill(8)(r2.nextInt(2001).toLong - 1000),
+        math.sqrt(Seq.fill(8)(r2.nextInt(2001).toLong - 1000)
+          .map(x => x.toDouble * x).sum))
+    }
+    // recompute cn from the SAME cs values (the r2 reuse above drew
+    // fresh values; fix by deriving cn from cs)
+    val table = cents.map { case (c, cs, _) =>
+      (c, cs, math.sqrt(cs.map(x => x.toDouble * x).sum))
+    }
+    for (keep <- Seq(1, 2, 5)) {
+      val kernel = v.select(col("vec_id"),
+          explode(call_function("topk_assign", col("q"), col("qn"),
+            lit(keep), typedLit(table))).as("_a"))
+        .select(col("vec_id"), col("_a.cid"), col("_a.ccos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val c = table.toDF("cid", "cs", "cn")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+      val window = v.join(broadcast(c), lit(true))
+        .withColumn("ccos", round(expr("dot_product(q, cs)").cast("double") /
+          (col("qn") * col("cn")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= keep)
+        .select(col("vec_id"), col("cid"), col("ccos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(kernel.sortBy(x => (x._1, x._2)) == window.sortBy(x => (x._1, x._2)),
+        s"kernel vs window divergence at keep=$keep")
+    }
+  }
 }

@@ -241,14 +241,17 @@ class DedupScaleSpec extends SparkSpec {
       s"the engaged chain should learn >TwoLevelK centroids, got ${rows.length}")
     val two = Similarity.assignRows(spark, qv, rows, 1)
       .select(col("vec_id"), col("cid"))
-    // plan shape: the fine argmax is an equality HASH join on gid —
-    // the k-row centroid table never rides a nested loop; the only
-    // BNLJ is the ⌈√k⌉-row coarse router
+    // plan shape (round 12): the whole coarse+fine routing is the
+    // row-local topk_route kernel — ONE projection, no join of any
+    // kind, no window, no exchange (the 1.1M-vector rehearsal
+    // measured the previous join+row_number shape spilling tens of
+    // GB per pass in its n·k-row window sort)
     val plan = planString(two)
-    assert(plan.contains("BroadcastHashJoin"),
-      s"fine stage must be an equality join on gid:\n$plan")
-    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
-      s"only the √k-row coarse router may nest:\n$plan")
+    assert(plan.contains("topk_route"),
+      s"two-level assignment must ride the topk_route kernel:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window") &&
+      !plan.contains("Exchange"),
+      s"row-local assignment must not join/window/exchange:\n$plan")
     // exactly one assignment per vector — multi-probe routing must
     // never lose a vector (empty coarse groups are dropped from the
     // router) nor emit duplicates

@@ -182,27 +182,37 @@ class ScaleSpec extends SparkSpec {
     assert(countShuffles(spreadWide) == 0)
   }
 
-  test("spill discipline: q52 completes memory-starved by spilling, not OOM") {
+  test("spill discipline: the pair core completes memory-starved by spilling, not OOM") {
     // A fresh JVM (SparkSpec's session pins this JVM's heap and
     // memory manager, so starvation must be a subprocess): 512 MB
     // heap, spark.memory.fraction=0.2 (~64 MB execution+storage), and
-    // force-spill thresholds low enough that every shuffle write and
-    // sort in q52's Lloyd's-assign/pair-join/window chain exercises
-    // its EXTERNAL (spillable) implementation. Done = exit 0 (spill,
-    // not OOM) with nonzero spilled bytes reported by task metrics.
+    // force-spill thresholds low enough that every shuffle write,
+    // sort, and window in q25's capped-shingle df-window/pair-join/
+    // aggregate chain exercises its EXTERNAL (spillable)
+    // implementation — the same machinery the sf10 rehearsal measured
+    // spilling 29 GB safely (BASELINE round-12). Done = exit 0
+    // (spill, not OOM) with nonzero spilled bytes in task metrics.
+    // (This probe ran q52 until round 12; the topk_assign kernel
+    // rewrite removed q52's window sorts entirely — row-local
+    // assignment needs no execution memory — so q52 no longer spills
+    // even starved, and the pair core is the right subject.)
     val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
       "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
       "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
       "sun.security.action", "sun.util.calendar")
       .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED")
     val cmd = Seq("java") ++ addOpens ++ Seq(
-      "-Xmx512m",
-      "-Dspark.memory.fraction=0.2",
-      "-Dspark.shuffle.spill.numElementsForceSpillThreshold=200",
-      "-Dspark.sql.windowExec.buffer.spill.threshold=200",
+      "-Xmx640m",
+      "-Dspark.memory.fraction=0.3",
+      // force thresholds sized to a few spills per task, not hundreds:
+      // each spill file's READBACK allocates a buffer, so a tiny
+      // threshold (the old 200) OOMs on reader buffers at q25's
+      // shingle volume — the exact opposite of what the probe proves
+      "-Dspark.shuffle.spill.numElementsForceSpillThreshold=20000",
+      "-Dspark.sql.windowExec.buffer.spill.threshold=20000",
       "-Dspark.ui.enabled=false",
       "-cp", "target/scala-2.13/classes:/opt/spark/jars/*",
-      "graft.scale.SpillProbe", "q52_embed_neardup_blocked",
+      "graft.scale.SpillProbe", "q25_minhash_textdedup",
       "/root/testdata/sf0.01")
     val out = new StringBuilder
     val logger = scala.sys.process.ProcessLogger(
