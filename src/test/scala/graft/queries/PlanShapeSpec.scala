@@ -471,28 +471,28 @@ class PlanShapeSpec extends SparkSpec {
       s"the ONE sanctioned BNLJ is the fixed probe-sample exact pass:\n$plan")
   }
 
-  test("q97 ivf stats: only the final centroid-assignment broadcast nests; rollup is O(clusters)") {
-    // Post-memoization shape (round 8): the lloyd seed/c1 chain runs
-    // ONCE per corpus snapshot inside the centroid cache's own jobs,
-    // so a consumer's executed plan carries exactly the one final
-    // assignTo BNLJ against the k-row LocalRelation — the bound is 1,
-    // not the pre-memoization 3 (which would let an accidental BNLJ
-    // hide in the slack).
+  test("q97 ivf stats: kernel assignment — no join of any kind in the assign subtree") {
+    // Round 12: assignment is the row-local topk kernel; the plan
+    // must carry NO nested-loop join at all (the former single
+    // assignTo BNLJ exemption is retired).
     val plan = planString(SparkEntry.queries("q97_ivf_stats")(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
-    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
-      s"the ≤k-row final centroid assignment is the only BNLJ:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"kernel assignment must not nest:\n$plan")
+    assert(plan.contains("topk_"),
+      s"assignment must ride the topk kernel:\n$plan")
   }
 
-  test("q93/q94 prototype classifier: only the bounded label-prototype broadcast nests") {
+  test("q93/q94 prototype classifier: kernel assignment, no BNLJ") {
     val plan93 = planString(SparkEntry.queries("q93_centroid_classify")(spark, sfDir))
     assert(!plan93.contains("CartesianProduct"), s"no cartesian:\n$plan93")
-    assert("BroadcastNestedLoopJoin".r.findAllIn(plan93).size <= 1,
-      s"one ≤10-row prototype broadcast is the only sanctioned BNLJ:\n$plan93")
+    assert(!plan93.contains("BroadcastNestedLoopJoin") &&
+      plan93.contains("topk_assign"),
+      s"prototype argmax must ride the topk kernel:\n$plan93")
     val plan94 = planString(SparkEntry.queries("q94_confusion_matrix")(spark, sfDir))
     assert(!plan94.contains("CartesianProduct") &&
-      "BroadcastNestedLoopJoin".r.findAllIn(plan94).size <= 1,
-      s"the confusion rollup adds no pair join beyond the prototype broadcast:\n$plan94")
+      !plan94.contains("BroadcastNestedLoopJoin"),
+      s"the confusion rollup must not add a pair join:\n$plan94")
   }
 
   /** The round-9 vocab fence: the four queries that join a
@@ -816,20 +816,10 @@ class PlanShapeSpec extends SparkSpec {
     val exempt: Map[String, (Int, Long)] = Map(
       "q26_cosine_topk" -> (1, 4000L), // pairCos fenced anchor (FenceCap)
       "q30_embed_neardup" -> (1, 4000L), // pairCos fenced anchor
-      // Post-memoization (round 8): the lloyd seed/c1 chain runs once
-      // per corpus snapshot in the centroid cache's own jobs, so
-      // consumer plans carry only the FINAL assignTo BNLJ against the
-      // k-row LocalRelation. q31's appears twice: the literal probe
-      // stride pushes the pmod filter down to the scan, so the probe
-      // branch re-derives its (1/stride-thinned) assign pipeline
-      // instead of reusing the member side's full window exchange —
-      // both nodes broadcast the same ≤k-row table, and the thinned
-      // branch is ~2% of the corpus at any scale.
-      "q31_ann_ivf" -> (2, 8L),
-      "q52_embed_neardup_blocked" -> (1, 8L), // final assignTo only
-      "q97_ivf_stats" -> (1, 8L), // final assignTo only
-      "q93_centroid_classify" -> (1, 10L), // label-prototype assignTo
-      "q94_confusion_matrix" -> (1, 10L), // label-prototype assignTo
+      // Round 12: the IVF and label-prototype assignments moved to the
+      // row-local topk kernels — NO BNLJ left in q31/q52/q97/q93/q94;
+      // their former exemptions are deliberately deleted so any
+      // reappearing assignment join fails loudly here.
       "q95_ann_recall" -> (1, 2000L)) // probe-sample exact pass
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
       val exec = executedPlan(q(spark, sfDir))
