@@ -42,6 +42,21 @@ object GenScale {
   private[graft] val Stride = 10_000_000L
 
   def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(args, spark)
+    spark.stop()
+  }
+
+  /** The generator body against a caller-owned session (main wraps it
+    * with its own session + stop; GenScaleSpec drives it with the
+    * shared test session). */
+  private[graft] def run(args: Array[String], spark: SparkSession): Unit = {
     // flags are not positional: `GenScale src dest --zipf` must not
     // parse "--zipf" as the replica count (round-11 ADVICE)
     val pos = args.filterNot(_.startsWith("--"))
@@ -53,13 +68,6 @@ object GenScale {
     // (k > TwoLevelK needs ~1M vectors; replicating documents 60x
     // would just burn disk on queries the sweep doesn't run)
     val docsPassthrough = args.contains("--docs-passthrough")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
     new java.io.File(destDir).mkdirs()
 
     if (!docsPassthrough)
@@ -96,7 +104,6 @@ object GenScale {
       }
     }
     println(s"GENSCALE done: $destDir at ${replicas}x documents/embeddings")
-    spark.stop()
   }
 
   private def writeReplicated(one: Int => DataFrame, replicas: Int,

@@ -65,4 +65,27 @@ class GenScaleSpec extends SparkSpec {
         s"dot($i,$j) drifted beyond summation-order rounding: $d0 vs $d1")
     }
   }
+
+  test("main: flags parse non-positionally; --docs-passthrough byte-copies documents") {
+    // round-11 ADVICE: `GenScale src dest --zipf` crashed with
+    // NumberFormatException (args(2) parsed as the replica count);
+    // round-12: --docs-passthrough replicates embeddings only (the
+    // ANN-crossover rehearsal) and byte-copies documents
+    val dst = java.nio.file.Files.createTempDirectory("genscale-flags").toString
+    try {
+      GenScale.run(Array(sfDir, dst, "3", "--zipf", "--docs-passthrough"), spark)
+      // documents byte-copied, not replicated (and not boilerplated
+      // despite --zipf: passthrough wins)
+      val srcBytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+      val dstBytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dst/documents.parquet"))
+      assert(java.util.Arrays.equals(srcBytes, dstBytes),
+        "--docs-passthrough must byte-copy documents.parquet")
+      // embeddings replicated 3x
+      val n0 = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+      val n1 = spark.read.parquet(s"$dst/embeddings.parquet").count()
+      assert(n1 == 3 * n0, s"expected ${3 * n0} embeddings, got $n1")
+    } finally GenScale.zipf = false
+  }
 }
