@@ -35,15 +35,20 @@ object VectorKernels {
     // Fast path: the HALF_UP decision at scale 6 is made on the
     // shortest-decimal value d(x), which sits within 0.5 ulp of x;
     // in y = x·1e6 units that shift plus the multiply's own rounding
-    // is < ~3e-10 for |x| ≤ ~1. Away from a .5 boundary by > 1e-8 the
-    // fast integer round is therefore bit-identical to the BigDecimal
-    // path; boundary-adjacent values (probability ~1e-8, and exact
-    // .5s) fall back. Eliminates the Double.toString that dominated
-    // the assignment kernel (measured ~70 % of scoreInto samples at
-    // 2.2 B calls on the 1.1M-vector rehearsal).
+    // is < ~3e-10 for |x| ≤ 2, far inside the 1e-8 boundary band —
+    // so away from a .5 boundary by > 1e-8 the fast integer round is
+    // bit-identical to the BigDecimal path. The guard admits ONLY
+    // |x| ≤ 2 (cosines live in [-1, 1]): at larger magnitudes the
+    // shortest-decimal shift grows with ulp(x)·1e6 and would swamp
+    // the band, silently diverging from Spark's round() for a future
+    // non-cosine caller. Boundary-adjacent values (probability ~1e-8,
+    // and exact .5s) and anything outside ±2 fall back. Eliminates
+    // the Double.toString that dominated the assignment kernel
+    // (measured ~70 % of scoreInto samples at 2.2 B calls on the
+    // 1.1M-vector rehearsal).
     val y = math.abs(x) * 1e6
     val frac = y - math.floor(y)
-    if (y < 4.4e15 && math.abs(frac - 0.5) > 1e-8) {
+    if (y <= 2e6 && math.abs(frac - 0.5) > 1e-8) {
       val r = math.floor(y + 0.5)
       // never emit -0.0 (BigDecimal has no signed zero, so the slow
       // path yields +0.0 for any tiny negative input)
@@ -55,6 +60,23 @@ object VectorKernels {
   private def centRow(r: InternalRow, cidAt: Int, csAt: Int, cnAt: Int)
       : (Long, Array[Long], Double) =
     (r.getLong(cidAt), r.getArray(csAt).toLongArray(), r.getDouble(cnAt))
+
+  /** Driver-side [[CentTable]] builder from the same (cid, cs, cn)
+    * rows the literal path folds — for the broadcast ship path. */
+  def centTableLocal(rows: Array[(Long, Seq[Long], Double)]): CentTable =
+    new CentTable(rows.map(_._1), rows.map(_._2.toArray), rows.map(_._3))
+
+  /** Driver-side [[RouteTable]] builder from (gid, gs, gn) coarse and
+    * (gid, cid, cs, cn) fine rows — for the broadcast ship path. */
+  def routeTableLocal(coarse: Array[(Long, Seq[Long], Double)],
+      fine: Array[(Long, Long, Seq[Long], Double)]): RouteTable = {
+    val m = new java.util.HashMap[java.lang.Long, CentTable]()
+    fine.groupBy(_._1).foreach { case (gid, rows) =>
+      m.put(gid,
+        new CentTable(rows.map(_._2), rows.map(_._3.toArray), rows.map(_._4)))
+    }
+    new RouteTable(centTableLocal(coarse), m)
+  }
 
   def centTable(cents: ArrayData): CentTable = {
     val rows = Array.tabulate(cents.numElements()) { i =>
@@ -158,7 +180,15 @@ object VectorKernels {
     var filled = 0
     var g = 0
     while (g < nProbes) {
-      filled = scoreInto(qa, qn, tbl.fineOf.get(gIds(g)), topCos, topCid, filled)
+      val fine = tbl.fineOf.get(gIds(g))
+      // internal callers can't hit this (coarseGroups emits only live
+      // gids), but topk_route is SQL-registered: a user-supplied
+      // coarse/fine pair with an unmatched gid must fail with a named
+      // error, not an NPE inside codegen'd code
+      if (fine == null)
+        throw new IllegalStateException(
+          s"topk_route: coarse gid ${gIds(g)} has no fine-table entry")
+      filled = scoreInto(qa, qn, fine, topCos, topCid, filled)
       g += 1
     }
     toRows(topCos, topCid, filled)
@@ -332,6 +362,77 @@ case class TopKRoute(children: Seq[Expression]) extends AssignExpr {
     val tblRef = ctx.addReferenceObj("routeTable", table,
       classOf[RouteTable].getName)
     s"graft.functions.VectorKernels.topkRoute($qV, $qnV, $tblRef, $probesV, $keepV)"
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** Broadcast-shipped twins of [[TopKAssign]]/[[TopKRoute]]: the same
+  * kernels, but the centroid table rides a Spark `Broadcast` variable
+  * instead of a foldable literal. The literal form serializes the
+  * table into the stage's task binary — shipped once per stage but
+  * deserialized PER TASK: fine at the ≤ 2048-row flat scale (~1 MB),
+  * yet at the two-level fine table's 4√n ceiling (~126k rows ≈ 65 MB
+  * at 10⁹ vectors) per-task deserialization would dominate short
+  * tasks across thousands of tasks. The broadcast form ships the same
+  * bytes torrent-wise once per EXECUTOR, deserializes once per
+  * executor (cached in generated-class mutable state, one `.value()`
+  * per task), and the expression tree carries only the handle.
+  * Value-identical by construction (same table, same kernel) — the
+  * caller fences on `graft.T.belowFence(k, RouteShipCap)`, so the
+  * engaged-branch sweep proves this ship path oracle-exact. Not
+  * SQL-registered: a broadcast handle has no SQL literal form. */
+abstract class AssignBcExpr extends AssignExpr {
+  override def checkInputDataTypes(): TypeCheckResult = baseCheck()
+}
+
+case class TopKAssignBc(
+    children: Seq[Expression],
+    bc: org.apache.spark.broadcast.Broadcast[CentTable],
+    keepV: Int) extends AssignBcExpr {
+
+  override def prettyName: String = "topk_assign_bc"
+
+  @transient private lazy val table: CentTable = bc.value
+
+  override protected def kernelEval(qv: ArrayData, qnv: Double): ArrayData =
+    VectorKernels.topkAssign(qv, qnv, table, keepV)
+
+  override protected def kernelCall(ctx: CodegenContext,
+      qV: String, qnV: String): String = {
+    val bcRef = ctx.addReferenceObj("centBc", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val tblVar = ctx.addMutableState(classOf[CentTable].getName, "centTbl",
+      v => s"$v = (${classOf[CentTable].getName}) $bcRef.value();")
+    s"graft.functions.VectorKernels.topkAssign($qV, $qnV, $tblVar, $keepV)"
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+case class TopKRouteBc(
+    children: Seq[Expression],
+    bc: org.apache.spark.broadcast.Broadcast[RouteTable],
+    keepV: Int, probesV: Int) extends AssignBcExpr {
+
+  override def prettyName: String = "topk_route_bc"
+
+  @transient private lazy val table: RouteTable = bc.value
+
+  override protected def kernelEval(qv: ArrayData, qnv: Double): ArrayData =
+    VectorKernels.topkRoute(qv, qnv, table, probesV, keepV)
+
+  override protected def kernelCall(ctx: CodegenContext,
+      qV: String, qnV: String): String = {
+    val bcRef = ctx.addReferenceObj("routeBc", bc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val tblVar = ctx.addMutableState(classOf[RouteTable].getName, "routeTbl",
+      v => s"$v = (${classOf[RouteTable].getName}) $bcRef.value();")
+    s"graft.functions.VectorKernels.topkRoute($qV, $qnV, $tblVar, $probesV, $keepV)"
   }
 
   override protected def withNewChildrenInternal(

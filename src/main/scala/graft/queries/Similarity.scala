@@ -418,7 +418,7 @@ object Similarity {
     * standard IVF multi-probe knob: 1 would make a vector near a
     * coarse boundary miss its true centroid; each extra probe costs
     * one more k/√k fine fan-out. */
-  private[queries] val CoarseProbes = 2
+  private[graft] val CoarseProbes = 2
 
   /** Driver-side deterministic grouping of the k fine centroids into
     * kc = ⌈√k⌉ coarse groups: seeds = the kc lowest-cid centroids, two
@@ -442,7 +442,7 @@ object Similarity {
     * raw rational-mean space with unrounded comparisons: value-fine
     * for a driver-internal heuristic, but unreplayable in SQL
     * (summation-order low bits could flip an argmax). */
-  private[queries] def coarseGroups(rows: Array[(Long, Seq[Long], Double)])
+  private[graft] def coarseGroups(rows: Array[(Long, Seq[Long], Double)])
       : (Array[(Long, Seq[Long], Double)], Array[(Long, Long, Seq[Long], Double)]) = {
     val sorted = rows.sortBy(_._1)
     val k = sorted.length
@@ -483,11 +483,14 @@ object Similarity {
           var dot = 0L
           var j = 0
           while (j < dim) { dot += vecs(i)(j) * seeds(g)(j); j += 1 }
-          // BigDecimal HALF_UP at scale 6 — the exact semantics of
-          // Spark's round(col, 6) (and the DuckDB twin's round(x, 6))
+          // round6 = the bit-exact twin of Spark's round(col, 6) (and
+          // the DuckDB twin's round(x, 6)) with the boundary-guarded
+          // fast path — pinned by the 2.2M-probe property spec. At the
+          // 4√n k-ceiling this loop does ~90M roundings (k·√k·2), so
+          // the always-BigDecimal form it replaces would dominate the
+          // driver-side index prep.
           val cos =
-            if (den > 0) BigDecimal(dot.toDouble / den)
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (den > 0) graft.functions.VectorKernels.round6(dot.toDouble / den)
             else -1.0
           if (cos > bestCos) { bestCos = cos; best = g }
           g += 1
@@ -521,6 +524,45 @@ object Similarity {
     (coarse, fine)
   }
 
+  /** Centroid-table ship fence: the max table row count shipped to
+    * executors as a FOLDABLE LITERAL inside the expression tree. The
+    * literal rides the stage's task binary — broadcast once per stage,
+    * but deserialized (and [[graft.functions.CentTable]]-rebuilt) per
+    * TASK: negligible at the ≤ 2048-row flat scale (~1 MB), yet the
+    * two-level fine table grows as 4√n (~126k rows ≈ 65 MB at 10⁹
+    * vectors), where per-task deserialization across thousands of
+    * tasks would dominate. Past the cap the SAME table ships as a
+    * torrent Broadcast — deserialized once per executor, the
+    * expression carrying only the handle ([[graft.functions
+    * .TopKAssignBc]]/[[graft.functions.TopKRouteBc]]). Value-identical
+    * by construction (same table, same kernel), so oracles never
+    * change and [[graft.T.belowFence]]'s force-sweep proves the
+    * broadcast ship path hash-exact over the full inventory. Cap set
+    * from RouteCeilingBench measurement (BASELINE.md round 13). */
+  private[graft] val RouteShipCap: Long = 8192L
+
+  /** Memoized per-table broadcasts for the above-fence ship path,
+    * keyed on the centroid array's identity — [[lloydRowsOf]] memoizes
+    * that array per corpus fingerprint, so a corpus's serving table
+    * broadcasts once per JVM. Training intermediates (c0/c1) add one
+    * short-lived broadcast each per index build, the same lifecycle a
+    * deployment's index builder has. */
+  private val shipBcCache = java.util.Collections.synchronizedMap(
+    new java.util.IdentityHashMap[AnyRef,
+      org.apache.spark.broadcast.Broadcast[_]]())
+
+  private def shipBc[A: scala.reflect.ClassTag](s: SparkSession, key: AnyRef,
+      build: => A): org.apache.spark.broadcast.Broadcast[A] =
+    shipBcCache.computeIfAbsent(key,
+      _ => s.sparkContext.broadcast(build))
+      .asInstanceOf[org.apache.spark.broadcast.Broadcast[A]]
+
+  private def exprOf(c: Column) =
+    org.apache.spark.sql.graftshim.ExprColumn.expression(c)
+
+  private def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.graftshim.ExprColumn.column(e)
+
   /** Assignment of `v` against a driver-resident centroid table:
     * single-level ([[assignTo]] — the oracle-replayed shape) at
     * k ≤ [[TwoLevelK]], coarse/fine above it. The two-level path
@@ -536,8 +578,9 @@ object Similarity {
   private[queries] def assignRows(s: SparkSession, v: DataFrame,
       rows: Array[(Long, Seq[Long], Double)], keep: Int): DataFrame = {
     graft.functions.VectorFunctions.register(s)
+    import graft.functions.{TopKAssignBc, TopKRouteBc, VectorKernels}
     val assigned =
-      if (rows.length <= TwoLevelK)
+      if (rows.length <= TwoLevelK) {
         // flat: one projection through the codegen'd topk_assign
         // kernel. The previous shape — broadcast join against the
         // k-row table, then row_number() over (vec_id) — forced an
@@ -546,21 +589,32 @@ object Similarity {
         // the 1.1M-vector / k=2149 rehearsal corpus. The kernel is
         // value-identical (same rounded cosine, same ccos-desc/cid-asc
         // order — the oracle twins are untouched) and row-local: zero
-        // shuffle at ANY n. The literal centroid table is ≤ TwoLevelK
-        // rows ≈ 1 MB, riding the once-per-stage task binary.
-        v.select(col("*"), explode(call_function("topk_assign",
-          col("q"), col("qn"), lit(keep), typedLit(rows.toSeq))).as("_a"))
-      else {
+        // shuffle at ANY n. Table ship mechanism fenced on
+        // [[RouteShipCap]]: foldable literal below, Broadcast above.
+        if (graft.T.belowFence(rows.length, RouteShipCap))
+          v.select(col("*"), explode(call_function("topk_assign",
+            col("q"), col("qn"), lit(keep), typedLit(rows.toSeq))).as("_a"))
+        else {
+          val bc = shipBc(s, rows, VectorKernels.centTableLocal(rows))
+          v.select(col("*"), explode(colOf(TopKAssignBc(
+            Seq(exprOf(col("q")), exprOf(col("qn"))), bc, keep))).as("_a"))
+        }
+      } else {
         // two-level: coarse routing + fine argmax fused into the
         // topk_route kernel — kc + probes·k/kc dots per row instead
-        // of k, still one row-local projection. The fine-table
-        // literal ships the same bytes the previous broadcast hash
-        // join shipped, without the per-vec candidate explosion or
-        // the window sort above it.
+        // of k, still one row-local projection. Same ship fence: the
+        // fine table is the one that grows as 4√n.
         val (coarse, fine) = coarseGroups(rows)
-        v.select(col("*"), explode(call_function("topk_route",
-          col("q"), col("qn"), lit(keep), lit(CoarseProbes),
-          typedLit(coarse.toSeq), typedLit(fine.toSeq))).as("_a"))
+        if (graft.T.belowFence(fine.length, RouteShipCap))
+          v.select(col("*"), explode(call_function("topk_route",
+            col("q"), col("qn"), lit(keep), lit(CoarseProbes),
+            typedLit(coarse.toSeq), typedLit(fine.toSeq))).as("_a"))
+        else {
+          val bc = shipBc(s, rows, VectorKernels.routeTableLocal(coarse, fine))
+          v.select(col("*"), explode(colOf(TopKRouteBc(
+            Seq(exprOf(col("q")), exprOf(col("qn"))), bc, keep,
+            CoarseProbes))).as("_a"))
+        }
       }
     assigned
       .withColumn("cid", col("_a").getField("cid"))
