@@ -33,15 +33,19 @@ object Bench {
     * extensions). */
   private[graft] def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // shuffle partitions default to the core count (right for the
-    // bench scales) but are overridable for scale rehearsals: at sf10
-    // the exploded shingle frame is ~27M rows, and 24 partitions put
-    // >1M-row sorts in each task — the "size shuffle.partitions to
-    // the SF" guidance, measurable here via SPARK_GRAFT_SHUFFLE
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // shuffle partitions scale with the data by default
+    // (T.scaledShuffle — identity at the bench scales, ×⌈sf/2.4⌉
+    // above, with parallelismFirst=false so AQE can't coalesce the
+    // extra partitions away), overridable via SPARK_GRAFT_SHUFFLE;
+    // see the q25/q88 sf10 spill attribution in BASELINE.md round 12
+    val (scaledParts, parFirst) = graft.T.scaledShuffle(cpus.toInt,
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", scaledParts.toString)
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        parFirst.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")

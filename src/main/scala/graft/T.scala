@@ -142,6 +142,39 @@ object T {
     snapScalars.computeIfAbsent((s"$dir@${dirFingerprint(dir)}", key),
       _ => compute)
 
+  /** Data-proportional shuffle-partition default (round-12 verdict
+    * task 7): the q25/q88 sf3→sf10 "superlinearity" was attributed to
+    * fixed-box per-task reduce state crossing the ~600 MB spill budget
+    * — work metrics were sublinear; the fix, measured at sf10 (96
+    * partitions + coalescePartitions.parallelismFirst=false → 0 GB
+    * spill), is to scale shuffle partitions with the data, the regime
+    * a real cluster runs in anyway (its partition count scales with
+    * its executor count, which scales with the data). This derives
+    * that default for the single-box harness: partitions = cpus ×
+    * ⌈bytes(sfDir)/bytes(sf0.1)/24⌉ — per-task post-shuffle state held
+    * at roughly its (spill-free) sf2.4 ceiling — and
+    * `parallelismFirst=false` whenever the factor exceeds 1 (without
+    * it AQE coalesces every post-shuffle stage back to the core count
+    * and the extra partitions do nothing; with it AQE still merges
+    * SMALL stages to target size, so tiny queries don't pay 10× task
+    * scheduling). At sf ≤ 2.4 the factor is 1 and the session is
+    * byte-identical to the previous fixed default. Returns
+    * (partitions, parallelismFirst). SPARK_GRAFT_SHUFFLE still wins. */
+  private[graft] def scaledShuffle(cpus: Int, sfDir: String): (Int, Boolean) = {
+    val refBytes = 17508506.0 // driver sf0.1 corpus, the bench anchor
+    val root = java.nio.file.Paths.get(sfDir)
+    val bytes =
+      if (!java.nio.file.Files.isDirectory(root)) 0L
+      else {
+        val stream = java.nio.file.Files.walk(root)
+        try stream.filter(p => java.nio.file.Files.isRegularFile(p))
+          .mapToLong(p => java.nio.file.Files.size(p)).sum()
+        finally stream.close()
+      }
+    val factor = math.max(1L, math.ceil(bytes / refBytes / 24.0).toLong)
+    (cpus * factor.toInt, factor == 1L)
+  }
+
   /** Verification-only branch override: when the env var
     * SPARK_GRAFT_FORCE_ABOVE_FENCE is set, every VALUE-IDENTICAL
     * fence ([[belowFence]] call sites) takes its above-cap (100 TB)

@@ -7,9 +7,17 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // data-proportional shuffle partitions (T.scaledShuffle — identity
+    // at the driver's sf0.01 gate, ×⌈sf/2.4⌉ for scale-sweep corpora
+    // so the heavy dedup families run in the cluster-like 0-spill
+    // regime by default), overridable via SPARK_GRAFT_SHUFFLE
+    val (scaledParts, parFirst) = graft.T.scaledShuffle(cpus.toInt, sfDir)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", scaledParts.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        parFirst.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
