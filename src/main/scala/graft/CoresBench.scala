@@ -43,13 +43,16 @@ object CoresBench {
       }
     }
     // LSH-core family (round-11 judge task 6): q55/q88 re-pay q28's
-    // banded candidate join; the materialized path computes it once
-    Seq("q55_curation_pipeline", "q88_minhash_estimate")
-      .foreach(q => Bench.exec(SparkEntry.queries(q)(spark, Bench.WarmupDir)))
+    // banded candidate join; the materialized path computes it once.
+    // Round 13 adds q28 itself (the published-pairs artifact) as the
+    // THIRD consumer — the materialize-at-≥3-consumers guidance was
+    // extrapolated from a 2-consumer wash; this measures the crossover.
+    val lshFam =
+      Seq("q55_curation_pipeline", "q88_minhash_estimate", "q28_minhash_lsh")
+    lshFam.foreach(q => Bench.exec(SparkEntry.queries(q)(spark, Bench.WarmupDir)))
     val lshSelf = (1 to runs).map { _ =>
       time {
-        Seq("q55_curation_pipeline", "q88_minhash_estimate")
-          .foreach(q => Bench.exec(SparkEntry.queries(q)(spark, sfDir)))
+        lshFam.foreach(q => Bench.exec(SparkEntry.queries(q)(spark, sfDir)))
       }
     }
     val lshShared = (1 to runs).map { _ =>
@@ -59,6 +62,7 @@ object CoresBench {
         val c = graft.queries.Cores.lshCandidates(spark, dir)
         Bench.exec(graft.queries.Pipeline.q55From(spark, sfDir, c))
         Bench.exec(graft.queries.Dedup.q88From(spark, sfDir, c))
+        Bench.exec(graft.queries.Dedup.q28From(c))
       }
     }
 

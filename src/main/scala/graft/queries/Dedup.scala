@@ -299,7 +299,15 @@ object Dedup {
     * only shuffle in the whole query is candidate generation itself,
     * the (band, sig) equality self-join. */
   private def q28(s: SparkSession, d: String): DataFrame =
-    lshCandidates(s, d).orderBy("da", "db")
+    q28From(lshCandidates(s, d))
+
+  /** q28 with an injectable candidate core — the published-pairs
+    * consumer (Cores.lshCandidates): a deployment that materializes
+    * the LSH core still publishes the sorted candidate list itself as
+    * one of the fan-out artifacts (the third CoresBench consumer,
+    * round-12 verdict task 6). */
+  private[graft] def q28From(c: DataFrame): DataFrame =
+    c.orderBy("da", "db")
 
   /** q28's distinct LSH candidate pairs (da < db), unsorted — shared
     * with q88's estimate-vs-exact audit. */

@@ -62,6 +62,10 @@ class CoresParitySpec extends SparkSpec {
       rows(graft.SparkEntry.queries("q55_curation_pipeline")(spark, sfDir)))
     assert(rows(Dedup.q88From(spark, sfDir, c)) ==
       rows(graft.SparkEntry.queries("q88_minhash_estimate")(spark, sfDir)))
+    // the third consumer (round-13): the published sorted-pairs
+    // artifact is q28 itself over the materialized core
+    assert(rows(Dedup.q28From(c)) ==
+      rows(graft.SparkEntry.queries("q28_minhash_lsh")(spark, sfDir)))
   }
 
   test("cores are written round-robin sharded, not key-clustered") {
