@@ -73,15 +73,20 @@ object StreamBench {
 
   /** Extra symbols for the parallelism measurement — same depth tape
     * per symbol (identical work), so aggregate msgs/s reads directly
-    * as the symbol-scaling factor. */
-  private val MultiSyms = Seq("AAAUSDT", "BBBUSDT", "CCCUSDT", "DDDUSDT")
+    * as the symbol-scaling factor. Round 13: a LADDER (4/8/16/32) so
+    * the production sizing claim ("throughput = symbols × per-symbol
+    * rate, bounded by cores") has a saturation curve, not the single
+    * 4-symbol point it was extrapolated from. */
+  private val SymLadder = Seq(4, 8, 16, 32)
+  private def multiSyms(n: Int): Seq[String] =
+    (0 until n).map(i => f"S$i%02dUSDT")
 
   private def genCorpus(root: Path, nTrades: Long, nDepth: Long,
       levels: Int): Unit = {
-    // v2: multi-symbol depth dirs added — the marker version keys the
-    // LAYOUT so an old corpus regenerates rather than silently missing
-    // the MultiSyms dirs
-    val marker = root.resolve(s"corpus_v2_${nTrades}_${nDepth}_$levels.ok")
+    // v3: symbol-ladder depth dirs (S00..S31) — the marker version
+    // keys the LAYOUT so an old corpus regenerates rather than
+    // silently missing the ladder dirs
+    val marker = root.resolve(s"corpus_v3_${nTrades}_${nDepth}_$levels.ok")
     if (Files.exists(marker)) return
     // regenerating under the same root with a SMALLER message count
     // must not leave the previous shape's extra part files (or its
@@ -105,7 +110,7 @@ object StreamBench {
       (0L until nTrades).map(tradeLine))
     val depth = (0L until nDepth).map(depthLine(_, 100L, levels))
     writeLines(root.resolve("BTCUSDT.spot.depth"), 8, depth)
-    MultiSyms.foreach { s =>
+    multiSyms(SymLadder.max).foreach { s =>
       writeLines(root.resolve(s"$s.spot.depth"), 8, depth)
     }
     Files.createFile(marker)
@@ -179,15 +184,15 @@ object StreamBench {
   /** The depth path's scale lever, measured: its ceiling is the
     * PER-SYMBOL serial sync state machine (one fMGWS group), so
     * throughput scales with independent symbol pipelines, not with
-    * executors per symbol. Drives [[MultiSyms]].size identical depth
+    * executors per symbol. Drives `nSyms` identical depth
     * pipelines concurrently in one session (each its own query,
     * checkpoint, and parquet sink — the Runner fan-out shape) and
     * returns (seconds, total output rows) for the aggregate. */
   private def runDepthMulti(spark: org.apache.spark.sql.SparkSession,
-      corpus: Path, levels: Int): (Double, Long) = {
+      corpus: Path, levels: Int, nSyms: Int): (Double, Long) = {
     val work = Files.createTempDirectory("sb-depth-multi")
     val t0 = System.nanoTime()
-    val outDirs = MultiSyms.map { sym =>
+    val outDirs = multiSyms(nSyms).map { sym =>
       val src = new FileReplaySource(corpus.toString, Some(ArrivalMs))
       val id = EventId.parse(s"binance.spot.$sym.depth")
       val rows = Pipelines.depthRows(BookSynchronizer.apply(
@@ -230,11 +235,10 @@ object StreamBench {
       val (sec, rows) = runOne(spark, corpusRoot, p, s, levels)
       val msgs = if (p == "trade") nTrades else nDepth
       s"$p" + "_" + s -> (sec, rows, msgs)
-    } :+ {
-      runDepthMulti(spark, warmRoot, levels) // warmup, unbilled
-      val (sec, rows) = runDepthMulti(spark, corpusRoot, levels)
-      s"depth_parquet_x${MultiSyms.size}" ->
-        (sec, rows, nDepth * MultiSyms.size)
+    } ++ SymLadder.map { nSyms =>
+      runDepthMulti(spark, warmRoot, levels, nSyms) // warmup, unbilled
+      val (sec, rows) = runDepthMulti(spark, corpusRoot, levels, nSyms)
+      s"depth_parquet_x$nSyms" -> (sec, rows, nDepth * nSyms)
     }
     // depth decoupling A/B (round-11 judge task 4): same tape, shuffle
     // inserted between the state fold and the explode+sink
