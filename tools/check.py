@@ -27,6 +27,18 @@ def norm(df):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     import os
+    # big-corpus oracle sweeps (sf30+) OOM on the heavy dedup/ANN
+    # twins unless DuckDB is allowed to spill: SPARK_GRAFT_DUCKDB_MEM
+    # (e.g. "48GB") caps its in-memory working set and
+    # SPARK_GRAFT_DUCKDB_TMP points the overflow at disk
+    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    tmp = os.environ.get("SPARK_GRAFT_DUCKDB_TMP")
+    if tmp:
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
+        con.execute("SET max_temp_directory_size='60GB'")
     for t in TABLES:
         # driver testdata is one file per table; GenScale rehearsal
         # corpora are Spark-written DIRECTORIES of part files

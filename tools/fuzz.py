@@ -64,6 +64,32 @@ def main(seed, dst):
             x -> CASE WHEN random() < 0.1 THEN 'NaN'::FLOAT ELSE x END), 2
         FROM embeddings LIMIT 1""")
 
+    # seeds >= 18 (round-13 kernel campaign, VERDICT r12 task 5):
+    # target the topk_assign/topk_route assignment kernels.
+    if seed >= 18:
+        # engineered cosine TIES at the argmax: make the two LOWEST
+        # vec_ids exact-duplicate vectors, so the two lowest-rank Lloyd
+        # seeds are identical centroids -> every vector's cosine ties
+        # across them and the cid tie-break must decide (both engines
+        # agreeing); the losing cluster goes EMPTY, exercising
+        # cluster-death in the recompute and empty-group drop in the
+        # coarse router
+        con.execute("""UPDATE embeddings SET embedding =
+            (SELECT embedding FROM embeddings ORDER BY vec_id LIMIT 1)
+            WHERE vec_id = (SELECT vec_id FROM embeddings
+                            ORDER BY vec_id OFFSET 1 LIMIT 1)""")
+        # a 5-copy duplicate-vector cluster under fresh high ids:
+        # multiway assignment ties + identical minhash rows
+        con.execute("""INSERT INTO embeddings
+            SELECT 900000001 + r.range, e.embedding, e.label
+            FROM (SELECT embedding, label FROM embeddings
+                  WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+                  ORDER BY vec_id LIMIT 1) e, range(5) r""")
+        # sparse/striped id space — the class that broke `vec_id < k`
+        # seeding in round 12 (GenScale stripes replicas by 10M); the
+        # multiplier keeps ids unique and rank order intact
+        con.execute("UPDATE embeddings SET vec_id = vec_id * 1000003")
+
     # star schema: orphan 3% of orders' lineitems, NULL 1% of orderdates
     con.execute("DELETE FROM orders WHERE random() < 0.03")
     con.execute("UPDATE orders SET o_orderdate = NULL WHERE random() < 0.01")

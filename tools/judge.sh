@@ -63,6 +63,10 @@ NREG=$(python3 -c "import json;print(len(json.load(open('/tmp/judge_floors.json'
 CORES_JSON='"skipped"'
 if [ "$CORES" = "1" ]; then
   echo "== 4.7/5 cores bench (materialized shared-core shape)" >&2
+  # a stale /tmp/judge_cores.json from a previous round would satisfy
+  # the [ -s ... ] gate below even when CoresBench FAILED, ratcheting
+  # floors from stale numbers — clear it first
+  rm -f /tmp/judge_cores.json
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_CORES_OUT=/tmp/judge_cores.json tools/run.sh graft.CoresBench \
     > /tmp/judge_cores.log 2>&1 \
