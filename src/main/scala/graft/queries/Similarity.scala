@@ -537,9 +537,18 @@ object Similarity {
     * .TopKAssignBc]]/[[graft.functions.TopKRouteBc]]). Value-identical
     * by construction (same table, same kernel), so oracles never
     * change and [[graft.T.belowFence]]'s force-sweep proves the
-    * broadcast ship path hash-exact over the full inventory. Cap set
-    * from RouteCeilingBench measurement (BASELINE.md round 13). */
-  private[graft] val RouteShipCap: Long = 8192L
+    * broadcast ship path hash-exact over the full inventory.
+    *
+    * Cap measured by RouteCeilingBench (BASELINE.md round 13, 1M
+    * vectors × 256 tasks): the broadcast ship wins WALL at every
+    * k ≥ 2048 (0.81 vs 1.21 s at the 1.1 MB table, 3.5 vs 26.5 s at
+    * the 65 MB 4√n ceiling, where the literal pays 43.5 s total /
+    * 5.3 s max-task deserialization vs a flat ~0.3 s) — so the cap
+    * sits AT [[TwoLevelK]]: the two-level regime always ships
+    * broadcast, the common sub-2048 flat regime keeps the
+    * zero-lifecycle literal (its per-task cost at k ≤ 2048 is ≤ ~4 ms
+    * — under the noise floor of any real stage). */
+  private[graft] val RouteShipCap: Long = 2048L
 
   /** Memoized per-table broadcasts for the above-fence ship path,
     * keyed on the centroid array's identity — [[lloydRowsOf]] memoizes
