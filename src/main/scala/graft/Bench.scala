@@ -33,19 +33,15 @@ object Bench {
     * extensions). */
   private[graft] def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // shuffle partitions scale with the data by default
-    // (T.scaledShuffle — identity at the bench scales, ×⌈sf/2.4⌉
-    // above, with parallelismFirst=false so AQE can't coalesce the
-    // extra partitions away), overridable via SPARK_GRAFT_SHUFFLE;
-    // see the q25/q88 sf10 spill attribution in BASELINE.md round 12
-    val (scaledParts, parFirst) = graft.T.scaledShuffle(cpus.toInt,
-      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", scaledParts.toString)
+    // baseline shuffle partitions = the core count (right for the
+    // bench scales); callers with a scale-rehearsal sfDir layer the
+    // data-proportional default on top via T.applyScaledShuffle
+    // (runtime conf — see the q25/q88 sf10 spill attribution in
+    // BASELINE.md round 12), and SPARK_GRAFT_SHUFFLE overrides both
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        parFirst.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
@@ -79,6 +75,7 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = session()
     spark.sparkContext.setLogLevel("WARN")
+    T.applyScaledShuffle(spark, sfDir)
     val warmupErrors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try exec(fn(spark, WarmupDir))

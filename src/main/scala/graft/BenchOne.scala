@@ -64,6 +64,7 @@ object BenchOne {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Bench.session()
     spark.sparkContext.setLogLevel("WARN")
+    T.applyScaledShuffle(spark, sfDir)
     val metrics = if (sys.env.get("SPARK_GRAFT_METRICS").contains("1")) {
       val l = new MetricsListener; spark.sparkContext.addSparkListener(l); Some(l)
     } else None

@@ -149,30 +149,39 @@ object T {
     * partitions + coalescePartitions.parallelismFirst=false → 0 GB
     * spill), is to scale shuffle partitions with the data, the regime
     * a real cluster runs in anyway (its partition count scales with
-    * its executor count, which scales with the data). This derives
-    * that default for the single-box harness: partitions = cpus ×
-    * ⌈bytes(sfDir)/bytes(sf0.1)/24⌉ — per-task post-shuffle state held
-    * at roughly its (spill-free) sf2.4 ceiling — and
-    * `parallelismFirst=false` whenever the factor exceeds 1 (without
-    * it AQE coalesces every post-shuffle stage back to the core count
-    * and the extra partitions do nothing; with it AQE still merges
-    * SMALL stages to target size, so tiny queries don't pay 10× task
-    * scheduling). At sf ≤ 2.4 the factor is 1 and the session is
-    * byte-identical to the previous fixed default. Returns
-    * (partitions, parallelismFirst). SPARK_GRAFT_SHUFFLE still wins. */
-  private[graft] def scaledShuffle(cpus: Int, sfDir: String): (Int, Boolean) = {
-    val refBytes = 17508506.0 // driver sf0.1 corpus, the bench anchor
-    val root = java.nio.file.Paths.get(sfDir)
-    val bytes =
-      if (!java.nio.file.Files.isDirectory(root)) 0L
-      else {
-        val stream = java.nio.file.Files.walk(root)
-        try stream.filter(p => java.nio.file.Files.isRegularFile(p))
-          .mapToLong(p => java.nio.file.Files.size(p)).sum()
-        finally stream.close()
-      }
-    val factor = math.max(1L, math.ceil(bytes / refBytes / 24.0).toLong)
-    (cpus * factor.toInt, factor == 1L)
+    * its executor count, which scales with the data). This applies
+    * that default to a freshly built harness session: partitions =
+    * cores × ⌈maxTableRatio/24⌉, where maxTableRatio is the largest
+    * per-table row-count ratio vs the sf0.1 anchor over the four
+    * volume tables — ROWS, not on-disk bytes, because replicated
+    * rehearsal corpora compress ~14× (sf30 is 300× the rows in 21×
+    * the bytes) and per-task reduce state follows rows; and the MAX
+    * per table, not a total, because GenScale corpora scale only
+    * documents/embeddings. Past factor 1 it also sets
+    * `parallelismFirst=false` (without it AQE coalesces every
+    * post-shuffle stage back to the core count and the extra
+    * partitions do nothing; with it AQE still merges SMALL stages to
+    * target size, so tiny queries don't pay 10× task scheduling). At
+    * sf ≤ 2.4 the session is untouched — byte-identical to the fixed
+    * default. No-op when SPARK_GRAFT_SHUFFLE is set (the session was
+    * already built with it). Counts ride [[snapCount]], so the
+    * metadata jobs are shared with every fence that reads the same
+    * scalars. */
+  private[graft] def applyScaledShuffle(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
+    if (sys.env.contains("SPARK_GRAFT_SHUFFLE")) return
+    val refs = Seq("documents" -> 5000.0, "events" -> 100000.0,
+      "lineitem" -> 600000.0, "embeddings" -> 2000.0)
+    val maxRatio = refs.map { case (t, ref) =>
+      scala.util.Try(snapCount(spark, sfDir, t) / ref).getOrElse(0.0)
+    }.max
+    val factor = math.max(1L, math.ceil(maxRatio / 24.0).toLong)
+    if (factor > 1L) {
+      val parts = spark.sparkContext.defaultParallelism * factor
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    }
   }
 
   /** Verification-only branch override: when the env var

@@ -7,22 +7,20 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // data-proportional shuffle partitions (T.scaledShuffle — identity
-    // at the driver's sf0.01 gate, ×⌈sf/2.4⌉ for scale-sweep corpora
-    // so the heavy dedup families run in the cluster-like 0-spill
-    // regime by default), overridable via SPARK_GRAFT_SHUFFLE
-    val (scaledParts, parFirst) = graft.T.scaledShuffle(cpus.toInt, sfDir)
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", scaledParts.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffle)
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        parFirst.toString)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // data-proportional shuffle partitions for scale-sweep corpora
+    // (T.applyScaledShuffle: no-op at the driver's sf0.01 gate and
+    // below sf2.4, cores × ⌈maxTableRatio/24⌉ + parallelismFirst=false
+    // above — the cluster-like 0-spill regime by default)
+    graft.T.applyScaledShuffle(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // Local-loop subset filter (comma-separated name prefixes); the
     // driver never sets it, so the full-inventory contract is intact.
