@@ -181,6 +181,17 @@ object T {
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
       spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // partitions alone are INERT under AQE: size-based coalescing
+      // (64 MB COMPRESSED shuffle target) merges the heavy reduce
+      // stages right back to core-count width — 64 MB of compressed
+      // shingle pairs decompresses into GB-scale per-task aggregation
+      // state, which is the exact spill this lever exists to shrink.
+      // Scale the advisory target down with the factor, so size-based
+      // coalescing yields ~factor× the width on the heavy stages while
+      // small stages still merge (proportionally) instead of running
+      // `parts` near-empty tasks each.
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        math.max(1L << 20, (64L << 20) / factor).toString)
     }
   }
 

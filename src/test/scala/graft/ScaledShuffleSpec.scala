@@ -32,6 +32,13 @@ class ScaledShuffleSpec extends SparkSpec {
       "spark.sql.adaptive.coalescePartitions.parallelismFirst") == "false",
       "the extra partitions are inert unless AQE's parallelism-first " +
         "coalescing is disabled")
+    assert(spark.conf.get(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes").toLong ==
+      (64L << 20) / 13,
+      "size-based coalescing must scale its target down with the " +
+        "factor, or it merges the heavy reduce stages right back " +
+        "(measured: 64 MB compressed target re-created the 13 GB spill " +
+        "that 160 partitions were set to eliminate)")
 
     // a GenScale-style corpus where ONLY embeddings grew (the max-per-
     // table rule: a total would dilute the 550× embeddings ratio)
