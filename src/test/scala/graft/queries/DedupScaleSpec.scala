@@ -274,6 +274,14 @@ class DedupScaleSpec extends SparkSpec {
       "plan flips to topk_route_bc, rows byte-identical to the literal ship") {
     import spark.implicits._
     graft.functions.VectorFunctions.register(spark)
+    // RouteCeilingBench bound pin (BASELINE.md round 13): the measured
+    // crossover puts the broadcast ship ahead at EVERY k ≥ 2048, so
+    // the ship cap sits exactly at the two-level fence — the two-level
+    // regime never ships a task-binary literal. Decoupling them again
+    // must re-argue from a new measurement.
+    if (!sys.env.contains("SPARK_GRAFT_SEED_TWOLEVEL"))
+      assert(Similarity.RouteShipCap == Similarity.TwoLevelK,
+        "RouteShipCap is pinned to TwoLevelK by the round-13 measurement")
     // synthetic table just above the ship cap (also above TwoLevelK →
     // two-level routing); dim 4 keeps the driver-side coarseGroups
     // pass cheap while honoring its 2^53 magnitude contract
