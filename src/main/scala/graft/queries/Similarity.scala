@@ -853,6 +853,63 @@ object Similarity {
       |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
       |ORDER BY va, vb""".stripMargin
 
+  /** q112: semantic dedup over the embedding corpus — the SemDeDup
+    * recipe (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication") re-expressed on the
+    * IVF index the engine already learns. Each admissible vector is
+    * assigned to its single nearest Lloyd's centroid (the memoized
+    * index + row-local `topk_assign`/`topk_route` kernels, exactly
+    * q31's assignment — zero joins/windows/exchanges in assignment);
+    * a vector is DROPPED when an earlier (lower vec_id) member of its
+    * cluster scores rounded cosine ≥ 0.42 against it. Output: one row
+    * per admissible vector with the keep verdict and, for dropped
+    * vectors, the LOWEST such keeper (deterministic; NULL when kept).
+    * Exactness: the same BIGINT-quantized centroid chain + 6-decimal
+    * rounded cosine as the rest of the family, so the oracle replays
+    * the decision bit-for-bit.
+    *
+    * Scale shape (the q52 posture): candidate pairs come from an
+    * equality self-join on the assigned cluster id — Σ cluster² with
+    * k riding the [[ivfK]] ladder, never all-pairs; the drop set
+    * reduces via a partial-aggregatable groupBy MIN (map-side combine
+    * collapses a mega-cluster's fan-in before the shuffle); the
+    * verdict attach is a vec_id-keyed hash equality join; the output
+    * sort rides [[graft.T.pinnedSort]] (slim verdict rows over the
+    * pair-join lineage — the q69/q85 pin criterion). */
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    val (qv, c2rows) = lloydRowsOf(s, d)
+    val assign = assignRows(s, qv, c2rows, 1)
+      .select(col("vec_id"), col("cid").as("cluster"), col("v"), col("nrm"))
+    val a = assign.select(col("vec_id").as("va"), col("cluster"),
+      col("v").as("av"), col("nrm").as("na"))
+    val b = assign.select(col("vec_id").as("vb"), col("cluster").as("cluster_b"),
+      col("v").as("bv"), col("nrm").as("nb"))
+    val drops = a.join(b, col("cluster") === col("cluster_b") && col("va") < col("vb"))
+      .filter(cosR("av", "bv", col("na"), col("nb")) >= 0.42)
+      .groupBy(col("vb")).agg(min(col("va")).as("keeper"))
+    val out = assign.select(col("vec_id"))
+      .join(drops, col("vec_id") === col("vb"), "left")
+      .select(col("vec_id"), col("keeper").isNull.as("kept"), col("keeper"))
+    graft.T.pinnedSort(out, "vec_id")
+  }
+
+  private val q112Sql =
+    s"""WITH $lloydSql,
+      |${assignCtes("c2", "g2")}assign AS (
+      |  SELECT vec_id, cid AS cluster, v, nrm
+      |  FROM (${assignBody("c2", "g2", 1)})),
+      |drops AS (
+      |  SELECT b.vec_id AS vb, min(a.vec_id) AS keeper
+      |  FROM assign a JOIN assign b
+      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.42
+      |  GROUP BY 1)
+      |SELECT assign.vec_id,
+      |       drops.keeper IS NULL AS kept,
+      |       drops.keeper
+      |FROM assign LEFT JOIN drops ON assign.vec_id = drops.vb
+      |ORDER BY vec_id""".stripMargin
+
   /** q53: random-hyperplane LSH ANN — the OTHER classic ANN bucketing
     * (complements q31's IVF): deterministic pseudo-random integer
     * hyperplanes w[j][d] = phash("j:d") % 1001 − 500 give each vector
@@ -1465,7 +1522,8 @@ object Similarity {
     "q76_embed_quantize" -> q76 _,
     "q95_ann_recall" -> q95 _,
     "q97_ivf_stats" -> q97 _,
-    "q106_hard_negatives" -> q106 _)
+    "q106_hard_negatives" -> q106 _,
+    "q112_semdedup" -> q112 _)
 
   val oracles: Map[String, String] = Map(
     "q86_label_centroids" -> q86Sql,
@@ -1480,5 +1538,6 @@ object Similarity {
     "q76_embed_quantize" -> q76Sql,
     "q95_ann_recall" -> q95Sql,
     "q97_ivf_stats" -> q97Sql,
-    "q106_hard_negatives" -> q106Sql)
+    "q106_hard_negatives" -> q106Sql,
+    "q112_semdedup" -> q112Sql)
 }

@@ -517,4 +517,38 @@ class DedupScaleSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(dropped == expect, s"got $dropped expected $expect")
   }
+
+  test("q112 SemDeDup: cluster-blocked verdicts match the assignTo reference, no cartesian") {
+    import spark.implicits._
+    val q112 = SparkEntry.queries("q112_semdedup")(spark, sfDir)
+    val plan = planString(q112)
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cluster".r
+        .findFirstIn(plan).isDefined,
+      s"pair join must be an equality join on cluster:\n$plan")
+    val got = q112.as[(Long, Boolean, Option[Long])].collect().toSet
+    assert(got.exists(!_._2), "q112 should drop at least one vector at test sf")
+    assert(got.exists(_._2), "q112 should keep at least one vector at test sf")
+    // Independent recomputation: the join+window assignment reference
+    // (assignTo — a different implementation of the same argmax than
+    // the topk kernels the query rides) + an explicit pair pass.
+    val (qv, rows) = Similarity.lloydRowsOf(spark, sfDir)
+    val cents = rows.toSeq.toDF("cid", "cs", "cn")
+    val assign = Similarity.assignTo(qv, cents, 1)
+      .select(col("vec_id"), col("cid").as("cluster"), col("v"), col("nrm"))
+    val a = assign.select(col("vec_id").as("va"), col("cluster"),
+      col("v").as("av"), col("nrm").as("na"))
+    val b = assign.select(col("vec_id").as("vb"), col("cluster").as("cluster_b"),
+      col("v").as("bv"), col("nrm").as("nb"))
+    val refDrops = a.join(b,
+        col("cluster") === col("cluster_b") && col("va") < col("vb"))
+      .filter(round(expr("dot_product(av, bv)") / (col("na") * col("nb")), 6)
+        >= 0.42)
+      .groupBy(col("vb")).agg(min(col("va")).as("keeper"))
+      .as[(Long, Long)].collect().toMap
+    val ref = assign.select("vec_id").as[Long].collect().toSet
+      .map((id: Long) => (id, !refDrops.contains(id), refDrops.get(id)))
+    assert(got == ref,
+      s"verdicts diverge; got-ref ${got.diff(ref)}, ref-got ${ref.diff(got)}")
+  }
 }

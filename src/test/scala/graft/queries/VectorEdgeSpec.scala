@@ -72,7 +72,7 @@ class VectorEdgeSpec extends SparkSpec {
     "q52_embed_neardup_blocked", "q53_ann_lsh", "q57_ann_lsh_all",
     "q76_embed_quantize", "q86_label_centroids", "q93_centroid_classify",
     "q94_confusion_matrix", "q95_ann_recall", "q97_ivf_stats",
-    "q106_hard_negatives")
+    "q106_hard_negatives", "q112_semdedup")
 
   family.foreach { name =>
     test(s"$name survives pathological embeddings") {
