@@ -551,4 +551,23 @@ class DedupScaleSpec extends SparkSpec {
     assert(got == ref,
       s"verdicts diverge; got-ref ${got.diff(ref)}, ref-got ${ref.diff(got)}")
   }
+
+  test("q112 on an all-orthogonal corpus keeps everything (keeper NULL throughout)") {
+    import spark.implicits._
+    // 16 one-hot vectors in 16 dims: every pairwise cosine is exactly
+    // 0 < 0.42, whatever the clustering — the no-drop edge must come
+    // back all-kept with NULL keepers, not collapse to empty.
+    val dim = 16
+    val tmp = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
+    spark.range(dim).select(col("id").as("vec_id"),
+        array((0 until dim).map(j =>
+          when(col("id") === j, 1.0f).otherwise(0.0f)): _*).as("embedding"),
+        (col("id") % 3).cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = SparkEntry.queries("q112_semdedup")(spark, tmp)
+      .as[(Long, Boolean, Option[Long])].collect()
+    assert(rows.length == dim)
+    assert(rows.forall(r => r._2 && r._3.isEmpty),
+      s"orthogonal vectors must all be kept: ${rows.filterNot(_._2).toSeq}")
+  }
 }
