@@ -927,10 +927,27 @@ object Similarity {
     * Scale shape: signatures row-local (no shuffle), candidate
     * generation a (band, value) equality join — same posture as q28's
     * LSH. */
-  /** Band-width ladder cap: 2 bands × ≤14 bits ⇒ up to 28 hyperplanes
-    * are defined; a given corpus only evaluates the 2·bits it uses. */
-  private val LshMaxBits = 14
+  /** Band-width ladder cap: 2 bands × ≤20 bits ⇒ up to 40 hyperplanes
+    * are defined; a given corpus only evaluates the 2·bits it uses.
+    * (Round 13: 14 → 20. The 14-bit cap stopped the ladder at
+    * n > 32000, so expected bucket size n/2^bits — and with it the
+    * Σ bucket² candidate join — grew LINEARLY in n past ~130k
+    * vectors: at 1.8M vectors buckets averaged ~110 and q57's
+    * candidate shuffle materialized ~400M vector-carrying rows, which
+    * exceeded the measurement box's disk. The three new rungs restore
+    * the intended ~2–10 bucket density through ~8M vectors; extend by
+    * +2 bits per 4× n to extend the range further — the 2-band packed
+    * signature has room to 30 bits/band in one BIGINT.) */
+  private val LshMaxBits = 20
   private val LshPlanes = 2 * LshMaxBits
+
+  /** The band-width ladder itself — ONE definition, unit-tested, with
+    * the DuckDB twin (`bw` CTE in [[lshCtes]]) mirroring each rung as
+    * CASE WHEN. Pure integer thresholds, never float log2. */
+  private[queries] def lshBits(n: Long): Int =
+    8 + (if (n > 2000) 2 else 0) + (if (n > 8000) 2 else 0) +
+      (if (n > 32000) 2 else 0) + (if (n > 128000) 2 else 0) +
+      (if (n > 512000) 2 else 0) + (if (n > 2048000) 2 else 0)
 
   /** Shared LSH top-k machinery for q53 (sampled probes) and q57 (all
     * vectors). `probeFilter = None` is the full-corpus shape: both
@@ -943,9 +960,9 @@ object Similarity {
     * n/2^bits per band value, so fixed-width bands make the Σ bucket²
     * pair join grow QUADRATICALLY with the corpus; widening bits with
     * n keeps buckets bounded and the join ~linear. The width is a pure
-    * integer threshold ladder (8 bits, +2 at n>2000, >8000, >32000 —
-    * extend the ladder to extend the range), not float log2, so the
-    * oracle derives the identical width with CASE WHEN. */
+    * integer threshold ladder ([[lshBits]]: 8 bits, +2 per ~4× n up
+    * to 20 — extend the ladder to extend the range), not float log2,
+    * so the oracle derives the identical width with CASE WHEN. */
   private def lshTopK(s: SparkSession, d: String,
       probeFilter: Option[DataFrame => DataFrame]): DataFrame = {
     val wTop = Window.partitionBy("qid")
@@ -958,21 +975,22 @@ object Similarity {
   }
 
   /** The distinct scored LSH candidate frame (qid, mid, cos) before
-    * ranking — shared by q53/q57's top-k and q106's pos/neg mining. */
-  private def lshScored(s: SparkSession, d: String,
+    * ranking — shared by q53/q57's top-k and q106's pos/neg mining
+    * (and the DedupScaleSpec bucket-density probe past the old
+    * 14-bit rung). */
+  private[queries] def lshScored(s: SparkSession, d: String,
       probeFilter: Option[DataFrame => DataFrame]): DataFrame = {
     val planes: Seq[Seq[Long]] = (0 until LshPlanes).map(j =>
       (1 to 64).map(dd => (phashDriver(s"$j:$dd") % 1001L) - 500L))
     val wLit = typedlit(planes)
     val n = snapCount(s, d, "embeddings")
-    val bits = 8 + (if (n > 2000) 2 else 0) + (if (n > 8000) 2 else 0) +
-      (if (n > 32000) 2 else 0)
+    val bits = lshBits(n)
     val v = spread(vecs(s, d), col("vec_id")) // gated: test-split spread only
       // same explicit double-cast-before-multiply as qvecs
       .withColumn("q",
         transform(col("v"), x => floor(x.cast("double") * 1000).cast("long")))
     // Only the 2·bits planes in use are evaluated (sequence bound is
-    // corpus-derived), so a small corpus pays for 16 plane dots, not 28.
+    // corpus-derived), so a small corpus pays for 16 plane dots, not 40.
     val sig = v.withColumn("sg",
       aggregate(sequence(lit(0), lit(2 * bits - 1)), lit(0L), (acc, j) =>
         acc + when(
@@ -1035,7 +1053,10 @@ object Similarity {
       |bw AS (
       |  SELECT 8 + CASE WHEN count(*) > 2000 THEN 2 ELSE 0 END
       |           + CASE WHEN count(*) > 8000 THEN 2 ELSE 0 END
-      |           + CASE WHEN count(*) > 32000 THEN 2 ELSE 0 END AS bits
+      |           + CASE WHEN count(*) > 32000 THEN 2 ELSE 0 END
+      |           + CASE WHEN count(*) > 128000 THEN 2 ELSE 0 END
+      |           + CASE WHEN count(*) > 512000 THEN 2 ELSE 0 END
+      |           + CASE WHEN count(*) > 2048000 THEN 2 ELSE 0 END AS bits
       |  FROM embeddings),
       |planes AS (
       |  SELECT j, d,

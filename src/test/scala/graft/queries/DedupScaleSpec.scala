@@ -570,4 +570,55 @@ class DedupScaleSpec extends SparkSpec {
     assert(rows.forall(r => r._2 && r._3.isEmpty),
       s"orthogonal vectors must all be kept: ${rows.filterNot(_._2).toSeq}")
   }
+
+  test("LSH band-width ladder: every rung pinned, both engines in lockstep") {
+    // The round-13 extension: the 14-bit cap stopped the ladder at
+    // n > 32000, letting bucket size — and the Σ bucket² candidate
+    // join — grow linearly past ~130k vectors (measured: ~400M
+    // vector-carrying candidate rows at 1.8M vectors, > the box's
+    // disk). Rungs are pinned here; the SQL twin must carry the SAME
+    // thresholds or the two engines silently band differently.
+    val rungs = Seq(500L -> 8, 2000L -> 8, 2001L -> 10, 8001L -> 12,
+      32001L -> 14, 128000L -> 14, 128001L -> 16, 512001L -> 18,
+      2048001L -> 20, 100000000L -> 20)
+    rungs.foreach { case (n, want) =>
+      assert(Similarity.lshBits(n) == want,
+        s"lshBits($n) = ${Similarity.lshBits(n)}, want $want")
+    }
+    val sql = SparkEntry.oracleSql("q53_ann_lsh")
+    Seq(2000L, 8000L, 32000L, 128000L, 512000L, 2048000L).foreach { t =>
+      assert(sql.contains(s"count(*) > $t"),
+        s"oracle bw CTE missing the n > $t rung")
+    }
+  }
+
+  test("LSH banding engages the 16-bit rung past 128k vectors (plan-level)") {
+    // 130,001 vectors (> the new 128k rung): the band extraction
+    // expressions carry the ladder value as a baked literal
+    // (shiftright(sg, b * bits)), so the optimized plan proves which
+    // rung engaged without executing the 130k-signature build. The
+    // DENSITY consequence is the measured sf90 record in BASELINE.md:
+    // under the 14-bit cap the 1.8M-vector q57 candidate shuffle
+    // materialized ~400M vector-carrying rows and exhausted the box's
+    // disk; under the extended ladder (18 bits there) it completes.
+    val n = 130001L
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lshladder").toString
+    spark.range(n).select(col("id").as("vec_id"),
+        array((0 until 8).map(j =>
+          ((pmod(xxhash64(col("id"), lit(j)), lit(997L)) + 1)
+            .cast("double") / lit(998.0)) - lit(0.5)): _*)
+          .cast("array<float>").as("embedding"),
+        (col("id") % 5).cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val q57 = SparkEntry.queries("q57_ann_lsh_all")(spark, tmp)
+    val plan = q57.queryExecution.optimizedPlan.toString
+    assert("\\* 16\\)".r.findFirstIn(plan).isDefined,
+      s"130k vectors must band at 16 bits; optimized plan:\n${plan.take(4000)}")
+    // and the reference corpus (500 vectors, below every extension
+    // rung) still bands at 8 bits — the ladder's base is untouched
+    val q57base = SparkEntry.queries("q57_ann_lsh_all")(spark, sfDir)
+    val basePlan = q57base.queryExecution.optimizedPlan.toString
+    assert("\\* 8\\)".r.findFirstIn(basePlan).isDefined,
+      s"sf0.001 must still band at 8 bits:\n${basePlan.take(4000)}")
+  }
 }
