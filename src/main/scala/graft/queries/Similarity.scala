@@ -39,9 +39,15 @@ object Similarity {
     * array copy. Derivations that leave dot-product space (the
     * quantized `q`, q76's codes) cast elements to double explicitly
     * at their use sites. */
-  private def vecs(s: SparkSession, d: String): DataFrame = {
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    vecsOf(s, tbl(s, d, "embeddings"))
+
+  /** [[vecs]] over an arbitrary (vec_id, embedding) frame — the same
+    * admission discipline applied to streamed batches (s23) as to the
+    * stored table, ONE definition. */
+  private def vecsOf(s: SparkSession, raw: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    tbl(s, d, "embeddings")
+    raw
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(expr("dot_product(v, v)")))
       // zero-norm and NON-FINITE vectors (a failed encoder emits both
@@ -270,7 +276,13 @@ object Similarity {
     * cosine's divide is IEEE — a deterministic operation on two
     * exactly-agreed values. */
   private def qvecs(s: SparkSession, d: String): DataFrame =
-    vecs(s, d)
+    qvecsOf(s, tbl(s, d, "embeddings"))
+
+  /** [[qvecs]] over an arbitrary (vec_id, embedding) frame — s23's
+    * per-batch prep shares the exact quantization + admission chain
+    * of the batch family. */
+  private[graft] def qvecsOf(s: SparkSession, raw: DataFrame): DataFrame =
+    vecsOf(s, raw)
       // explicit double cast BEFORE the multiply: float×int would
       // round to 24-bit precision first and floor could land on the
       // other side of an integer boundary vs the oracle's DOUBLE[]
@@ -864,6 +876,18 @@ object Similarity {
     * cluster scores rounded cosine ≥ 0.42 against it. Output: one row
     * per admissible vector with the keep verdict and, for dropped
     * vectors, the LOWEST such keeper (deterministic; NULL when kept).
+    *
+    * SEMANTICS NOTE — `keeper` is the lowest earlier same-cluster
+    * neighbor above threshold, tested against ANY earlier member
+    * regardless of that member's own verdict. In a transitive chain
+    * (a~b, b~c, a!~c) the reported keeper for a dropped vector can
+    * itself be dropped: keeper is the dedup WITNESS, not a guaranteed
+    * member of the keep set. Consumers wanting a retained
+    * representative must follow the keeper chain to a kept row (or
+    * join `kept`). This matches the oracle bit-for-bit by design; the
+    * greedy keep-against-kept SemDeDup variant is a sequential scan
+    * within each cluster (inherently order-dependent) and would
+    * forfeit the partial-aggregable groupBy MIN shape below.
     * Exactness: the same BIGINT-quantized centroid chain + 6-decimal
     * rounded cosine as the rest of the family, so the oracle replays
     * the decision bit-for-bit.
@@ -876,6 +900,59 @@ object Similarity {
     * verdict attach is a vec_id-keyed hash equality join; the output
     * sort rides [[graft.T.pinnedSort]] (slim verdict rows over the
     * pair-join lineage — the q69/q85 pin criterion). */
+  /** The SemDeDup drop threshold (rounded cosine) — ONE definition
+    * shared by batch q112, its oracle twin, and the streaming gate
+    * (s23), so the three can never drift. */
+  private[graft] val SemDedupCos = 0.42
+
+  /** s23's static side — the (centroid table, indexed member frame)
+    * pair the streaming gate serves against: the SAME memoized Lloyd's
+    * index every batch consumer rides (so building it after a q31/q52/
+    * q97/q112 run is free), members as (vec_id, cluster, v, nrm).
+    * Caller owns persistence (StreamingSemDedup.buildIndex persists +
+    * cluster-partitions it once). */
+  private[graft] def semDedupIndex(s: SparkSession, d: String)
+      : (Array[(Long, Seq[Long], Double)], DataFrame) = {
+    val (qv, c2rows) = lloydRowsOf(s, d)
+    (c2rows, assignRows(s, qv, c2rows, 1)
+      .select(col("vec_id"), col("cid").as("cluster"), col("v"), col("nrm")))
+  }
+
+  /** s23's per-batch gate — one verdict row per ADMISSIBLE incoming
+    * vector (the [[qvecsOf]] admission: degenerate/non-finite/
+    * out-of-domain vectors emit nothing, exactly q112's rule):
+    * (vec_id, kept, keeper) against the STATIC index. An incoming
+    * vector is dropped when ANY indexed member of its assigned
+    * cluster scores rounded cosine ≥ [[SemDedupCos]]; keeper = the
+    * LOWEST such indexed vec_id (a member of the index by
+    * construction — the index-only form has no transitive-chain
+    * caveat). Pure function of (vector, index): incoming vectors are
+    * never compared to each other, so verdicts are batching-invariant
+    * by construction (asserted in StreamingSemDedupSpec).
+    *
+    * Scale shape: assignment is the row-local topk kernel against the
+    * driver-resident centroid table (zero shuffle, same fences as
+    * q31); the only index-scale operation is the cluster-equality
+    * join against the persisted, cluster-partitioned member frame —
+    * per batch the incoming side is shard-sized. */
+  private[graft] def semDedupGate(s: SparkSession, batch: DataFrame,
+      centroids: Array[(Long, Seq[Long], Double)],
+      members: DataFrame): DataFrame = {
+    val in = assignRows(s, qvecsOf(s, batch), centroids, 1)
+      .select(col("vec_id").as("vi"), col("cid").as("cluster"),
+        col("v").as("iv"), col("nrm").as("ni"))
+    val hits = in.join(
+        members.select(col("vec_id").as("ve"), col("cluster").as("cluster_e"),
+          col("v").as("ev"), col("nrm").as("ne")),
+        col("cluster") === col("cluster_e"))
+      .filter(cosR("iv", "ev", col("ni"), col("ne")) >= SemDedupCos)
+      .groupBy(col("vi")).agg(min(col("ve")).as("keeper"))
+    in.select(col("vi"))
+      .join(hits, Seq("vi"), "left")
+      .select(col("vi").as("vec_id"), col("keeper").isNull.as("kept"),
+        col("keeper"))
+  }
+
   private def q112(s: SparkSession, d: String): DataFrame = {
     val (qv, c2rows) = lloydRowsOf(s, d)
     val assign = assignRows(s, qv, c2rows, 1)
@@ -885,7 +962,7 @@ object Similarity {
     val b = assign.select(col("vec_id").as("vb"), col("cluster").as("cluster_b"),
       col("v").as("bv"), col("nrm").as("nb"))
     val drops = a.join(b, col("cluster") === col("cluster_b") && col("va") < col("vb"))
-      .filter(cosR("av", "bv", col("na"), col("nb")) >= 0.42)
+      .filter(cosR("av", "bv", col("na"), col("nb")) >= SemDedupCos)
       .groupBy(col("vb")).agg(min(col("va")).as("keeper"))
     val out = assign.select(col("vec_id"))
       .join(drops, col("vec_id") === col("vb"), "left")
@@ -902,7 +979,7 @@ object Similarity {
       |  SELECT b.vec_id AS vb, min(a.vec_id) AS keeper
       |  FROM assign a JOIN assign b
       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-      |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.42
+      |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $SemDedupCos
       |  GROUP BY 1)
       |SELECT assign.vec_id,
       |       drops.keeper IS NULL AS kept,
@@ -927,27 +1004,31 @@ object Similarity {
     * Scale shape: signatures row-local (no shuffle), candidate
     * generation a (band, value) equality join — same posture as q28's
     * LSH. */
-  /** Band-width ladder cap: 2 bands × ≤20 bits ⇒ up to 40 hyperplanes
-    * are defined; a given corpus only evaluates the 2·bits it uses.
-    * (Round 13: 14 → 20. The 14-bit cap stopped the ladder at
-    * n > 32000, so expected bucket size n/2^bits — and with it the
-    * Σ bucket² candidate join — grew LINEARLY in n past ~130k
-    * vectors: at 1.8M vectors buckets averaged ~110 and q57's
-    * candidate shuffle materialized ~400M vector-carrying rows, which
-    * exceeded the measurement box's disk. The three new rungs restore
-    * the intended ~2–10 bucket density through ~8M vectors; extend by
-    * +2 bits per 4× n to extend the range further — the 2-band packed
-    * signature has room to 30 bits/band in one BIGINT.) */
-  private val LshMaxBits = 20
+  /** Band-width ladder cap: 2 bands × ≤30 bits ⇒ up to 60 hyperplanes
+    * are defined; a given corpus only evaluates the 2·bits it uses
+    * (BOTH engines: the Spark signature fold's sequence bound is
+    * corpus-derived, and the oracle's `planes` CTE carries the same
+    * `j < 2·bits` predicate). 30 bits/band is the hard packing
+    * ceiling — the 2-band signature lives in one signed BIGINT — and
+    * covers corpora to 2000·4¹¹ ≈ 8.4B vectors at the intended ~2–10
+    * bucket density, so the ladder-range defect class (round 9: the
+    * 8→14 extension; round 13: 14→20 after the 1.8M-vector sf90 run
+    * filled the disk with a ~400M-row candidate shuffle) is closed by
+    * construction, not by remembering to append rungs. */
+  private val LshMaxBits = 30
   private val LshPlanes = 2 * LshMaxBits
 
   /** The band-width ladder itself — ONE definition, unit-tested, with
-    * the DuckDB twin (`bw` CTE in [[lshCtes]]) mirroring each rung as
-    * CASE WHEN. Pure integer thresholds, never float log2. */
+    * the DuckDB twin (`bw` CTE in [[lshCtes]]) computing the SAME
+    * closed form. bits = 8 + 2·|{i ≥ 0 : n > 2000·4^i}|, i.e. +2 bits
+    * per 4× corpus growth above 2000 vectors, capped at [[LshMaxBits]]
+    * by bounding i — pure integer thresholds (2000·4^i is an exact
+    * shift), never float log2, so the two engines cannot disagree on
+    * a boundary. Replaces the hand-extended rung list that caused the
+    * round-9 and round-13 scale blowups when growth passed its last
+    * rung. */
   private[queries] def lshBits(n: Long): Int =
-    8 + (if (n > 2000) 2 else 0) + (if (n > 8000) 2 else 0) +
-      (if (n > 32000) 2 else 0) + (if (n > 128000) 2 else 0) +
-      (if (n > 512000) 2 else 0) + (if (n > 2048000) 2 else 0)
+    8 + 2 * (0 until (LshMaxBits - 8) / 2).count(i => n > 2000L * (1L << (2 * i)))
 
   /** Shared LSH top-k machinery for q53 (sampled probes) and q57 (all
     * vectors). `probeFilter = None` is the full-corpus shape: both
@@ -959,10 +1040,11 @@ object Similarity {
     * [[graft.T.snapCount]] scalar): expected bucket size is
     * n/2^bits per band value, so fixed-width bands make the Σ bucket²
     * pair join grow QUADRATICALLY with the corpus; widening bits with
-    * n keeps buckets bounded and the join ~linear. The width is a pure
-    * integer threshold ladder ([[lshBits]]: 8 bits, +2 per ~4× n up
-    * to 20 — extend the ladder to extend the range), not float log2,
-    * so the oracle derives the identical width with CASE WHEN. */
+    * n keeps buckets bounded and the join ~linear. The width is the
+    * closed-form integer ladder ([[lshBits]]: 8 bits + 2 per 4× n
+    * above 2000, capped at 30 by the BIGINT signature packing), not
+    * float log2, so the oracle derives the identical width with the
+    * same integer-shift arithmetic in its `bw` CTE. */
   private def lshTopK(s: SparkSession, d: String,
       probeFilter: Option[DataFrame => DataFrame]): DataFrame = {
     val wTop = Window.partitionBy("qid")
@@ -975,10 +1057,8 @@ object Similarity {
   }
 
   /** The distinct scored LSH candidate frame (qid, mid, cos) before
-    * ranking — shared by q53/q57's top-k and q106's pos/neg mining
-    * (and the DedupScaleSpec bucket-density probe past the old
-    * 14-bit rung). */
-  private[queries] def lshScored(s: SparkSession, d: String,
+    * ranking — shared by q53/q57's top-k and q106's pos/neg mining. */
+  private def lshScored(s: SparkSession, d: String,
       probeFilter: Option[DataFrame => DataFrame]): DataFrame = {
     val planes: Seq[Seq[Long]] = (0 until LshPlanes).map(j =>
       (1 to 64).map(dd => (phashDriver(s"$j:$dd") % 1001L) - 500L))
@@ -990,7 +1070,8 @@ object Similarity {
       .withColumn("q",
         transform(col("v"), x => floor(x.cast("double") * 1000).cast("long")))
     // Only the 2·bits planes in use are evaluated (sequence bound is
-    // corpus-derived), so a small corpus pays for 16 plane dots, not 40.
+    // corpus-derived), so a small corpus pays for 16 plane dots, not
+    // 60 — mirrored oracle-side by the planes CTE's j < 2·bits filter.
     val sig = v.withColumn("sg",
       aggregate(sequence(lit(0), lit(2 * bits - 1)), lit(0L), (acc, j) =>
         acc + when(
@@ -1051,17 +1132,15 @@ object Similarity {
       |              list_transform(v, x -> CAST(floor(x * 1000) AS BIGINT)) AS q
       |       FROM v),
       |bw AS (
-      |  SELECT 8 + CASE WHEN count(*) > 2000 THEN 2 ELSE 0 END
-      |           + CASE WHEN count(*) > 8000 THEN 2 ELSE 0 END
-      |           + CASE WHEN count(*) > 32000 THEN 2 ELSE 0 END
-      |           + CASE WHEN count(*) > 128000 THEN 2 ELSE 0 END
-      |           + CASE WHEN count(*) > 512000 THEN 2 ELSE 0 END
-      |           + CASE WHEN count(*) > 2048000 THEN 2 ELSE 0 END AS bits
-      |  FROM embeddings),
+      |  SELECT 8 + 2 * count(*) AS bits
+      |  FROM generate_series(0, ${(LshMaxBits - 8) / 2 - 1}) g(i)
+      |  WHERE (SELECT count(*) FROM embeddings) > 2000 * (1::BIGINT << (2 * i))),
       |planes AS (
       |  SELECT j, d,
       |         ((('0x' || substr(md5(j || ':' || d), 1, 8))::BIGINT % 1001) - 500) AS w
-      |  FROM generate_series(0, ${LshPlanes - 1}) g(j), generate_series(1, 64) gd(d)),
+      |  FROM generate_series(0, ${LshPlanes - 1}) g(j), generate_series(1, 64) gd(d),
+      |       bw
+      |  WHERE j < 2 * bits),
       |comp AS (
       |  SELECT vec_id, j, sum(qd * w) AS s
       |  FROM (SELECT vec_id, unnest(q) AS qd, generate_subscripts(q, 1) AS d
@@ -1071,7 +1150,7 @@ object Similarity {
       |sig AS (
       |  SELECT vec_id,
       |         sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS sg
-      |  FROM comp, bw WHERE j < 2 * bits GROUP BY 1),
+      |  FROM comp GROUP BY 1),
       |banded AS (
       |  SELECT vec_id, b, (sg >> (b * bits)) & ((1::BIGINT << bits) - 1) AS bv
       |  FROM sig, generate_series(0, 1) gb(b), bw),

@@ -571,25 +571,51 @@ class DedupScaleSpec extends SparkSpec {
       s"orthogonal vectors must all be kept: ${rows.filterNot(_._2).toSeq}")
   }
 
-  test("LSH band-width ladder: every rung pinned, both engines in lockstep") {
-    // The round-13 extension: the 14-bit cap stopped the ladder at
-    // n > 32000, letting bucket size — and the Σ bucket² candidate
-    // join — grow linearly past ~130k vectors (measured: ~400M
-    // vector-carrying candidate rows at 1.8M vectors, > the box's
-    // disk). Rungs are pinned here; the SQL twin must carry the SAME
-    // thresholds or the two engines silently band differently.
-    val rungs = Seq(500L -> 8, 2000L -> 8, 2001L -> 10, 8001L -> 12,
-      32001L -> 14, 128000L -> 14, 128001L -> 16, 512001L -> 18,
-      2048001L -> 20, 100000000L -> 20)
+  test("LSH band-width ladder: closed form, every rung pinned, both engines in lockstep") {
+    // Round-14: the hand-extended rung list (which silently re-entered
+    // the linear-bucket regime past its last rung in rounds 9 AND 13 —
+    // the round-13 instance materialized ~400M candidate rows at 1.8M
+    // vectors and filled the box's disk) is replaced by the closed
+    // form bits = 8 + 2·|{i < 11 : n > 2000·4^i}|. Rung identity to
+    // the retired hand ladder on its whole range, plus the new rungs
+    // the closed form adds up to the 30-bit BIGINT packing cap:
+    val rungs = Seq(
+      // the old hand ladder's range — must band IDENTICALLY
+      500L -> 8, 2000L -> 8, 2001L -> 10, 8000L -> 10, 8001L -> 12,
+      32000L -> 12, 32001L -> 14, 128000L -> 14, 128001L -> 16,
+      512000L -> 16, 512001L -> 18, 2048000L -> 18, 2048001L -> 20,
+      // the closed form's new range: +2 per 4× n ...
+      8192000L -> 20, 8192001L -> 22, 32768001L -> 24, 131072001L -> 26,
+      524288001L -> 28, 2097152001L -> 30,
+      // ... hard-capped at 30 bits/band (signed-BIGINT packing)
+      8388608001L -> 30, Long.MaxValue -> 30)
     rungs.foreach { case (n, want) =>
       assert(Similarity.lshBits(n) == want,
         s"lshBits($n) = ${Similarity.lshBits(n)}, want $want")
     }
+    // exhaustive lockstep with the retired hand ladder across every
+    // boundary neighborhood it defined — the closed form is a
+    // refactor below 8.192M vectors, an extension above
+    def handLadder(n: Long): Int =
+      8 + (if (n > 2000) 2 else 0) + (if (n > 8000) 2 else 0) +
+        (if (n > 32000) 2 else 0) + (if (n > 128000) 2 else 0) +
+        (if (n > 512000) 2 else 0) + (if (n > 2048000) 2 else 0)
+    Seq(2000L, 8000L, 32000L, 128000L, 512000L, 2048000L, 8192000L)
+      .flatMap(t => Seq(t - 1, t, t + 1)).filter(_ <= 8192000L)
+      .foreach(n => assert(Similarity.lshBits(n) == handLadder(n),
+        s"closed form diverges from the retired ladder at n=$n"))
+    // the oracle's bw CTE must carry the SAME closed form (integer
+    // shift thresholds over generate_series, not CASE WHEN rungs)
     val sql = SparkEntry.oracleSql("q53_ann_lsh")
-    Seq(2000L, 8000L, 32000L, 128000L, 512000L, 2048000L).foreach { t =>
-      assert(sql.contains(s"count(*) > $t"),
-        s"oracle bw CTE missing the n > $t rung")
-    }
+    assert(sql.contains("8 + 2 * count(*) AS bits"),
+      "oracle bw CTE no longer computes the closed-form bit count")
+    assert(sql.contains("generate_series(0, 10) g(i)"),
+      "oracle bw CTE's rung range must stop at i=10 (the 30-bit cap)")
+    assert(sql.contains("2000 * (1::BIGINT << (2 * i))"),
+      "oracle bw CTE must use the exact 2000·4^i integer-shift threshold")
+    // and only the 2·bits planes in use are evaluated oracle-side too
+    assert(sql.contains("WHERE j < 2 * bits"),
+      "oracle planes CTE must restrict to the planes in use")
   }
 
   test("LSH banding engages the 16-bit rung past 128k vectors (plan-level)") {
@@ -612,13 +638,18 @@ class DedupScaleSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
     val q57 = SparkEntry.queries("q57_ann_lsh_all")(spark, tmp)
     val plan = q57.queryExecution.optimizedPlan.toString
-    assert("\\* 16\\)".r.findFirstIn(plan).isDefined,
+    // anchor to the band-value extraction itself (shiftright of the
+    // packed signature by b·bits), not a bare "* 16" literal that any
+    // unrelated multiply could satisfy (round-13 ADVICE)
+    def bandExtract(bits: Int) =
+      raw"shiftright\(sg#\d+L?, \(b#\d+L? \* $bits\)\)".r
+    assert(bandExtract(16).findFirstIn(plan).isDefined,
       s"130k vectors must band at 16 bits; optimized plan:\n${plan.take(4000)}")
     // and the reference corpus (500 vectors, below every extension
     // rung) still bands at 8 bits — the ladder's base is untouched
     val q57base = SparkEntry.queries("q57_ann_lsh_all")(spark, sfDir)
     val basePlan = q57base.queryExecution.optimizedPlan.toString
-    assert("\\* 8\\)".r.findFirstIn(basePlan).isDefined,
+    assert(bandExtract(8).findFirstIn(basePlan).isDefined,
       s"sf0.001 must still band at 8 bits:\n${basePlan.take(4000)}")
   }
 }
