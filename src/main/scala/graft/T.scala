@@ -169,6 +169,18 @@ object T {
     * scalars. */
   private[graft] def applyScaledShuffle(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Unit = {
+    // ObjectHashAggregate falls back to SORT-BASED aggregation past
+    // 128 distinct keys per task (the sortBased.fallbackThreshold
+    // default) — measured on q95's bounded top-k aggregation at sf90:
+    // with ~2000 probe groups per task the fallback re-sorted the
+    // 3.6G-row pair frame it exists to collapse (218 GB spill, stage
+    // 58 of the round-14 sweep). The engine's typed-Aggregator
+    // consumers (TopKByScore: ≤ ~2048 probe groups × 5-pair buffers;
+    // KmvDistinct: ≤ k hashes) hold small bounded buffers, so 8192
+    // in-memory entries is a few MB per task. Corpus-independent —
+    // applied before the width lever's factor gate.
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
     if (sys.env.contains("SPARK_GRAFT_SHUFFLE")) return
     val refs = Seq("documents" -> 5000.0, "events" -> 100000.0,
       "lineitem" -> 600000.0, "embeddings" -> 2000.0)

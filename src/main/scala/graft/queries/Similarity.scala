@@ -1269,14 +1269,20 @@ object Similarity {
     // serialize the probe×corpus pass; identity at real scale)
     val m = spread(v, col("vec_id"))
       .select(col("vec_id").as("mid"), col("v").as("mv"), col("nrm").as("mn"))
-    val wTop = Window.partitionBy("qid")
-      .orderBy(col("cos").desc, col("mid").asc)
+    // Per-probe exact top-5 as a BOUNDED partial aggregation, not a
+    // window: the probes×corpus pair frame is probes·n rows (3.6G at
+    // sf90), and the window form shoved all of them through one
+    // partition-by-probe sort — measured 943 s / 158 GB spill at 1.8M
+    // vectors. TopKByScore collapses each map partition to ≤5 rows
+    // per probe before the exchange (value-identical: same
+    // (cos DESC, mid ASC) total order the window ranked by).
+    val topk = udaf(new graft.functions.TopKByScore(5,
+      s.implicits.newLongArrayEncoder))
     val exact = broadcast(p).join(m, col("qid") =!= col("mid"))
       .select(col("qid"), col("mid"),
         cosR("qv", "mv", col("qn"), col("mn")).as("cos"))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= 5)
-      .select(col("qid"), col("mid"))
+      .groupBy(col("qid")).agg(topk(col("mid"), col("cos")).as("top"))
+      .select(col("qid"), explode(col("top")).as("mid"))
     val hits = exact.join(approx, Seq("qid", "mid"))
       .groupBy("qid").agg(count(lit(1)).as("n_hit"))
     val nApp = approx.groupBy("qid").agg(count(lit(1)).as("n_approx"))

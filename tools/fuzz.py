@@ -90,6 +90,25 @@ def main(seed, dst):
         # multiplier keeps ids unique and rank order intact
         con.execute("UPDATE embeddings SET vec_id = vec_id * 1000003")
 
+    # seeds >= 22 (round-14 verdict task 5): Zipfian cluster-size HEAD
+    # for the SemDeDup family — one duplicate mega-cluster holding
+    # ~30% of the final corpus under ids BELOW the whole natural id
+    # space (negative), so (a) the q112 pair join faces its worst
+    # single cluster key, (b) the mega base is the provable global
+    # keeper, and (c) the rank-based Lloyd seeding draws MANY identical
+    # seed centroids (mass cluster death + ties through the recompute).
+    # The >=100k-vector metrics twin of this corpus is
+    # graft.scale.SemDedupSkewBench; this seed carries the ORACLE
+    # exactness of the same shape.
+    if seed >= 22:
+        n_emb = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+        con.execute(f"""INSERT INTO embeddings
+            SELECT -(1 + r.range), e.embedding, e.label
+            FROM (SELECT embedding, label FROM embeddings
+                  WHERE len(list_filter(embedding, x -> x <> 0)) > 0
+                  ORDER BY vec_id LIMIT 1) e,
+                 range({int(0.45 * n_emb)}) r""")
+
     # star schema: orphan 3% of orders' lineitems, NULL 1% of orderdates
     con.execute("DELETE FROM orders WHERE random() < 0.03")
     con.execute("UPDATE orders SET o_orderdate = NULL WHERE random() < 0.01")
