@@ -838,15 +838,83 @@ object Similarity {
     * design (pairs whose members share no probed cluster are not
     * candidates); the oracle encodes the same blocking, and q30
     * remains the exactness baseline. */
+  /** A cluster is GIANT past this many members — its within-cluster
+    * pair join gets grid-sliced ([[clusterPairs]]) instead of riding
+    * one shuffle key. At the [[IvfClusterTarget]]=512 balanced size
+    * this never fires on healthy corpora; it exists for the Zipf head
+    * (boilerplate pages, retried encoder shards — one cluster holding
+    * a third of the corpus). */
+  private[queries] val GiantClusterCap = 4096L
+
+  /** Grid-slice edge length target: a giant cluster of size c splits
+    * into S = ⌈c/2048⌉ row/col buckets, so one grid cell evaluates
+    * ≈ 2048² ≈ 4.2M pairs — a few seconds of cosine work per task. */
+  private[queries] val PairSliceTarget = 2048L
+
+  /** The within-cluster ordered-pair frame (va, av, na) × (vb, bv,
+    * nb), va < vb — the SemDeDup / blocked-near-dup candidate join
+    * (q52, q112) with GIANT clusters spread over an S×S task grid.
+    *
+    * Why: AQE's skew split keys on shuffle-partition INPUT size, and
+    * a mega-cluster self-join is output-explosive, not input-heavy —
+    * measured on the round-14 Zipf corpus (30k exact copies in one
+    * cluster at n = 100k): the cluster's partition reads ~17 MB (far
+    * under the 256 MB skew threshold) and then evaluates 4.5×10⁸
+    * pairs in ONE task, single-threaded for ~12 minutes while 31
+    * cores idle. No AQE knob sees this; the engine must.
+    *
+    * How: per-cluster counts (k-row frame) broadcast back; clusters
+    * ≤ [[GiantClusterCap]] ride the plain equality self-join exactly
+    * as before. A giant cluster of size c gets S = ⌈c/
+    * [[PairSliceTarget]]⌉: each member row has a home bucket
+    * u = pmod(vec_id, S); the a-side replicates across grid columns
+    * (u_a, j), the b-side across grid rows (i, u_b), and the join key
+    * (cluster, i = u_a, j = u_b) lands every (a, b) pair in EXACTLY
+    * one of S² cells of ≈ [[PairSliceTarget]]² pairs each. Pair SET,
+    * cosines, and every downstream aggregate are value-identical —
+    * the oracle twins are untouched; replication cost is 2·c·S input
+    * rows, always ≪ the c² pair work it parallelizes.
+    * private[queries]: DedupScaleSpec proves sliced ≡ plain self-join
+    * on a synthetic giant cluster (the grid never engages on clean
+    * test corpora, so the equivalence needs direct exercise). */
+  private[queries] def clusterPairs(assign: DataFrame): DataFrame = {
+    val giants = assign.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("csz"))
+      .filter(col("csz") > GiantClusterCap)
+      .select(col("cluster"),
+        ceil(col("csz").cast("double") / PairSliceTarget).cast("int").as("s"))
+    val marked = assign.join(broadcast(giants), Seq("cluster"), "left")
+    def aSide(df: DataFrame) = df.select(col("vec_id").as("va"),
+      col("cluster"), col("v").as("av"), col("nrm").as("na"), col("s"))
+    def bSide(df: DataFrame) = df.select(col("vec_id").as("vb"),
+      col("cluster").as("cluster_b"), col("v").as("bv"),
+      col("nrm").as("nb"), col("s").as("s_b"))
+    val normal = marked.filter(col("s").isNull)
+    val plain = aSide(normal).drop("s")
+      .join(bSide(normal).drop("s_b"),
+        col("cluster") === col("cluster_b") && col("va") < col("vb"))
+    val giant = marked.filter(col("s").isNotNull)
+    val ga = aSide(giant)
+      .withColumn("ua", pmod(col("va"), col("s")))
+      .withColumn("j", explode(sequence(lit(0), col("s") - 1)))
+    val gb = bSide(giant)
+      .withColumn("ub", pmod(col("vb"), col("s_b")))
+      .withColumn("i", explode(sequence(lit(0), col("s_b") - 1)))
+    val sliced = ga.join(gb,
+        col("cluster") === col("cluster_b") &&
+          col("ua") === col("i") && col("j") === col("ub") &&
+          col("va") < col("vb"))
+      .drop("s", "s_b", "ua", "ub", "i", "j")
+    plain.unionByName(sliced)
+      .select(col("va"), col("vb"), col("av"), col("na"),
+        col("bv"), col("nb"))
+  }
+
   private def q52(s: SparkSession, d: String): DataFrame = {
     val (qv, c2rows) = lloydRowsOf(s, d)
     val assign = assignRows(s, qv, c2rows, 2)
       .select(col("vec_id"), col("cid").as("cluster"), col("v"), col("nrm"))
-    val a = assign.select(col("vec_id").as("va"), col("cluster"),
-      col("v").as("av"), col("nrm").as("na"))
-    val b = assign.select(col("vec_id").as("vb"), col("cluster").as("cluster_b"),
-      col("v").as("bv"), col("nrm").as("nb"))
-    a.join(b, col("cluster") === col("cluster_b") && col("va") < col("vb"))
+    clusterPairs(assign)
       .select(col("va"), col("vb"),
         cosR("av", "bv", col("na"), col("nb")).as("cos"))
       .distinct() // a pair sharing both probed clusters matches twice
@@ -957,11 +1025,7 @@ object Similarity {
     val (qv, c2rows) = lloydRowsOf(s, d)
     val assign = assignRows(s, qv, c2rows, 1)
       .select(col("vec_id"), col("cid").as("cluster"), col("v"), col("nrm"))
-    val a = assign.select(col("vec_id").as("va"), col("cluster"),
-      col("v").as("av"), col("nrm").as("na"))
-    val b = assign.select(col("vec_id").as("vb"), col("cluster").as("cluster_b"),
-      col("v").as("bv"), col("nrm").as("nb"))
-    val drops = a.join(b, col("cluster") === col("cluster_b") && col("va") < col("vb"))
+    val drops = clusterPairs(assign)
       .filter(cosR("av", "bv", col("na"), col("nb")) >= SemDedupCos)
       .groupBy(col("vb")).agg(min(col("va")).as("keeper"))
     val out = assign.select(col("vec_id"))
@@ -1328,7 +1392,14 @@ object Similarity {
     s"""WITH ${lshCtes(probeJoin)},
       |approx AS (SELECT qid, mid FROM ranked WHERE rank <= 5),
       |probes AS (
-      |  SELECT n.*, (vec_id // pf.pstep) % $ExOracleBatches AS batch
+      |  -- pmod, not %: DuckDB's % keeps the dividend's sign, so a
+      |  -- NEGATIVE probe id (fuzz seed 22's mega-cluster lives at
+      |  -- ids < 0) would land in batch -1 and silently fall out of
+      |  -- every exact batch — found as a 14-vs-10-row divergence
+      |  -- where the ENGINE was right and the twin wrong
+      |  SELECT n.*,
+      |         (((vec_id // pf.pstep) % $ExOracleBatches)
+      |          + $ExOracleBatches) % $ExOracleBatches AS batch
       |  FROM n CROSS JOIN pf WHERE vec_id % pf.pstep = 0),
       |ex AS (
       |$exBatches),

@@ -652,4 +652,53 @@ class DedupScaleSpec extends SparkSpec {
     assert(bandExtract(8).findFirstIn(basePlan).isDefined,
       s"sf0.001 must still band at 8 bits:\n${basePlan.take(4000)}")
   }
+
+  test("giant-cluster pair grid: sliced join ≡ plain self-join, normal clusters untouched") {
+    // AQE's skew split keys on partition INPUT bytes and cannot see an
+    // output-explosive self-join (a 30k-member duplicate cluster reads
+    // ~17 MB and then evaluates 4.5×10⁸ pairs in one task — measured,
+    // BASELINE round 14). clusterPairs grid-slices clusters past
+    // GiantClusterCap; this proves the slicing VALUE-IDENTICAL to the
+    // plain join on a synthetic assign frame that actually crosses the
+    // cap, which no clean test corpus does.
+    val n = 5500L // cluster 0: 5000 members (> GiantClusterCap = 4096)
+    val assign = spark.range(n).select(
+      col("id").as("vec_id"),
+      when(col("id") < 5000L, 0L).otherwise(pmod(col("id"), lit(7L)) + 1L)
+        .as("cluster"),
+      array((0 until 8).map(j =>
+        (pmod(xxhash64(col("id"), lit(j)), lit(41L)) - 20L)
+          .cast("double")): _*).as("v"))
+      .withColumn("nrm",
+        sqrt(expr("aggregate(v, 0D, (a, x) -> a + x * x)")))
+      .filter(col("nrm") > 0)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("va"), col("vb")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = assign.select(col("vec_id").as("va"), col("cluster"),
+      col("v").as("av"), col("nrm").as("na"))
+    val b = assign.select(col("vec_id").as("vb"),
+      col("cluster").as("cluster_b"), col("v").as("bv"),
+      col("nrm").as("nb"))
+    // plain reference restricted to a SAMPLE of the giant cluster (the
+    // full 12.5M-pair collect would dwarf the test) plus ALL normal
+    // clusters: slice equivalence is per-pair, so a deterministic
+    // va-stripe of the giant cluster exercises every grid coordinate
+    // giant-cluster pairs are exactly those with vb < 5000 (both ends
+    // in cluster 0 — clusterPairs' output carries no cluster column)
+    val keep = col("vb") >= 5000L || col("va") % 97 === 0 ||
+      col("va") > 4950L
+    val plain = a.join(b,
+      col("cluster") === col("cluster_b") && col("va") < col("vb"))
+    val sliced = Similarity.clusterPairs(assign)
+    assert(pairSet(sliced.filter(keep)) == pairSet(plain.filter(keep)),
+      "sliced pair set diverges from the plain self-join")
+    // and the counts agree in FULL (cheap aggregate, no collect)
+    assert(sliced.count() == plain.count(),
+      "sliced pair COUNT diverges from the plain self-join")
+    // the grid actually engaged: the plan carries the slice explode
+    val plan = sliced.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Union") && plan.contains("sequence"),
+      s"giant path must engage past the cap:\n${plan.take(3000)}")
+  }
 }
