@@ -690,9 +690,16 @@ class DedupScaleSpec extends SparkSpec {
       col("va") > 4950L
     val plain = a.join(b,
       col("cluster") === col("cluster_b") && col("va") < col("vb"))
-    val sliced = Similarity.clusterPairs(assign)
+    // census passed explicitly (the engine memoizes it driver-side
+    // per corpus): cluster 0 holds 5000 members > GiantClusterCap
+    val sliced = Similarity.clusterPairs(assign, Array((0L, 5000L)))
     assert(pairSet(sliced.filter(keep)) == pairSet(plain.filter(keep)),
       "sliced pair set diverges from the plain self-join")
+    // and with NO giants the emitted plan is the plain join itself —
+    // zero overhead for the healthy case
+    val noGiants = Similarity.clusterPairs(assign, Array.empty)
+    assert(!noGiants.queryExecution.optimizedPlan.toString.contains("Union"),
+      "empty census must emit the plain self-join, no union")
     // and the counts agree in FULL (cheap aggregate, no collect)
     assert(sliced.count() == plain.count(),
       "sliced pair COUNT diverges from the plain self-join")
