@@ -39,6 +39,11 @@ def main(sf_dir, out_dir):
         os.makedirs(tmp, exist_ok=True)
         con.execute(f"SET temp_directory='{tmp}'")
         con.execute("SET max_temp_directory_size='60GB'")
+        # big-sweep memory lever: insertion-order preservation forces
+        # DuckDB to buffer operator output in order even mid-pipeline;
+        # result ORDER is irrelevant here (every oracle has an explicit
+        # ORDER BY, and norm() re-sorts rows before compare anyway)
+        con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         # driver testdata is one file per table; GenScale rehearsal
         # corpora are Spark-written DIRECTORIES of part files
