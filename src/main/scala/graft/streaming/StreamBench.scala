@@ -78,6 +78,43 @@ object StreamBench {
     * rate, bounded by cores") has a saturation curve, not the single
     * 4-symbol point it was extrapolated from. */
   private val SymLadder = Seq(4, 8, 16, 32)
+
+  /** Deterministic 64-dim vector tape for the s23 SemDeDup gate:
+    * 3-decimal values in [−0.498, 0.498], nonzero and in-domain, so
+    * every vector is admissible and the measured rate is gate
+    * throughput, not admission filtering. */
+  private def vecLine(i: Long): String = {
+    val emb = (0 until 64).map { j =>
+      val h = (i * 131 + j * 31 + 7) % 997
+      s"${(h - 498) / 1000.0}"
+    }.mkString("[", ",", "]")
+    s"""{"vec_id":$i,"embedding":$emb}"""
+  }
+
+  /** s23 ingest-rate: vectors/s through the streaming SemDeDup gate
+    * (index trained once from the sf0.1 corpus — the memoized Lloyd
+    * chain — then one AvailableNow pass over the tape writing parquet
+    * verdicts). Per-vector work = row-local quantize + topk kernel +
+    * one cluster-equality join probe. */
+  private def runSemDedup(spark: org.apache.spark.sql.SparkSession,
+      root: Path, n: Long): (Double, Long) = {
+    import org.apache.spark.sql.types._
+    val dir = root.resolve("vectors")
+    if (!Files.exists(dir)) writeLines(dir, 32, (0L until n).map(vecLine))
+    val idx = StreamingSemDedup.buildIndex(spark, "/root/testdata/sf0.1")
+    try {
+      val schema = new StructType().add("vec_id", LongType)
+        .add("embedding", ArrayType(FloatType))
+      val stream = spark.readStream.schema(schema).json(dir.toString)
+      val out = Files.createTempDirectory("sb-semdedup").toString + "/v"
+      val ckpt = Files.createTempDirectory("sb-semdedup-ckpt").toString
+      val t0 = System.nanoTime()
+      val q = StreamingSemDedup.start(stream, idx, out, ckpt)
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, spark.read.parquet(out).count())
+    } finally idx.release()
+  }
   private def multiSyms(n: Int): Seq[String] =
     (0 until n).map(i => f"S$i%02dUSDT")
 
@@ -265,9 +302,18 @@ object StreamBench {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       rr
     }
-    val allResults = (results :+ decoupled) ++ rocksRows
+    // s23 SemDeDup gate rate (round 14): vectors/s against the static
+    // sf0.1-trained index, admissible-by-construction tape
+    val nVecs = sys.env.getOrElse("SPARK_GRAFT_STREAM_VECS", "200000").toLong
+    val semdedup = {
+      runSemDedup(spark, warmRoot, 2000) // warmup, unbilled
+      val (sec, rows) = runSemDedup(spark, corpusRoot, nVecs)
+      "semdedup_parquet" -> (sec, rows, nVecs)
+    }
+    val allResults = (results :+ decoupled :+ semdedup) ++ rocksRows
     val json = "{\"metric\":\"stream_throughput\",\"unit\":\"rows_per_sec\"," +
       s""""corpus":{"trade_msgs":$nTrades,"depth_msgs":$nDepth,""" +
+      s""""vec_msgs":$nVecs,""" +
       s""""depth_levels_per_msg":${2 * levels}},"paths":{""" +
       allResults.map { case (k, (sec, rows, msgs)) =>
         s""""$k":{"sec":${f"$sec%.2f"},"rows":$rows,""" +
