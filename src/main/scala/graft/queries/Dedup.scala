@@ -329,13 +329,77 @@ object Dedup {
     val sigs = MinHashLsh.bandSignatures(
         spread(tbl(s, d, "documents"), col("doc_id")), lit(r))
       .repartition(col("band"), col("sig"))
+    bandedPairs(sigs, giantBuckets(s, d, sigs))
+      .select(col("da"), col("db")).distinct()
+  }
+
+  /** The (band, sig) ordered-pair self-join with GIANT-bucket grid
+    * slicing — the [[graft.queries.Similarity.clusterPairs]]
+    * discipline applied to the text family's composite key: a
+    * mega-group of identical documents shares every band signature,
+    * so its bucket's pair fan-out is c² on ONE join key that AQE's
+    * input-size skew split cannot see (the vector-family measurement:
+    * a 30k-member bucket reads ~17 MB and melts one task for 80+
+    * minutes). Buckets past [[Similarity.GiantClusterCap]] members
+    * spread over an S×S grid, S = ⌈c/[[Similarity.PairSliceTarget]]⌉;
+    * pair SET identical (the cell (i, j) = (pmod(da, S), pmod(db, S))
+    * of every pair is unique), so q28/q88/q55 values and their oracle
+    * twins are untouched. Empty census ⇒ the plain join,
+    * byte-identical — zero overhead for healthy corpora. */
+  private[queries] def bandedPairs(sigs: DataFrame,
+      giants: Array[(Int, String, Long)]): DataFrame = {
     val a = sigs.select(col("doc_id").as("da"), col("band"), col("sig"))
     val b = sigs.select(col("doc_id").as("db"), col("band").as("band_b"),
       col("sig").as("sig_b"))
-    a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") &&
-        col("da") < col("db"))
-      .select(col("da"), col("db")).distinct()
+    if (giants.isEmpty)
+      a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") &&
+          col("da") < col("db"))
+        .select(col("da"), col("db"))
+    else {
+      val s = sigs.sparkSession
+      import s.implicits._
+      val g = broadcast(giants.toSeq.map { case (bd, sg, c) =>
+        (bd, sg, math.ceil(c.toDouble / Similarity.PairSliceTarget).toInt)
+      }.toDF("band", "sig", "slices"))
+      val marked = sigs.join(g, Seq("band", "sig"), "left")
+      val normal = marked.filter(col("slices").isNull)
+      val plain = normal.select(col("doc_id").as("da"), col("band"), col("sig"))
+        .join(normal.select(col("doc_id").as("db"), col("band").as("band_b"),
+            col("sig").as("sig_b")),
+          col("band") === col("band_b") && col("sig") === col("sig_b") &&
+            col("da") < col("db"))
+        .select(col("da"), col("db"))
+      val giant = marked.filter(col("slices").isNotNull)
+      val ga = giant.select(col("doc_id").as("da"), col("band"), col("sig"),
+          col("slices"))
+        .withColumn("ua", pmod(col("da"), col("slices")))
+        .withColumn("j", explode(sequence(lit(0), col("slices") - 1)))
+      val gb = giant.select(col("doc_id").as("db"), col("band").as("band_b"),
+          col("sig").as("sig_b"), col("slices").as("slices_b"))
+        .withColumn("ub", pmod(col("db"), col("slices_b")))
+        .withColumn("i", explode(sequence(lit(0), col("slices_b") - 1)))
+      val sliced = ga.join(gb,
+          col("band") === col("band_b") && col("sig") === col("sig_b") &&
+            col("ua") === col("i") && col("j") === col("ub") &&
+            col("da") < col("db"))
+        .select(col("da"), col("db"))
+      plain.unionByName(sliced)
+    }
   }
+
+  /** Memoized giant-bucket census for [[bandedPairs]] — ≤ n/cap rows
+    * collected driver-side, fingerprint-keyed like the centroid and
+    * cluster censuses; one signature pass per corpus per JVM. */
+  private val bucketCensusCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, String, Long)]]()
+
+  private def giantBuckets(s: SparkSession, d: String,
+      sigs: DataFrame): Array[(Int, String, Long)] =
+    bucketCensusCache.computeIfAbsent(
+      s"$d@${graft.T.dirFingerprint(d)}", _ =>
+        sigs.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > Similarity.GiantClusterCap)
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))))
 
   /** The q28 signature chain as a CTE fragment (t → sh → h → mh → bw
     * → sigs → cand) — ONE SQL home for the minhash recurrence and the

@@ -708,4 +708,36 @@ class DedupScaleSpec extends SparkSpec {
     assert(plan.contains("Union") && plan.contains("sequence"),
       s"giant path must engage past the cap:\n${plan.take(3000)}")
   }
+
+  test("giant MinHash bucket: sliced (band, sig) join ≡ plain, empty census ≡ plain plan") {
+    // the text-family twin of the cluster grid: a mega-group of
+    // identical documents shares every band signature, so one
+    // (band, sig) bucket carries the whole c² fan-out. Synthetic
+    // banded-signature frame: bucket ("x") holds 5000 members, seven
+    // normal buckets hold the rest.
+    val sigs = spark.range(5500L).select(
+      col("id").as("doc_id"),
+      lit(0).as("band"),
+      when(col("id") < 5000L, lit("x"))
+        .otherwise(concat(lit("t"), pmod(col("id"), lit(7L)))).as("sig"))
+    val a = sigs.select(col("doc_id").as("da"), col("band"), col("sig"))
+    val b = sigs.select(col("doc_id").as("db"), col("band").as("band_b"),
+      col("sig").as("sig_b"))
+    val plain = a.join(b,
+      col("band") === col("band_b") && col("sig") === col("sig_b") &&
+        col("da") < col("db")).select(col("da"), col("db"))
+    val sliced = Dedup.bandedPairs(sigs, Array((0, "x", 5000L)))
+    assert(sliced.count() == plain.count(),
+      "sliced (band, sig) pair count diverges from the plain join")
+    // per-pair identity on a deterministic stripe + all normal buckets
+    val keep = col("db") >= 5000L || col("da") % 97 === 0 || col("da") > 4950L
+    def ps(df: org.apache.spark.sql.DataFrame) =
+      df.filter(keep).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ps(sliced) == ps(plain),
+      "sliced (band, sig) pair set diverges from the plain join")
+    // empty census ⇒ the plain join plan itself (no union)
+    val noGiants = Dedup.bandedPairs(sigs, Array.empty)
+    assert(!noGiants.queryExecution.optimizedPlan.toString.contains("Union"),
+      "empty census must emit the plain join, no union")
+  }
 }
