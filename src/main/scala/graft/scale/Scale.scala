@@ -116,6 +116,51 @@ object Scale {
     labels
   }
 
+  /** Root resolution over a FUNCTIONAL FOREST — every node has exactly
+    * ONE parent edge and the parent relation is acyclic (the caller's
+    * contract; e.g. the SemDeDup keeper chain, where keeper < dropped
+    * id always, so no cycle can exist). Returns (node, root): the
+    * terminal of each node's parent chain — for the keeper forest,
+    * the RETAINED representative every tree hangs from.
+    *
+    * This is the directed sibling of [[connectedComponents]]: when
+    * edges are functional there is no need for the undirected
+    * neighbor-min propagation (each node's answer is fully determined
+    * by following pointers), so each round is ONE self-join doing the
+    * path-halving shortcut root(u) ← root(root(u)) — a depth-D forest
+    * converges in ⌈log₂ D⌉+1 rounds over O(|edges|) rows throughout.
+    * Convergence must be OBSERVED (a zero-change round) within
+    * maxRounds or this throws — a cycle (contract violation) would
+    * otherwise converge silently to an arbitrary in-cycle label.
+    * Input: (node, parent) edge frame. Nodes may appear as parents of
+    * other nodes; only `node`s get an output row. */
+  def functionalRoots(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    // Materialized once: the caller's edge plan may be expensive (the
+    // q113 drop frame rides the SemDeDup pair join) and each round —
+    // plus the change count — would otherwise re-execute it.
+    var roots = edges.select(col("node"), col("parent").as("root"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val lu = roots.select(col("node").as("jn"), col("root").as("jr"))
+      // Checkpoint before the count: the filter and the next round
+      // both read `jumped` (same discipline as connectedComponents).
+      val jumped = roots.join(lu, roots("root") === lu("jn"), "left")
+        .select(col("node"), col("root").as("prev"),
+          coalesce(col("jr"), col("root")).as("root"))
+        .localCheckpoint()
+      changed = jumped.filter(col("root") =!= col("prev")).count()
+      roots = jumped.select("node", "root")
+      round += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"functionalRoots did not converge in $maxRounds rounds " +
+          "(cycle in the parent relation?)")
+    roots
+  }
+
   /** Rough per-key frequency profile — the diagnostic that decides
     * between broadcast / salt / AQE-skew-join for a key column. */
   def keySkewProfile(df: DataFrame, key: Column, topN: Int = 10): DataFrame =

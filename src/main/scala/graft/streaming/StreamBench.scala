@@ -99,9 +99,14 @@ object StreamBench {
   private def runSemDedup(spark: org.apache.spark.sql.SparkSession,
       root: Path, n: Long): (Double, Long) = {
     import org.apache.spark.sql.types._
-    val dir = root.resolve("vectors")
+    // Tape dir keyed by COUNT (the genCorpus marker discipline): a
+    // rerun with a different SPARK_GRAFT_STREAM_VECS must regenerate,
+    // not silently reuse a stale tape while reporting the new n as
+    // the throughput denominator (the round-11 stale-corpus class).
+    val dir = root.resolve(s"vectors_$n")
     if (!Files.exists(dir)) writeLines(dir, 32, (0L until n).map(vecLine))
-    val idx = StreamingSemDedup.buildIndex(spark, "/root/testdata/sf0.1")
+    val idx = StreamingSemDedup.buildIndex(spark,
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     try {
       val schema = new StructType().add("vec_id", LongType)
         .add("embedding", ArrayType(FloatType))
@@ -305,12 +310,18 @@ object StreamBench {
     // s23 SemDeDup gate rate (round 14): vectors/s against the static
     // sf0.1-trained index, admissible-by-construction tape
     val nVecs = sys.env.getOrElse("SPARK_GRAFT_STREAM_VECS", "200000").toLong
-    val semdedup = {
+    // Wrapped: the gate needs an index corpus (SPARK_GRAFT_SF_DIR or
+    // the default testdata path); on a box with neither, report the
+    // leg as absent rather than aborting the trade/depth metrics.
+    val semdedup = scala.util.Try {
       runSemDedup(spark, warmRoot, 2000) // warmup, unbilled
       val (sec, rows) = runSemDedup(spark, corpusRoot, nVecs)
       "semdedup_parquet" -> (sec, rows, nVecs)
-    }
-    val allResults = (results :+ decoupled :+ semdedup) ++ rocksRows
+    }.toEither.left.map { e =>
+      System.err.println(s"semdedup leg skipped: ${e.getMessage}")
+      e
+    }.toOption
+    val allResults = (results :+ decoupled) ++ semdedup ++ rocksRows
     val json = "{\"metric\":\"stream_throughput\",\"unit\":\"rows_per_sec\"," +
       s""""corpus":{"trade_msgs":$nTrades,"depth_msgs":$nDepth,""" +
       s""""vec_msgs":$nVecs,""" +

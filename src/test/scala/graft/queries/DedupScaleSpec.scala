@@ -571,6 +571,61 @@ class DedupScaleSpec extends SparkSpec {
       s"orthogonal vectors must all be kept: ${rows.filterNot(_._2).toSeq}")
   }
 
+  test("q113 resolves keeper chains to RETAINED representatives (multi-hop engaged)") {
+    import spark.implicits._
+    // Engineered transitive chain: 8 orthogonal anchors at ids 0–7
+    // (the rank-based Lloyd seeds, so the initial centroid geometry is
+    // pinned) plus a 4-vector arc at ids 1000–1003 stepping 50° in the
+    // anchor-free (dim 60, dim 61) plane. Adjacent arc cosines
+    // ≈ 0.643 ≥ 0.42; skip-one ≈ −0.174 < 0.42 — so each arc vector's
+    // only witness is its predecessor, ITSELF dropped: the keeper
+    // chain 1000 ← 1001 ← 1002 ← 1003 that q112's witness semantics
+    // cannot resolve and q113 must. The arcs score cosine exactly 0
+    // against every seed (zero in dims 0–7), so the shared tie-break
+    // sends all four to ONE cluster, and recompute keeps them there
+    // (positive cosine to the blended centroid, 0 to all others).
+    val dim = 64
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q113").toString
+    val anchors = (0 until 8).map(g =>
+      (g.toLong, Array.tabulate(dim)(j => if (j == g) 1.0f else 0.0f), g % 3))
+    val arc = Seq(-75.0, -25.0, 25.0, 75.0).zipWithIndex.map { case (deg, i) =>
+      val r = math.toRadians(deg)
+      val e = Array.fill(dim)(0.0f)
+      e(60) = (math.rint(math.cos(r) * 1000) / 1000).toFloat
+      e(61) = (math.rint(math.sin(r) * 1000) / 1000).toFloat
+      (1000L + i, e, i % 3)
+    }
+    (anchors ++ arc).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    val out = SparkEntry.queries("q113_semdedup_reps")(spark, tmp)
+      .as[(Long, Boolean, Option[Long], Long)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1000L)._2, s"arc base must be kept: ${byId(1000L)}")
+    Seq(1001L, 1002L, 1003L).foreach { i =>
+      assert(!byId(i)._2 && byId(i)._3.contains(i - 1),
+        s"arc $i must be dropped with witness ${i - 1}: ${byId(i)}")
+      assert(byId(i)._4 == 1000L,
+        s"rep of arc $i must resolve the chain to 1000: ${byId(i)}")
+    }
+    // the defect q112 documents, actually engaged: a witness that is
+    // itself dropped, with rep pointing PAST it
+    assert(out.exists(r => !r._2 && !r._3.contains(r._4)),
+      "multi-hop resolution must engage on this corpus")
+    // frame-wide contract: rep is ALWAYS a retained row; kept rows
+    // are their own representative
+    val keptIds = out.filter(_._2).map(_._1).toSet
+    val badRep = out.filterNot(r => keptIds.contains(r._4))
+    assert(badRep.isEmpty, s"rep must be a kept row: ${badRep.take(3).toSeq}")
+    assert(out.filter(_._2).forall(r => r._4 == r._1),
+      "kept rows must carry rep = vec_id")
+    // q113 is q112 plus the rep column — verdict/witness bit-identical
+    val q112 = SparkEntry.queries("q112_semdedup")(spark, tmp)
+      .as[(Long, Boolean, Option[Long])].collect().toSet
+    assert(out.map(r => (r._1, r._2, r._3)).toSet == q112,
+      "q113's first three columns must equal q112 on the same corpus")
+  }
+
   test("LSH band-width ladder: closed form, every rung pinned, both engines in lockstep") {
     // Round-14: the hand-extended rung list (which silently re-entered
     // the linear-bucket regime past its last rung in rounds 9 AND 13 —

@@ -233,4 +233,31 @@ class ScaleSpec extends SparkSpec {
     assert(prof.length == 3)
     assert(prof.map(_.getLong(1)).toSeq == prof.map(_.getLong(1)).sorted.reverse.toSeq)
   }
+
+  test("functionalRoots: logarithmic rounds on a deep chain, exact on a random forest") {
+    import spark.implicits._
+    // A 300-deep parent chain: one-hop-per-round resolution would need
+    // 300 iterations; path halving must observe convergence within 11
+    // rounds (⌈log₂ 300⌉ = 9 productive + slack) or throw.
+    val chain = (1L to 300L).map(i => (i, i - 1)).toDF("node", "parent")
+    val got = Scale.functionalRoots(chain, maxRounds = 11)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 300 && got.values.forall(_ == 0L),
+      s"every chain node must resolve to root 0: ${got.filter(_._2 != 0L).take(3)}")
+
+    // Random functional forest (parent < node, the keeper-chain
+    // contract) vs a driver-side walk.
+    val rnd = new scala.util.Random(13)
+    val edges = (1L until 500L).filter(_ => rnd.nextBoolean())
+      .map(n => (n, rnd.nextLong(n).max(0L)))
+    val parentOf = edges.toMap
+    def walk(n: Long): Long =
+      parentOf.get(n).map(walk).getOrElse(n)
+    val roots = Scale.functionalRoots(edges.toDF("node", "parent"))
+      .as[(Long, Long)].collect().toMap
+    assert(roots.keySet == edges.map(_._1).toSet,
+      "one output row per input node, exactly")
+    val bad = edges.map(_._1).filter(n => roots(n) != walk(parentOf(n)))
+    assert(bad.isEmpty, s"roots disagree with the driver walk at: ${bad.take(5)}")
+  }
 }

@@ -109,6 +109,47 @@ def main(seed, dst):
                   ORDER BY vec_id LIMIT 1) e,
                  range({int(0.45 * n_emb)}) r""")
 
+    # seeds >= 24 (round-15 verdict task 5): COMBINED axes.
+    # (a) transitive-chain arcs for q112/q113 — three vectors per arc
+    # stepping 50 degrees in a 2-plane: adjacent cosines ~0.643 >= 0.42,
+    # skip-one ~-0.17 < 0.42, so whenever an arc lands in one cluster
+    # the middle vector is BOTH dropped and a witness (the chain q113
+    # resolves). Negative ids below the seed-22 mega block keep the
+    # chain direction (keeper = lower id) and re-stress the
+    # negative-id axis. Dims rotate per arc so arcs don't collide.
+    # (b) a giant MinHash bucket: a >30%-of-corpus block of IDENTICAL
+    # documents (every band signature equal -> one (band, sig) bucket
+    # holding the whole block). Under the production GiantClusterCap
+    # = 4096 these corpora stay sub-cap; the sweep reruns with
+    # SPARK_GRAFT_SEED_GIANTCAP (and SPARK_GRAFT_SEED_TWOLEVEL) so the
+    # grid-sliced pair joins and two-level routing run ON these dirty
+    # shapes oracle-exact (slicing is value-identical: no oracle
+    # change).
+    if seed >= 24:
+        import math
+        for arc in range(3):
+            d0, d1 = 2 * arc, 2 * arc + 1
+            for step in range(3):
+                deg = (step - 1) * 50.0
+                x = round(math.cos(math.radians(deg)), 3)
+                y = round(math.sin(math.radians(deg)), 3)
+                # ids ascend with the angle step (keeper = lower id),
+                # so adjacency IS the chain direction
+                vid = -(1000001 + arc * 10 + (2 - step))
+                con.execute(f"""INSERT INTO embeddings
+                    SELECT {vid},
+                           list_transform(range(64), j -> CASE
+                             WHEN j = {d0} THEN CAST({x} AS FLOAT)
+                             WHEN j = {d1} THEN CAST({y} AS FLOAT)
+                             ELSE CAST(0.0 AS FLOAT) END),
+                           {arc % 5}""")
+        n_doc = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+        con.execute(f"""INSERT INTO documents
+            SELECT 9000000 + r.range, t.txt, 'en', 'mirror', length(t.txt)
+            FROM (SELECT 'the same boilerplate page body repeated verbatim '
+                      || 'across every mirror of the crawl snapshot' AS txt) t,
+                 range({int(0.45 * n_doc)}) r""")
+
     # star schema: orphan 3% of orders' lineitems, NULL 1% of orderdates
     con.execute("DELETE FROM orders WHERE random() < 0.03")
     con.execute("UPDATE orders SET o_orderdate = NULL WHERE random() < 0.01")
