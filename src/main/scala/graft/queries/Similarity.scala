@@ -855,8 +855,15 @@ object Similarity {
 
   /** Grid-slice edge length target: a giant cluster of size c splits
     * into S = ⌈c/2048⌉ row/col buckets, so one grid cell evaluates
-    * ≈ 2048² ≈ 4.2M pairs — a few seconds of cosine work per task. */
-  private[queries] val PairSliceTarget = 2048L
+    * ≈ 2048² ≈ 4.2M pairs — a few seconds of cosine work per task.
+    * Seedable via SPARK_GRAFT_SEED_SLICE alongside the cap: a fuzz
+    * corpus's mega-cluster is hundreds of rows, under the production
+    * 2048, so without a smaller slice edge the forced grid would be
+    * 1×1 (the giant PATH, but not multi-cell geometry); seeding both
+    * makes S ≥ 2 grids face the full dirty-data oracle sweep. Never
+    * set in production. */
+  private[queries] val PairSliceTarget: Long =
+    sys.env.get("SPARK_GRAFT_SEED_SLICE").map(_.toLong).getOrElse(2048L)
 
   /** The within-cluster ordered-pair frame (va, av, na) × (vb, bv,
     * nb), va < vb — the SemDeDup / blocked-near-dup candidate join

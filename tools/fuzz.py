@@ -127,22 +127,41 @@ def main(seed, dst):
     # change).
     if seed >= 24:
         import math
-        for arc in range(3):
-            d0, d1 = 2 * arc, 2 * arc + 1
+        # Arc geometry that survives the seed-22 dynamics: the 8
+        # identical mega seeds collapse clustering to ONE surviving
+        # cluster, so every lower-id member is a potential witness for
+        # every arc step — the arc plane must be ORTHOGONAL to the
+        # mega vector (Gram-Schmidt against it, driver-side) or the
+        # mega block witnesses the whole arc and the chain degenerates
+        # to single hops (observed on the first seed-24 draft, where
+        # negative arc ids additionally made the arcs the Lloyd seeds
+        # themselves). Ids sit in the small-positive gap — above the
+        # mega block's negatives, below the 1000003-striped id space —
+        # so arcs are never seeds and never have non-arc witnesses.
+        m = con.execute("""SELECT embedding FROM embeddings
+                           WHERE vec_id = -1""").fetchone()[0]
+        mm = sum(x * x for x in m)
+        for arc, (d0, d1) in enumerate([(50, 51), (54, 55), (58, 59)]):
+            # u = e_d0 - proj_m, w = e_d1 - proj_m - proj_u, normalized
+            u = [-m[d0] * x / mm for x in m]
+            u[d0] += 1.0
+            un = math.sqrt(sum(x * x for x in u))
+            u = [x / un for x in u]
+            w = [-m[d1] * x / mm for x in m]
+            w[d1] += 1.0
+            uw = sum(a * b for a, b in zip(u, w))
+            w = [b - uw * a for a, b in zip(u, w)]
+            wn = math.sqrt(sum(x * x for x in w))
+            w = [x / wn for x in w]
             for step in range(3):
-                deg = (step - 1) * 50.0
-                x = round(math.cos(math.radians(deg)), 3)
-                y = round(math.sin(math.radians(deg)), 3)
+                rad = math.radians((step - 1) * 50.0)
+                vec = [round(math.cos(rad) * a + math.sin(rad) * b, 3)
+                       for a, b in zip(u, w)]
+                lits = ", ".join(f"CAST({x} AS FLOAT)" for x in vec)
                 # ids ascend with the angle step (keeper = lower id),
                 # so adjacency IS the chain direction
-                vid = -(1000001 + arc * 10 + (2 - step))
                 con.execute(f"""INSERT INTO embeddings
-                    SELECT {vid},
-                           list_transform(range(64), j -> CASE
-                             WHEN j = {d0} THEN CAST({x} AS FLOAT)
-                             WHEN j = {d1} THEN CAST({y} AS FLOAT)
-                             ELSE CAST(0.0 AS FLOAT) END),
-                           {arc % 5}""")
+                    VALUES ({10 * (arc + 1) + step}, [{lits}], {arc % 5})""")
         n_doc = con.execute("SELECT count(*) FROM documents").fetchone()[0]
         con.execute(f"""INSERT INTO documents
             SELECT 9000000 + r.range, t.txt, 'en', 'mirror', length(t.txt)

@@ -118,6 +118,9 @@ def main(sf_dir, out_dir, stage_dir, names):
                 con.execute(f"SET temp_directory='{tmp}'")
                 con.execute("SET max_temp_directory_size='60GB'")
             con.execute("SET preserve_insertion_order=false")
+            thr = os.environ.get("SPARK_GRAFT_DUCKDB_THREADS")
+            if thr:
+                con.execute(f"SET threads={int(thr)}")
             for t in TABLES:
                 path = f"{sf_dir}/{t}.parquet"
                 if os.path.isdir(path):
