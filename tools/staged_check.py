@@ -39,12 +39,19 @@ def norm(df):
 def split_ctes(sql):
     """Split `WITH name AS [MATERIALIZED] (body), ... <final SELECT>`
     at top level (paren-depth + string-literal aware). Returns
-    ([(name, body)], final_select)."""
+    ([(name, body)], final_select). For WITH RECURSIVE, only the
+    non-recursive PREFIX is split out for staging; the first
+    self-referencing CTE and everything after it are folded back into
+    the final query under a fresh WITH RECURSIVE — the recursive
+    fixpoint itself cannot be a parquet stage, but its INPUTS (the
+    expensive candidate-pair CTEs) can be."""
     s = sql.strip()
     assert s[:5].upper() == "WITH ", "oracle must start with WITH"
-    assert not s[:15].upper().startswith("WITH RECURSIVE"), \
-        "recursive CTEs are not stageable"
-    s = s[5:]
+    recursive = s[:14].upper() == "WITH RECURSIVE"
+    if recursive:
+        s = s[14:].lstrip()
+    else:
+        s = s[5:]
     ctes = []
     i = 0
     n = len(s)
@@ -77,7 +84,24 @@ def split_ctes(sql):
             while s[i] in " \n\t":
                 i += 1
         else:
-            return ctes, s[pos:]
+            final = s[pos:]
+            if recursive:
+                import re
+                cut = len(ctes)
+                for idx, (nm, body) in enumerate(ctes):
+                    # self-reference as a TABLE (FROM/JOIN), not a mere
+                    # column alias collision (`... AS h` inside CTE h)
+                    if re.search(rf"(FROM|JOIN)\s+{re.escape(nm)}\b",
+                                 body, re.IGNORECASE):
+                        cut = idx
+                        break
+                tail = ctes[cut:]
+                ctes = ctes[:cut]
+                if tail:
+                    final = ("WITH RECURSIVE " + ",\n".join(
+                        f"{nm} AS ({body})" for nm, body in tail) +
+                        "\n" + final)
+            return ctes, final
 
 
 def compare(g, w):
