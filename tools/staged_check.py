@@ -67,6 +67,11 @@ def split_ctes(sql):
                     in_str = False
             elif c == "'":
                 in_str = True
+            elif c == "-" and m + 1 < n and s[m + 1] == "-":
+                # line comment: apostrophes/parens inside are not code
+                while m < n and s[m] != "\n":
+                    m += 1
+                continue
             elif c == "(":
                 depth += 1
             elif c == ")":
@@ -131,8 +136,15 @@ def main(sf_dir, out_dir, stage_dir, names):
         os.makedirs(qdir, exist_ok=True)
         try:
             ctes, final = split_ctes(oracles[name])
-            # fresh connection per query: its stage views only
-            con = duckdb.connect()
+            # fresh ON-DISK database per query: stages become native
+            # tables (spilled to the db file), NOT parquet — a parquet
+            # boundary coerces types the twin relies on (sum() returns
+            # HUGEINT, which parquet degrades to DOUBLE and the LSH
+            # signature shifts then fail to bind; observed on q95)
+            dbfile = os.path.join(stage_dir, f"{name}.duckdb")
+            if os.path.exists(dbfile):
+                os.remove(dbfile)
+            con = duckdb.connect(dbfile)
             mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
             if mem:
                 con.execute(f"SET memory_limit='{mem}'")
@@ -153,13 +165,11 @@ def main(sf_dir, out_dir, stage_dir, names):
             import time
             for cte_name, body in ctes:
                 t0 = time.time()
-                stage = os.path.join(qdir, f"{cte_name}.parquet")
-                con.execute(f"COPY ({body}) TO '{stage}' (FORMAT PARQUET)")
-                con.execute(
-                    f"CREATE VIEW {cte_name} AS SELECT * FROM '{stage}'")
-                sz = os.path.getsize(stage) / 1e6
+                con.execute(f"CREATE TABLE {cte_name} AS {body}")
+                sz = os.path.getsize(dbfile) / 1e6
                 print(f"  [{name}] staged {cte_name} "
-                      f"({time.time() - t0:.0f}s, {sz:.0f} MB)", flush=True)
+                      f"({time.time() - t0:.0f}s, db={sz:.0f} MB)",
+                      flush=True)
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
             want = con.execute(final).df()
@@ -174,9 +184,14 @@ def main(sf_dir, out_dir, stage_dir, names):
             # stages can be tens of GB at sf30 — reclaim before the
             # next query so the sweep itself can't ENOSPC the box
             shutil.rmtree(qdir, ignore_errors=True)
+            if os.path.exists(dbfile):
+                os.remove(dbfile)
         except Exception as e:
             print(f"ERROR {name}: {type(e).__name__}: {e}", flush=True)
             shutil.rmtree(qdir, ignore_errors=True)
+            dbf = os.path.join(stage_dir, f"{name}.duckdb")
+            if os.path.exists(dbf):
+                os.remove(dbf)
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
